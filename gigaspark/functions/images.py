@@ -1,0 +1,137 @@
+"""Numpy-only image codecs + PSNR for the simulated-fetch validation path.
+
+Reference capability: ``Images.cpp`` thumbnail/dimension handling inside
+TitleRec [U][M] (SURVEY §2.8 C8).  The graft's per-row invariant
+(BASELINE.json input_hint) is: decoded fetched bytes ≈ golden pixels
+(PSNR ≥ 40 dB for lossy formats, exact for lossless) + caption equality.
+
+No PIL in this sandbox (SURVEY §7.4.3), so fixtures use three formats we
+can encode/decode with numpy+zlib alone:
+
+  * ``ppm`` — binary P6, lossless
+  * ``png`` — real PNG (8-bit RGB, filter 0, zlib), lossless; decodable
+    by any standard viewer — the encoder/decoder here is a minimal but
+    spec-conformant subset (we only emit filter type 0)
+  * ``qnt`` — deterministic lossy stand-in for JPEG: 6-bit/channel
+    quantization (q = v >> 2, reconstruct q*4+2 → MSE ≈ 1.5 →
+    PSNR ≈ 46 dB), zlib-compressed.  Exercises the lossy PSNR path
+    genuinely (documented deviation: real JPEG needs vendored Pillow).
+
+All functions operate on whole numpy arrays; the Spark-side entry point
+is an Arrow-batched pandas UDF (see operators/fetch.py) — no per-row
+Python UDFs.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+FORMATS = ("ppm", "png", "qnt")
+LOSSLESS = {"ppm", "png"}
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# --- PPM (binary P6) ---------------------------------------------------------
+
+def encode_ppm(pix: np.ndarray) -> bytes:
+    h, w, _ = pix.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pix.astype(np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 ppm")
+    # header: magic, width, height, maxval, single whitespace, raw
+    parts = data.split(b"\n", 3)
+    w, h = (int(x) for x in parts[1].split())
+    raw = parts[3]
+    return np.frombuffer(raw[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+
+
+# --- PNG (8-bit RGB, minimal conformant subset) ------------------------------
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pix: np.ndarray) -> bytes:
+    h, w, _ = pix.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, truecolor RGB
+    rows = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), pix.reshape(h, w * 3)], axis=1
+    )  # filter byte 0 per scanline
+    idat = zlib.compress(rows.tobytes(), 6)
+    return _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a png")
+    i = 8
+    w = h = None
+    idat = b""
+    while i < len(data):
+        (ln,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            if depth != 8 or ctype != 2:
+                raise ValueError("unsupported png subset")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
+    filters = raw[:, 0]
+    if not (filters == 0).all():
+        raise ValueError("unsupported png filter (encoder subset emits 0 only)")
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+# --- QNT (lossy 6-bit quantized) ---------------------------------------------
+
+def encode_qnt(pix: np.ndarray) -> bytes:
+    h, w, _ = pix.shape
+    q = (pix.astype(np.uint8) >> 2).astype(np.uint8)
+    return b"QNT1" + struct.pack("<II", w, h) + zlib.compress(q.tobytes(), 6)
+
+
+def decode_qnt(data: bytes) -> np.ndarray:
+    if not data.startswith(b"QNT1"):
+        raise ValueError("not qnt")
+    w, h = struct.unpack("<II", data[4:12])
+    q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8).reshape(h, w, 3)
+    return (q.astype(np.uint16) * 4 + 2).clip(0, 255).astype(np.uint8)
+
+
+_ENC = {"ppm": encode_ppm, "png": encode_png, "qnt": encode_qnt}
+_DEC = {"ppm": decode_ppm, "png": decode_png, "qnt": decode_qnt}
+
+
+def encode_image(fmt: str, pix: np.ndarray) -> bytes:
+    return _ENC[fmt](pix)
+
+
+def decode_image(fmt: str, data: bytes) -> np.ndarray:
+    return _DEC[fmt](data)
+
+
+def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; +inf when identical."""
+    if a.shape != b.shape:
+        return float("-inf")
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0.0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))

@@ -1,0 +1,244 @@
+"""URL canonicalization, host/path extraction, and hash columns.
+
+Reference capability: ``Url.cpp::set`` + ``Spiderdb::getUrlHash48`` [U][H]
+(SURVEY.md §2.8 C1–C3) — Gigablast normalizes every URL before hashing it
+into a Spiderdb key.  We re-specify canonicalization as the PINNED rules
+below (the graft's executable spec), implemented once as a pure-Python
+function (used by tests/oracle_sim.py) and once as a pandas-vectorized
+transform (used by the Spark pipeline through an Arrow pandas UDF).
+A hypothesis property test asserts the two agree byte-for-byte.
+
+PINNED canonicalization rules (deviations from Gigablast are deliberate
+and documented; the fixture goldens are derived from THESE rules):
+  1. trim ASCII whitespace; prepend ``http://`` when no ``://`` present
+  2. lowercase scheme and host; strip a single trailing dot on host
+  3. drop default ports (http:80, https:443)
+  4. collapse ``//+`` in the path to ``/``; resolve ``.``/``..`` segments
+     (RFC 3986 remove_dot_segments); empty path → ``/``
+  5. drop the fragment
+  6. percent-decode unreserved chars in path+query; uppercase remaining
+     escapes' hex digits
+  7. delete session-id query params (phpsessid, sid, oscsid, jsessionid —
+     case-insensitive keys, same list as Gigablast's stripSessionId
+     behavior [U][M]); drop ``?`` if query becomes empty
+  8. query param ORDER IS PRESERVED (no sort)
+  9. host ``www.`` prefix is KEPT (Gigablast keeps it; iswww is a filter
+     predicate, not a rewrite)
+
+firstip rule (SURVEY §3.3, pinned): ``xxhash64(host) & 0x7FFFFFFF`` —
+Gigablast's fakeFirstIp-until-DNS [U] made permanent (deterministic,
+network-free); a hostmap table can override via broadcast join (J2).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import StringType
+
+from gigaspark.xxh import URLHASH48_MASK, urlhash48 as _py_urlhash48, xxh64
+
+FIRSTIP_MASK = 0x7FFFFFFF
+
+_URL_RE = re.compile(
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<auth>[^/?#]*)"
+    r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+_AUTH_RE = re.compile(r"^(?P<userinfo>[^@]*@)?(?P<host>[^:]*)(?::(?P<port>[0-9]*))?$")
+_MULTI_SLASH_RE = re.compile(r"/{2,}")
+_DOTSEG_RE = re.compile(r"(?:^|/)\.{1,2}(?:/|$)")
+_SESSION_RE = re.compile(r"(?:^|&)(?:phpsessid|sid|oscsid|jsessionid)=[^&]*", re.IGNORECASE)
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_DEFAULT_PORT = {"http": "80", "https": "443"}
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4."""
+    out: list[str] = []
+    buf = path
+    while buf:
+        if buf.startswith("../"):
+            buf = buf[3:]
+        elif buf.startswith("./"):
+            buf = buf[2:]
+        elif buf.startswith("/./"):
+            buf = "/" + buf[3:]
+        elif buf == "/.":
+            buf = "/"
+        elif buf.startswith("/../"):
+            buf = "/" + buf[4:]
+            if out:
+                out.pop()
+        elif buf == "/..":
+            buf = "/"
+            if out:
+                out.pop()
+        elif buf in (".", ".."):
+            buf = ""
+        else:
+            i = buf.find("/", 1) if buf.startswith("/") else buf.find("/")
+            if i == -1:
+                out.append(buf)
+                buf = ""
+            else:
+                out.append(buf[:i])
+                buf = buf[i:]
+    return "".join(out)
+
+
+def _decode_pct_match(m: re.Match) -> str:
+    ch = chr(int(m.group(1), 16))
+    return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+
+def _decode_unreserved(s: str) -> str:
+    return _PCT_RE.sub(_decode_pct_match, s)
+
+
+def _clean_query(q: str) -> str:
+    q = _SESSION_RE.sub("", q)
+    return q.lstrip("&")
+
+
+def canonicalize_url(url: str) -> str:
+    """Pure-Python canonicalizer — THE spec; oracle_sim calls this."""
+    if url is None:
+        return None
+    u = url.strip()
+    if "://" not in u:
+        u = "http://" + u
+    m = _URL_RE.match(u)
+    if not m:
+        return u  # unparseable: pass through verbatim (pinned)
+    scheme = m.group("scheme").lower()
+    am = _AUTH_RE.match(m.group("auth") or "")
+    userinfo = am.group("userinfo") or ""
+    host = (am.group("host") or "").lower().rstrip(".")
+    port = am.group("port")
+    portpart = "" if (not port or port == _DEFAULT_PORT.get(scheme)) else ":" + port
+    path = m.group("path") or ""
+    path = _MULTI_SLASH_RE.sub("/", path)
+    if _DOTSEG_RE.search(path):
+        path = _remove_dot_segments(path)
+    if not path:
+        path = "/"
+    if "%" in path:
+        path = _decode_unreserved(path)
+    query = m.group("query")
+    qpart = ""
+    if query:
+        query = _clean_query(query)
+        if "%" in query:
+            query = _decode_unreserved(query)
+        if query:
+            qpart = "?" + query
+    return f"{scheme}://{userinfo}{host}{portpart}{path}{qpart}"
+
+
+def canonicalize_series(s: pd.Series) -> pd.Series:
+    """Pandas-vectorized canonicalizer: same PINNED rules as
+    :func:`canonicalize_url`, bulk regex/str ops on the whole Arrow batch;
+    scalar fallbacks only on masked rare rows (dot-segments, %-escapes).
+    """
+    s = s.astype("object").fillna("").astype(str)
+    s = pd.Series(s, dtype="object").str.strip()
+    noscheme = ~s.str.contains("://", regex=False)
+    if noscheme.any():
+        s = s.where(~noscheme, "http://" + s)
+    parts = s.str.extract(_URL_RE)
+    parseable = parts["scheme"].notna()
+    scheme = parts["scheme"].str.lower()
+    auth = parts["auth"].fillna("").str.extract(_AUTH_RE)
+    userinfo = auth["userinfo"].fillna("")
+    host = auth["host"].fillna("").str.lower().str.rstrip(".")
+    port = auth["port"]
+    default_port = scheme.map(_DEFAULT_PORT)
+    keep_port = port.notna() & (port != "") & (port != default_port)
+    portpart = (":" + port).where(keep_port, "")
+
+    path = parts["path"].fillna("").str.replace(_MULTI_SLASH_RE, "/", regex=True)
+    dotmask = path.str.contains(_DOTSEG_RE, regex=True)
+    if dotmask.any():
+        path = path.mask(dotmask, path[dotmask].map(_remove_dot_segments))
+    path = path.where(path != "", "/")
+    pctmask = path.str.contains("%", regex=False)
+    if pctmask.any():
+        path = path.mask(pctmask, path[pctmask].map(_decode_unreserved))
+
+    query = parts["query"]
+    qfilled = query.fillna("")
+    qclean = qfilled.str.replace(_SESSION_RE, "", regex=True).str.lstrip("&")
+    qpct = qclean.str.contains("%", regex=False)
+    if qpct.any():
+        qclean = qclean.mask(qpct, qclean[qpct].map(_decode_unreserved))
+    qpart = ("?" + qclean).where(query.notna() & (qfilled != "") & (qclean != ""), "")
+
+    out = scheme + "://" + userinfo + host + portpart + path + qpart
+    return out.where(parseable, s).astype(str)
+
+
+@F.pandas_udf(StringType())
+def canonicalize_udf(s: pd.Series) -> pd.Series:  # pragma: no cover (Spark-side)
+    return canonicalize_series(s)
+
+
+# ---------------------------------------------------------------------------
+# Spark column helpers — pure built-ins (JVM-side, codegen-friendly)
+# ---------------------------------------------------------------------------
+
+def urlhash48_col(url: Column) -> Column:
+    """``xxhash64(url) & ((1<<48)-1)`` as a long (C2; BASELINE.json:6)."""
+    return F.xxhash64(url).bitwiseAND(F.lit(URLHASH48_MASK)).alias("urlhash48")
+
+def host_col(url: Column) -> Column:
+    return F.parse_url(url, F.lit("HOST"))
+
+def path_col(url: Column) -> Column:
+    return F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("/"))
+
+def firstip_col(host: Column) -> Column:
+    """Pinned fakeFirstIp rule: ``xxhash64(host) & 0x7FFFFFFF`` → int."""
+    return F.xxhash64(host).bitwiseAND(F.lit(FIRSTIP_MASK)).cast("int")
+
+
+def with_url_columns(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonicalize + derive (url, host, path, firstip, urlhash48).
+
+    One Arrow-batched pandas UDF for canonicalization; everything else is
+    JVM built-ins so Catalyst keeps the stage in whole-stage codegen.
+    """
+    df = df.withColumn(url_col, canonicalize_udf(F.col(url_col)))
+    df = df.withColumn("host", host_col(F.col(url_col)))
+    return (
+        df.withColumn("path", path_col(F.col(url_col)))
+        .withColumn("firstip", firstip_col(F.col("host")))
+        .withColumn("urlhash48", urlhash48_col(F.col(url_col)))
+    )
+
+
+# Pure-Python mirrors for the oracle simulator --------------------------------
+
+def py_host(url: str) -> str:
+    m = _URL_RE.match(url)
+    if not m:
+        return ""
+    am = _AUTH_RE.match(m.group("auth") or "")
+    return am.group("host") or ""
+
+
+def py_path(url: str) -> str:
+    m = _URL_RE.match(url)
+    p = (m.group("path") or "") if m else ""
+    return p if p else "/"
+
+
+def py_firstip(host: str) -> int:
+    return xxh64(host.encode("utf-8")) & FIRSTIP_MASK
+
+
+py_urlhash48 = _py_urlhash48

@@ -1,0 +1,134 @@
+"""robots.txt allow/disallow + crawl-delay evaluation (SURVEY §2.2 F3, §2.3 J3).
+
+Reference: robots parse/eval in ``Msg13.cpp`` / ``XmlDoc::getIsAllowed``
+[U][M]; exact precedence in the reference is unverifiable (empty checkout),
+so fixture semantics are PINNED to RFC 9309:
+
+  * UA group selection: a host that has any rows for our UA
+    (``GigablastOpenSource``) uses ONLY those rows; otherwise the ``*``
+    group.  (Gigablast matches UA substrings [U][M]; pinned to exact.)
+  * longest-match wins; precedence length = ``len(path_prefix)`` as
+    stored (wildcards count as 1 char); ``allow`` beats ``disallow`` on
+    ties.  No matching rule → allowed.
+  * ``*`` in a prefix matches any char run; trailing ``$`` anchors.
+  * crawl_delay is per (host, UA-group): max over the group's rows.
+
+Spark-first: NO per-row Python — rules are prepped once (tiny table) into
+regex form, then evaluation is a broadcast equi-join on host + ``rlike`` +
+a window picking the longest match.  This scales to huge frontiers (the
+join key is host; the rules side is broadcast or, at 10^8-host scale,
+bucket-joined by host).  Pure-Python mirror below feeds the oracle sim.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+OUR_UA = "GigablastOpenSource"
+
+
+def _prefix_to_regex(prefix: str) -> str:
+    """robots path pattern → anchored Java/Python-common regex."""
+    anchored = prefix.endswith("$")
+    body = prefix[:-1] if anchored else prefix
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in r"\.^$+?{}[]|()":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + ("$" if anchored else "")
+
+
+def prep_rules(robots: DataFrame) -> DataFrame:
+    """Select each host's UA group and attach match regex + precedence.
+
+    Tiny-table prep (runs once per crawl); result is broadcast downstream.
+    """
+    specific = robots.where(F.col("user_agent") == OUR_UA).select("host").distinct()
+    chosen = robots.join(specific.withColumnRenamed("host", "h2"),
+                         robots["host"] == F.col("h2"), "left").where(
+        (F.col("h2").isNull() & (F.col("user_agent") == "*"))
+        | (F.col("h2").isNotNull() & (F.col("user_agent") == OUR_UA))
+    ).drop("h2")
+    to_regex = F.udf(_prefix_to_regex)
+    return chosen.select(
+        "host",
+        "rule_type",
+        "path_prefix",
+        to_regex("path_prefix").alias("pattern_regex"),
+        F.length("path_prefix").alias("match_len"),
+        "crawl_delay_ms",
+    )
+
+
+def host_delays(prepped: DataFrame) -> DataFrame:
+    """(host, crawl_delay_ms) — max over the chosen UA group."""
+    return prepped.groupBy("host").agg(F.max("crawl_delay_ms").alias("crawl_delay_ms"))
+
+
+def eval_allowed(urls: DataFrame, prepped: DataFrame) -> DataFrame:
+    """Attach ``robots_allowed`` to a DF with (host, path, urlhash48).
+
+    broadcast-join rules by host → rlike match → longest-match window.
+    Unmatched / rule-less hosts are allowed.
+    """
+    r = F.broadcast(prepped.withColumnRenamed("host", "r_host"))
+    cand = urls.join(r, urls["host"] == r["r_host"], "left").withColumn(
+        "matched",
+        F.col("pattern_regex").isNotNull()
+        & F.rlike(F.col("path"), F.col("pattern_regex")),
+    )
+    w = Window.partitionBy("host", "urlhash48").orderBy(
+        F.col("matched").desc(),
+        F.col("match_len").desc_nulls_last(),
+        F.col("rule_type").asc_nulls_last(),  # 'allow' < 'disallow'
+    )
+    best = cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return best.withColumn(
+        "robots_allowed",
+        (~F.col("matched").cast("boolean")).cast("boolean")
+        | (F.col("rule_type") == "allow"),
+    ).drop("r_host", "rule_type", "path_prefix", "pattern_regex", "match_len",
+           "crawl_delay_ms", "matched", "_rn")
+
+
+# --- Pure-Python mirror (oracle simulator) ------------------------------------
+
+class RobotsOracle:
+    def __init__(self, rows):
+        """rows: iterable of dicts with host/user_agent/rule_type/
+        path_prefix/crawl_delay_ms (raw fixture rows)."""
+        by_host: dict[str, list[dict]] = {}
+        for r in rows:
+            d = dict(r)
+            by_host.setdefault(d["host"], []).append(d)
+        self.rules: dict[str, list[tuple[re.Pattern, int, str]]] = {}
+        self.delay: dict[str, int] = {}
+        for host, rs in by_host.items():
+            spec = [r for r in rs if r["user_agent"] == OUR_UA]
+            group = spec if spec else [r for r in rs if r["user_agent"] == "*"]
+            self.rules[host] = [
+                (re.compile(_prefix_to_regex(r["path_prefix"])),
+                 len(r["path_prefix"]), r["rule_type"])
+                for r in group
+            ]
+            self.delay[host] = max((int(r["crawl_delay_ms"]) for r in group), default=0)
+
+    def allowed(self, host: str, path: str) -> bool:
+        matches = [
+            (mlen, 0 if rtype == "allow" else 1)
+            for pat, mlen, rtype in self.rules.get(host, ())
+            if pat.search(path)
+        ]
+        if not matches:
+            return True
+        mlen, rtype_rank = min(matches, key=lambda t: (-t[0], t[1]))
+        return rtype_rank == 0
+
+    def crawl_delay_ms(self, host: str) -> int:
+        return self.delay.get(host, 0)

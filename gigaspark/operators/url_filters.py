@@ -1,0 +1,208 @@
+"""URL-filter rule engine (SURVEY §2.2 F1).
+
+Reference: ``Spider.cpp::getUrlFilterNum`` [U][H] — an ordered table of
+ANDed predicates; the FIRST matching row assigns (ufn, priority,
+spider_freq_days, max_spiders_per_ip, same_ip_wait_ms, harvest_links,
+force_delete).  Negative priority (FILTERED=-3, BANNED=-2) drops the URL.
+
+Spark-first design: the rule table is COMPILED into a single nested
+``F.when(...).otherwise(...)`` struct column — Catalyst constant-folds and
+code-generates the whole chain; no UDF, no shuffle, first-match semantics
+= when-chain order.  A pure-Python backend evaluates the same parsed rules
+for the oracle simulator; both backends parse the same mini-language so
+they cannot drift structurally.
+
+Mini-language (conjunctions with ``&&``):
+    default | ismedia | iswww | isseed
+    hopcount>=N (also <=,==,>,<) | errorcount>=N
+    tld==STR | urlmatch~=REGEX  (keep regexes Java/Python-common)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+PRIORITY_FILTERED = -3
+PRIORITY_BANNED = -2
+
+MEDIA_EXT_RE = r"\.(jpg|jpeg|png|gif|bmp|ico|css|js|svg|woff|ttf|mp3|mp4|avi|mov|pdf|zip)$"
+
+_CMP_RE = re.compile(r"^(hopcount|errorcount)\s*(>=|<=|==|>|<)\s*(-?\d+)$")
+_TLD_RE = re.compile(r"^tld\s*==\s*([A-Za-z0-9.\-]+)$")
+_MATCH_RE = re.compile(r"^urlmatch\s*~=\s*(.+)$")
+
+ASSIGN_FIELDS = (
+    "ufn",
+    "priority",
+    "spider_freq_days",
+    "max_spiders_per_ip",
+    "same_ip_wait_ms",
+    "harvest_links",
+    "force_delete",
+)
+
+
+@dataclass(frozen=True)
+class Pred:
+    kind: str  # default|ismedia|iswww|isseed|cmp|tld|match
+    field: str = ""
+    op: str = ""
+    value: object = None
+
+
+@dataclass(frozen=True)
+class Rule:
+    rule_idx: int
+    preds: tuple[Pred, ...]
+    priority: int
+    spider_freq_days: float
+    max_spiders_per_ip: int
+    same_ip_wait_ms: int
+    harvest_links: bool
+    force_delete: bool
+
+
+def parse_expression(expr: str) -> tuple[Pred, ...]:
+    preds = []
+    for term in (t.strip() for t in expr.split("&&")):
+        if term == "default":
+            preds.append(Pred("default"))
+        elif term in ("ismedia", "iswww", "isseed"):
+            preds.append(Pred(term))
+        elif m := _CMP_RE.match(term):
+            preds.append(Pred("cmp", field=m.group(1), op=m.group(2), value=int(m.group(3))))
+        elif m := _TLD_RE.match(term):
+            preds.append(Pred("tld", value=m.group(1)))
+        elif m := _MATCH_RE.match(term):
+            preds.append(Pred("match", value=m.group(1).strip()))
+        else:
+            raise ValueError(f"unparseable url_filter term: {term!r}")
+    return tuple(preds)
+
+
+def rules_from_rows(rows) -> list[Rule]:
+    """rows: iterable of dicts/Rows with the FIXTURES.md §5 columns."""
+    out = []
+    for r in rows:
+        d = r.asDict() if hasattr(r, "asDict") else dict(r)
+        out.append(
+            Rule(
+                rule_idx=int(d["rule_idx"]),
+                preds=parse_expression(d["expression"]),
+                priority=int(d["priority"]),
+                spider_freq_days=float(d["spider_freq_days"]),
+                max_spiders_per_ip=int(d["max_spiders_per_ip"]),
+                same_ip_wait_ms=int(d["same_ip_wait_ms"]),
+                harvest_links=bool(d["harvest_links"]),
+                force_delete=bool(d["force_delete"]),
+            )
+        )
+    return sorted(out, key=lambda r: r.rule_idx)
+
+
+# --- Spark backend -----------------------------------------------------------
+
+def _pred_col(p: Pred) -> Column:
+    if p.kind == "default":
+        return F.lit(True)
+    if p.kind == "ismedia":
+        return F.lower(F.col("path")).rlike(MEDIA_EXT_RE)
+    if p.kind == "iswww":
+        return F.col("host").startswith("www.")
+    if p.kind == "isseed":
+        return F.coalesce(F.col("is_seed"), F.lit(False))
+    if p.kind == "cmp":
+        c, v = F.col(p.field), F.lit(p.value)
+        return {"<": c < v, "<=": c <= v, "==": c == v, ">": c > v, ">=": c >= v}[p.op]
+    if p.kind == "tld":
+        return F.substring_index(F.col("host"), ".", -1) == F.lit(p.value)
+    if p.kind == "match":
+        return F.col("url").rlike(p.value)
+    raise ValueError(p.kind)
+
+
+def _rule_struct(rule: Rule) -> Column:
+    return F.struct(
+        F.lit(rule.rule_idx).cast("int").alias("ufn"),
+        F.lit(rule.priority).cast("int").alias("priority"),
+        F.lit(rule.spider_freq_days).cast("double").alias("spider_freq_days"),
+        F.lit(rule.max_spiders_per_ip).cast("int").alias("max_spiders_per_ip"),
+        F.lit(rule.same_ip_wait_ms).cast("long").alias("same_ip_wait_ms"),
+        F.lit(rule.harvest_links).alias("harvest_links"),
+        F.lit(rule.force_delete).alias("force_delete"),
+    )
+
+
+def compile_rules_column(rules: list[Rule]) -> Column:
+    """Rule table → one struct-valued when-chain column (first match wins)."""
+    expr: Column | None = None
+    for rule in rules:
+        cond = F.lit(True)
+        for p in rule.preds:
+            cond = cond & _pred_col(p)
+        expr = F.when(cond, _rule_struct(rule)) if expr is None else expr.when(cond, _rule_struct(rule))
+    if expr is None:
+        raise ValueError("empty rule table")
+    # no-match → UNDEFINED(-1): dropped like Gigablast's unmatched URLs [M]
+    none = F.struct(
+        F.lit(-1).cast("int").alias("ufn"),
+        F.lit(-1).cast("int").alias("priority"),
+        F.lit(30.0).cast("double").alias("spider_freq_days"),
+        F.lit(1).cast("int").alias("max_spiders_per_ip"),
+        F.lit(0).cast("long").alias("same_ip_wait_ms"),
+        F.lit(False).alias("harvest_links"),
+        F.lit(False).alias("force_delete"),
+    )
+    return expr.otherwise(none)
+
+
+def apply_url_filters(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Attach the assigned-fields columns; requires url/host/path/hopcount/
+    errorcount/is_seed columns to exist."""
+    return df.withColumn("_uf", compile_rules_column(rules)).select(
+        "*", *[F.col(f"_uf.{f}").alias(f) for f in ASSIGN_FIELDS]
+    ).drop("_uf")
+
+
+# --- Pure-Python backend (oracle simulator) ----------------------------------
+
+def _pred_py(p: Pred, row: dict) -> bool:
+    if p.kind == "default":
+        return True
+    if p.kind == "ismedia":
+        return re.search(MEDIA_EXT_RE, row["path"].lower()) is not None
+    if p.kind == "iswww":
+        return row["host"].startswith("www.")
+    if p.kind == "isseed":
+        return bool(row.get("is_seed"))
+    if p.kind == "cmp":
+        v = row[p.field]
+        return {"<": v < p.value, "<=": v <= p.value, "==": v == p.value,
+                ">": v > p.value, ">=": v >= p.value}[p.op]
+    if p.kind == "tld":
+        return row["host"].rsplit(".", 1)[-1] == p.value
+    if p.kind == "match":
+        return re.search(p.value, row["url"]) is not None
+    raise ValueError(p.kind)
+
+
+def eval_rules_py(rules: list[Rule], row: dict) -> dict:
+    for rule in rules:
+        if all(_pred_py(p, row) for p in rule.preds):
+            return {
+                "ufn": rule.rule_idx,
+                "priority": rule.priority,
+                "spider_freq_days": rule.spider_freq_days,
+                "max_spiders_per_ip": rule.max_spiders_per_ip,
+                "same_ip_wait_ms": rule.same_ip_wait_ms,
+                "harvest_links": rule.harvest_links,
+                "force_delete": rule.force_delete,
+            }
+    return {
+        "ufn": -1, "priority": -1, "spider_freq_days": 30.0,
+        "max_spiders_per_ip": 1, "same_ip_wait_ms": 0,
+        "harvest_links": False, "force_delete": False,
+    }

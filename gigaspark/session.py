@@ -1,0 +1,48 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local sandbox runs ``local[N]``; the same config block is what we would
+ship to a real cluster via ``spark-submit --py-files`` (north_rule):
+AQE on (runtime skew-join splitting + partition coalescing), explicit
+shuffle-partition count, Arrow enabled for pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "gigaspark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or 32 (sandbox); on a real
+    cluster this builder is used without ``master`` and the resource
+    manager decides.  ``shuffle_partitions`` defaults to 2×cores locally —
+    at cluster scale you would size it so post-shuffle partitions are
+    100–200 MB (AQE coalescing trims the excess either way).
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
+    b = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra:
+        for k, v in extra.items():
+            b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,209 @@
+"""Single-threaded pure-Python crawl-order oracle (SURVEY §5.2.1).
+
+The executable spec standing in for the absent C++ reference (the
+checkout at /root/reference is EMPTY — SURVEY §0): implements the PINNED
+Spiderdb-derived semantics of SURVEY §3.1 exactly, and the Spark engine
+(gigaspark.operators.frontier) must reproduce its emitted crawl order and
+URL-seen set bit-for-bit.  Shares the canonicalizer / hashes / filter
+and robots backends with the engine so both sides evaluate identical
+rules; what THIS file independently defines is the scheduling semantics:
+
+  round semantics (virtual clock T, start 0):
+    1. pending = frontier URLs not yet fetched; host next_ok defaults 0
+    2. winners: per host with next_ok ≤ T, top-``k_host`` pending URLs by
+       (priority desc, added_ms asc, hopcount asc, urlhash48 asc), where
+       k_host = max_spiders_per_ip of that host's top-ranked URL
+       (Gigablast maxSpidersPerIp analogue: slots chosen before this
+       round's discoveries become visible)
+    3. slot times: slot 0 at T; slot i at slot_{i-1} + fetch_ms +
+       max(same_ip_wait(slot_{i-1}), crawl_delay(host));
+       next_ok = last_slot + fetch_ms + max(wait_last, crawl_delay)
+    4. emission order within a round: (scheduled_time_ms asc, priority
+       desc, added_ms asc, urlhash48 asc); rounds concatenate
+    5. outlinks of ALL fetched URLs (harvest_links rules only) enqueue at
+       round end with added_ms = own slot time + fetch_ms, hop+1
+    6. enqueue: canonicalize → batch-dedup on (firstip, urlhash48)
+       keeping (min hop, min added, min url, any is_seed) → url_filters
+       first-match (drop priority<0 / force_delete) → robots longest-
+       match (drop disallowed) → drop keys already accepted (seen set);
+       dropped URLs do NOT enter seen (re-discovery re-evaluates);
+       first-accepted-wins (no cross-round hopcount coalescing — pinned
+       deviation from Gigablast's re-add min [M], SURVEY §7.4.6)
+    7. clock: T ← max(T, min over pending hosts of next_ok)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+
+from gigaspark.functions.urls import (
+    canonicalize_url, py_firstip, py_host, py_path, py_urlhash48,
+)
+from gigaspark.operators.robots import RobotsOracle
+from gigaspark.operators.url_filters import Rule, eval_rules_py, rules_from_rows
+
+FETCH_MS = 100
+
+
+@dataclass
+class Req:
+    url: str
+    host: str
+    path: str
+    firstip: int
+    urlhash48: int
+    hopcount: int
+    added_ms: int
+    is_seed: bool
+    priority: int = 0
+    same_ip_wait_ms: int = 0
+    harvest_links: bool = True
+    max_spiders_per_ip: int = 1
+    ufn: int = -1
+
+
+@dataclass
+class Emit:
+    seq: int
+    urlhash48: int
+    url: str
+    firstip: int
+    priority: int
+    scheduled_time_ms: int
+    hopcount: int
+    rnd: int
+
+
+@dataclass
+class SimResult:
+    emitted: list[Emit]
+    seen: dict[tuple[int, int], tuple[int, int]]  # key → (min_hopcount, round_enqueued)
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _load(fix_dir: str, name: str) -> list[dict]:
+    return pq.read_table(os.path.join(fix_dir, f"{name}.parquet")).to_pylist()
+
+
+class OracleSim:
+    def __init__(self, fix_dir: str, fetch_ms: int = FETCH_MS):
+        self.fetch_ms = fetch_ms
+        self.seeds = _load(fix_dir, "seeds")
+        self.link_graph = {r["src_url"]: r["dst_urls"] for r in _load(fix_dir, "link_graph")}
+        self.robots = RobotsOracle(_load(fix_dir, "robots"))
+        self.rules: list[Rule] = rules_from_rows(_load(fix_dir, "url_filters"))
+        self.frontier: dict[tuple[int, int], Req] = {}
+        self.seen: dict[tuple[int, int], tuple[int, int]] = {}
+        self.next_ok: dict[int, int] = {}
+        self.T = 0
+        self.rnd = 0
+        self.emitted: list[Emit] = []
+        self.metrics: list[dict] = []
+
+    # ---- enqueue (step 6) --------------------------------------------------
+    def enqueue(self, raw: list[tuple[str, int, int, bool]]) -> dict:
+        """raw: (raw_url, hopcount, added_ms, is_seed)."""
+        batch: dict[tuple[int, int], Req] = {}
+        for raw_url, hop, added, is_seed in raw:
+            url = canonicalize_url(raw_url)
+            host = py_host(url)
+            req = Req(url=url, host=host, path=py_path(url),
+                      firstip=py_firstip(host), urlhash48=py_urlhash48(url),
+                      hopcount=hop, added_ms=added, is_seed=is_seed)
+            key = (req.firstip, req.urlhash48)
+            old = batch.get(key)
+            if old is None:
+                batch[key] = req
+            else:
+                old.hopcount = min(old.hopcount, req.hopcount)
+                old.added_ms = min(old.added_ms, req.added_ms)
+                old.url = min(old.url, req.url)
+                old.is_seed = old.is_seed or req.is_seed
+                old.host = py_host(old.url)
+                old.path = py_path(old.url)
+        m = {"candidates": len(raw), "deduped": len(batch), "filtered": 0,
+             "tombstoned": 0, "robots_denied": 0, "dup_seen": 0, "accepted": 0}
+        for key, req in batch.items():
+            a = eval_rules_py(self.rules, {
+                "url": req.url, "host": req.host, "path": req.path,
+                "hopcount": req.hopcount, "errorcount": 0, "is_seed": req.is_seed,
+            })
+            if a["force_delete"]:
+                m["tombstoned"] += 1
+                continue
+            if a["priority"] < 0:
+                m["filtered"] += 1
+                continue
+            if not self.robots.allowed(req.host, req.path):
+                m["robots_denied"] += 1
+                continue
+            if key in self.seen:
+                m["dup_seen"] += 1
+                continue
+            req.priority = a["priority"]
+            req.same_ip_wait_ms = a["same_ip_wait_ms"]
+            req.harvest_links = a["harvest_links"]
+            req.max_spiders_per_ip = a["max_spiders_per_ip"]
+            req.ufn = a["ufn"]
+            self.frontier[key] = req
+            self.seen[key] = (req.hopcount, self.rnd)
+            m["accepted"] += 1
+        return m
+
+    def seed(self) -> dict:
+        return self.enqueue(
+            [(r["url"], 0, int(r["added_time_ms"]), True) for r in self.seeds]
+        )
+
+    # ---- one round (steps 1–5, 7) -------------------------------------------
+    def run_round(self) -> int:
+        by_ip: dict[int, list[Req]] = {}
+        for req in self.frontier.values():
+            by_ip.setdefault(req.firstip, []).append(req)
+        if not by_ip:
+            return 0
+        order_key = lambda r: (-r.priority, r.added_ms, r.hopcount, r.urlhash48)
+        sched: list[tuple[int, Req]] = []  # (slot_time, req)
+        for ip, reqs in by_ip.items():
+            if self.next_ok.get(ip, 0) > self.T:
+                continue
+            reqs.sort(key=order_key)
+            k = max(1, reqs[0].max_spiders_per_ip)
+            t = self.T
+            for slot, req in enumerate(reqs[:k]):
+                sched.append((t, req))
+                # crawl_delay of the fetched URL's OWN host (hosts sharing a
+                # firstip share the politeness clock, like Gigablast)
+                cd = self.robots.crawl_delay_ms(req.host)
+                t += self.fetch_ms + max(req.same_ip_wait_ms, cd)
+            self.next_ok[ip] = t  # last slot + fetch + wait
+        sched.sort(key=lambda s: (s[0], -s[1].priority, s[1].added_ms, s[1].urlhash48))
+        outlinks: list[tuple[str, int, int, bool]] = []
+        for t, req in sched:
+            self.emitted.append(Emit(
+                seq=len(self.emitted), urlhash48=req.urlhash48, url=req.url,
+                firstip=req.firstip, priority=req.priority,
+                scheduled_time_ms=t, hopcount=req.hopcount, rnd=self.rnd,
+            ))
+            del self.frontier[(req.firstip, req.urlhash48)]
+            if req.harvest_links:
+                for dst in self.link_graph.get(req.url, ()):
+                    outlinks.append((dst, req.hopcount + 1, t + self.fetch_ms, False))
+        m = {"round": self.rnd, "clock_ms": self.T, "emitted": len(sched)}
+        if outlinks:
+            m.update(self.enqueue(outlinks))
+        self.metrics.append(m)
+        self.rnd += 1
+        if self.frontier:
+            self.T = max(self.T, min(self.next_ok.get(r.firstip, 0)
+                                     for r in self.frontier.values()))
+        return len(sched)
+
+    def run(self, max_rounds: int = 10**9) -> SimResult:
+        self.seed()
+        while self.frontier and self.rnd < max_rounds:
+            self.run_round()
+        return SimResult(self.emitted, self.seen, self.metrics)
