@@ -1,38 +1,1022 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``      — flagship crawl-frontier drain over sf0.001.
+``queries()``         — one entry per implemented operator (SURVEY §2 +
+                        the training-data ops mandate), each a callable
+                        (spark, sf_dir) → DataFrame.
+``oracle_sql()``      — DuckDB-equivalent ANSI SQL per query.  Entries
+                        missing here are non-SQL-expressible (crawl loop,
+                        bloom internals, multimodal decode) → the driver
+                        records the weaker rows-only check.
+
+Cross-engine value-hash contract (driver compares Spark vs DuckDB):
+  * money sums go through decimal(18,2) (exact) and only then to double;
+  * embedding math is integer-quantized (round(x*1000) → int64 dot
+    products), one final IEEE divide/sqrt rounded to 4 decimals;
+  * all text hashing is md5 (identical hex in both engines);
+  * every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =========================================================================== #
+# entry — flagship: the crawl-frontier scheduler over sf0.001-derived seeds    #
+# =========================================================================== #
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Seed a frontier from sf0.001 orders (one URL per order, hosts from
+    custkeys), run the full politeness-ordered drain for a few virtual-
+    clock rounds, and return the emitted schedule (SURVEY §3.1)."""
+    from gigaspark.operators.frontier import CrawlConfig, CrawlScheduler
 
+    sf_dir = "/root/testdata/sf0.001"
+    orders = _t(spark, sf_dir, "orders")
+    seeds = orders.select(
+        F.concat(F.lit("http://host"), (F.col("o_custkey") % 97).cast("string"),
+                 F.lit(".example/p/"), F.col("o_orderkey").cast("string")).alias("url"),
+        (F.col("o_orderkey") % 1000).alias("added_time_ms"),
+        F.lit(True).alias("is_seed"),
+    )
+    fixtures = {
+        "url_filters": spark.createDataFrame(
+            [(0, "ismedia", -3, 30.0, 1, 0, False, False),
+             (1, "isseed", 80, 30.0, 2, 100, False, False),
+             (2, "default", 50, 30.0, 1, 100, False, False)],
+            "rule_idx int, expression string, priority int, spider_freq_days double,"
+            " max_spiders_per_ip int, same_ip_wait_ms long, harvest_links boolean,"
+            " force_delete boolean"),
+        "robots": spark.createDataFrame(
+            [(f"host{h}.example", "*", "disallow", "/private", 0) for h in range(97)],
+            "host string, user_agent string, rule_type string, path_prefix string,"
+            " crawl_delay_ms long"),
+        "link_graph": spark.createDataFrame(
+            [], "src_url string, dst_urls array<string>"),
+    }
+    sched = CrawlScheduler(spark, fixtures, CrawlConfig(use_bloom=True))
+    sched.seed(seeds)
+    for _ in range(3):
+        if sched.run_round() == 0:
+            break
+    return sched.emitted_df()
+
+
+# =========================================================================== #
+# helpers shared by query/sql pairs                                           #
+# =========================================================================== #
+
+_F1_RULES_SPARK = None  # built lazily inside f1 query
+
+_F1_CASE_SQL = """
+    CASE WHEN o_totalprice < 0 THEN -3
+         WHEN o_orderpriority = '1-URGENT' AND o_totalprice >= 150000 THEN 90
+         WHEN o_orderpriority = '1-URGENT' THEN 80
+         WHEN o_orderpriority = '2-HIGH' THEN 70
+         WHEN o_orderstatus = 'F' THEN 40
+         ELSE 50 END
+"""
+
+
+def _f1_priority_col() -> F.Column:
+    return (
+        F.when(F.col("o_totalprice") < 0, -3)
+        .when((F.col("o_orderpriority") == "1-URGENT")
+              & (F.col("o_totalprice") >= 150000), 90)
+        .when(F.col("o_orderpriority") == "1-URGENT", 80)
+        .when(F.col("o_orderpriority") == "2-HIGH", 70)
+        .when(F.col("o_orderstatus") == "F", 40)
+        .otherwise(50)
+    )
+
+
+# =========================================================================== #
+# SURVEY §2 operator parity queries (TPC-H-ish tables)                        #
+# =========================================================================== #
+
+def q_a1_best_per_group(spark, sf_dir):
+    """A1 — the frontier winner window: per custkey pick the single best
+    order by (priority desc, orderdate asc, orderkey asc); the exact
+    shape of the Doledb drain (`Spider.cpp::populateDoledbFromWaitingTree`
+    [U][H])."""
+    o = _t(spark, sf_dir, "orders").withColumn("priority", _f1_priority_col())
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("priority").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        .select(F.col("o_custkey").alias("custkey"),
+                F.col("o_orderkey").alias("winner_orderkey"),
+                F.col("priority"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+    )
+
+
+SQL_A1 = f"""
+SELECT o_custkey AS custkey, o_orderkey AS winner_orderkey, priority,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM (
+  SELECT *, {_F1_CASE_SQL} AS priority,
+         row_number() OVER (PARTITION BY o_custkey
+             ORDER BY {_F1_CASE_SQL} DESC, o_orderdate ASC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn = 1
+"""
+
+
+def q_a2_host_next_ok(spark, sf_dir):
+    """A2 — per-host next-allowed-time aggregate: max(last end + wait)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg((F.max(F.unix_timestamp("ts")) + F.lit(30)).alias("next_ok_s"),
+             F.count("*").alias("n_events"))
+        .select(F.col("user_id").alias("host_id"), "next_ok_s", "n_events")
+    )
+
+
+SQL_A2 = """
+SELECT user_id AS host_id, max(floor(epoch(ts)))::BIGINT + 30 AS next_ok_s,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q_a3_crawl_counters(spark, sf_dir):
+    """A3 — crawl-stats counters: conditional counts per bucket
+    (Statsdb/PageCrawlBot counters [U][M])."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_total"),
+             F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+             F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).alias("n_big"))
+        .select(F.col("o_orderpriority").alias("bucket"), "n_total", "n_finished", "n_big")
+    )
+
+
+SQL_A3 = """
+SELECT o_orderpriority AS bucket, count(*) AS n_total,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+       sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_a4_min_hopcount(spark, sf_dir):
+    """A4 — min-hopcount coalescing on re-add: groupBy min."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.min("l_linenumber").alias("min_line"),
+             F.max("l_linenumber").alias("max_line"),
+             F.count("*").alias("n_lines"))
+        .select(F.col("l_orderkey").alias("orderkey"), "min_line", "max_line", "n_lines")
+    )
+
+
+SQL_A4 = """
+SELECT l_orderkey AS orderkey, min(l_linenumber) AS min_line,
+       max(l_linenumber) AS max_line, count(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_a6_site_quota(spark, sf_dir):
+    """A6 — per-site page quota: exact distinct counts per group."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_sites"),
+             F.count("*").alias("n_pages"))
+        .select(F.col("o_orderstatus").alias("status"), "n_sites", "n_pages")
+    )
+
+
+SQL_A6 = """
+SELECT o_orderstatus AS status, count(DISTINCT o_custkey) AS n_sites,
+       count(*) AS n_pages
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_a7_two_level_topk(spark, sf_dir):
+    """A7 — Msg39/Msg3a partial-then-final pattern: revenue per customer
+    (partial agg map-side), then global top-10 (TakeOrderedAndProject)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rev = (
+        li.withColumn("rev", (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,2)"))
+        .join(o.select("o_orderkey", "o_custkey"),
+              li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("revd"))
+    )
+    return (
+        rev.orderBy(F.col("revd").desc(), F.col("o_custkey").asc()).limit(10)
+        .select(F.col("o_custkey").alias("custkey"),
+                F.col("revd").cast("double").alias("revenue"))
+    )
+
+
+SQL_A7 = """
+SELECT o_custkey AS custkey, CAST(revd AS DOUBLE) AS revenue FROM (
+  SELECT o_custkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS revd
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey)
+ORDER BY revd DESC, custkey ASC LIMIT 10
+"""
+
+
+def q_j1_latest_reply(spark, sf_dir):
+    """J1 — SpiderRequest ⋈ latest SpiderReply: join each user's events to
+    that user's LATEST event (window row_number = 1, newest wins)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = (
+        e.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("last_type"),
+                F.col("event_id").alias("last_event_id"))
+    )
+    counts = e.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    return counts.join(latest, "user_id").select(
+        "user_id", "n_events", "last_type", "last_event_id")
+
+
+SQL_J1 = """
+SELECT c.user_id, n_events, last_type, last_event_id
+FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) c
+JOIN (
+  SELECT user_id, event_type AS last_type, event_id AS last_event_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1) l
+ON c.user_id = l.user_id
+"""
+
+
+def q_j2_dim_broadcast(spark, sf_dir):
+    """J2 — url→firstIp dimension lookup: broadcast join chain
+    customer→nation→region (MsgC/Tagdb firstip cache [U][H])."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+             .cast("double").alias("sum_acctbal"))
+        .select(F.col("r_name").alias("region"), "n_customers", "sum_acctbal")
+    )
+
+
+SQL_J2 = """
+SELECT r_name AS region, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_j5_seen_anti_join(spark, sf_dir):
+    """J5 — the URL-seen anti-join: customers that never placed an order
+    (left_anti ≡ NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select(F.col("c_custkey").alias("custkey"),
+                F.col("c_mktsegment").alias("segment"))
+    )
+
+
+SQL_J5 = """
+SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_f1_filter_chain(spark, sf_dir):
+    """F1 — the url-filter rule engine compiled to a when-chain: first
+    matching rule assigns priority (getUrlFilterNum [U][H]); F2 — drop
+    negative priorities."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("priority", _f1_priority_col())
+        .where(F.col("priority") >= 0)
+        .groupBy("priority")
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
+SQL_F1 = f"""
+SELECT priority, count(*) AS n_urls FROM (
+  SELECT {_F1_CASE_SQL} AS priority FROM orders)
+WHERE priority >= 0 GROUP BY priority
+"""
+
+
+def q_f2_pushdown_scan(spark, sf_dir):
+    """F2/S1 — predicate+projection pushdown to the parquet scan (the
+    RdbMap key-range-pruning analogue [U][H]): filter + 3-column project."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") >= "1995-01-01") & (F.col("l_quantity") >= 45))
+        .select(F.col("l_orderkey").alias("orderkey"),
+                F.col("l_partkey").alias("partkey"),
+                F.col("l_quantity").cast("double").alias("qty"))
+    )
+
+
+SQL_F2 = """
+SELECT l_orderkey AS orderkey, l_partkey AS partkey,
+       CAST(l_quantity AS DOUBLE) AS qty
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity >= 45
+"""
+
+
+def q_t1_topk(spark, sf_dir):
+    """T1 — TopTree bounded top-k: orderBy+limit → TakeOrderedAndProject."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(20)
+        .select(F.col("o_orderkey").alias("orderkey"),
+                F.col("o_totalprice").cast("double").alias("totalprice"))
+    )
+
+
+SQL_T1 = """
+SELECT o_orderkey AS orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+def q_t3_tombstone_dedup(spark, sf_dir):
+    """T3 — tombstone annihilation / newest-key-wins merge: keep only the
+    latest event per (user_id, event_type) (RdbList::merge_r [U][H])."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("latest_event_id"),
+                F.round(F.col("value"), 4).alias("latest_value"))
+    )
+
+
+SQL_T3 = """
+SELECT user_id, event_type, event_id AS latest_event_id,
+       round(value, 4) AS latest_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1
+"""
+
+
+def q_t4_boolean_ops(spark, sf_dir):
+    """T4 — posting-list boolean ops (AND=intersect via semi-join,
+    NOT=except via anti-join) on docid-like user sets."""
+    e = _t(spark, sf_dir, "events")
+    typed = lambda t: e.where(F.col("event_type") == t).select("user_id").distinct()
+    first = e.groupBy("user_id").agg(F.min("event_type").alias("t")).select("user_id")
+    types = [r["event_type"] for r in
+             e.select("event_type").distinct().orderBy("event_type").limit(2).collect()]
+    ta, tb = types[0], types[1] if len(types) > 1 else types[0]
+    both = typed(ta).join(typed(tb), "user_id", "semi")
+    return both.select("user_id").orderBy("user_id")
+
+
+def _sql_t4(sf_dir):  # needs the same two event types — computed in SQL itself
+    return """
+WITH t AS (SELECT event_type FROM (SELECT DISTINCT event_type FROM events
+           ORDER BY event_type LIMIT 2)),
+ta AS (SELECT DISTINCT user_id FROM events
+       WHERE event_type = (SELECT min(event_type) FROM t)),
+tb AS (SELECT DISTINCT user_id FROM events
+       WHERE event_type = (SELECT max(event_type) FROM t))
+SELECT user_id FROM ta INTERSECT SELECT user_id FROM tb ORDER BY user_id
+"""
+
+
+def q_t5_pagination(spark, sf_dir):
+    """T5 — serp pagination: offset+limit via a rank window slice."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("pos", F.row_number().over(w))
+        .where((F.col("pos") > 50) & (F.col("pos") <= 100))
+        .select("pos", F.col("o_orderkey").alias("orderkey"),
+                F.col("o_totalprice").cast("double").alias("totalprice"))
+    )
+
+
+SQL_T5 = """
+SELECT pos, o_orderkey AS orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+FROM (SELECT *, row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+      AS pos FROM orders)
+WHERE pos > 50 AND pos <= 100
+"""
+
+
+def q_w2_site_cluster(spark, sf_dir):
+    """W2 — result site-clustering: at most 2 results per site
+    (Msg51/Msg40 [U][M])."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+        .select(F.col("o_custkey").alias("site"), F.col("rn").alias("slot"),
+                F.col("o_orderkey").alias("orderkey"))
+    )
+
+
+SQL_W2 = """
+SELECT o_custkey AS site, rn AS slot, o_orderkey AS orderkey
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+WHERE rn <= 2
+"""
+
+
+def q_w4_change_rate(spark, sf_dir):
+    """W4 — adaptive respider interval: percentChangedPerDay analogue via
+    lag() deltas over each url's reply history."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    d = (
+        e.withColumn("prev", F.lag("value").over(w))
+        .where(F.col("prev").isNotNull())
+        .withColumn("delta", F.round(F.abs(F.col("value") - F.col("prev")), 4))
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(F.count("*").alias("n_deltas"),
+             F.round(F.sum("delta"), 2).alias("sum_abs_delta"))
+    )
+
+
+SQL_W4 = """
+SELECT user_id, count(*) AS n_deltas, round(sum(delta), 2) AS sum_abs_delta
+FROM (SELECT user_id, round(abs(value - prev), 4) AS delta FROM (
+    SELECT user_id, value, lag(value) OVER (PARTITION BY user_id
+        ORDER BY ts ASC, event_id ASC) AS prev FROM events))
+WHERE delta IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_st_sessionize(spark, sf_dir):
+    """ST5 — sessionization (gaps-and-islands): a new session starts after
+    a >30-minute silence; count events per (user, session)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    s = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("new_sess",
+                    F.when(F.col("prev_ts").isNull()
+                           | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                              > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "session_id", "n_events")
+    )
+
+
+SQL_ST = """
+SELECT user_id, session_id, count(*) AS n_events FROM (
+  SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id
+      ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (SELECT *, CASE WHEN prev_ts IS NULL
+          OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC) AS prev_ts FROM events)))
+GROUP BY user_id, session_id
+"""
+
+
+# =========================================================================== #
+# crawl-specific: canonicalization + URL-seen over constructed URLs           #
+# =========================================================================== #
+
+def q_c1_canonicalize(spark, sf_dir):
+    """C1 — URL canonicalizer parity on nasty constructed URLs (uppercase
+    scheme/host, :80, //, dot-segments, fragments, session-ids).  The
+    oracle states the expected canonical form directly — an independent
+    derivation (Url.cpp::set parity [U][H])."""
+    from gigaspark.functions.urls import canonicalize_udf
+
+    o = _t(spark, sf_dir, "orders").limit(2000)
+    raw = o.select(
+        "o_orderkey",
+        F.concat(F.lit("HTTP://HOST"), (F.col("o_custkey") % 97).cast("string"),
+                 F.lit(".EXAMPLE:80//a//..//p//"), F.col("o_orderkey").cast("string"),
+                 F.lit("?PHPSESSID=zz&x=1#frag")).alias("raw_url"),
+    )
+    return raw.select(
+        F.col("o_orderkey").alias("orderkey"),
+        canonicalize_udf(F.col("raw_url")).alias("canon_url"),
+    )
+
+
+SQL_C1 = """
+SELECT o_orderkey AS orderkey,
+       'http://host' || (o_custkey % 97)::VARCHAR ||
+       '.example/p/' || o_orderkey::VARCHAR || '?x=1' AS canon_url
+FROM (SELECT * FROM orders LIMIT 2000)
+"""
+
+
+def q_urlseen_filter(spark, sf_dir):
+    """§2.7/F5/J5 — the bloom+exact URL-seen filter end-to-end: candidates
+    are URLs built from all orderkeys; the seen set is every orderkey
+    divisible by 3; the survivors must be exactly the non-multiples.
+    Exercises segment build, probe, and the exact anti-join backstop."""
+    from gigaspark.functions.urls import with_url_columns
+    from gigaspark.operators.urlseen import BloomParams, build_segments, filter_new
+
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(F.lit("http://h"), (F.col("o_orderkey") % 997).cast("string"),
+                   F.lit(".example/p/"), F.col("o_orderkey").cast("string"))
+    cands = with_url_columns(o.select(url.alias("url"), "o_orderkey"))
+    seen = cands.where(F.col("o_orderkey") % 3 == 0)
+    p = BloomParams(n_segments=8, m_bits=1 << 16)
+    segs = build_segments(seen.select("urlhash48"), p)
+    new = filter_new(cands, seen.select("firstip", "urlhash48"), segs, p)
+    return new.select(F.col("o_orderkey").alias("orderkey"), "url")
+
+
+SQL_URLSEEN = """
+SELECT o_orderkey AS orderkey,
+       'http://h' || (o_orderkey % 997)::VARCHAR || '.example/p/' ||
+       o_orderkey::VARCHAR AS url
+FROM orders WHERE o_orderkey % 3 <> 0
+"""
+
+
+# =========================================================================== #
+# training-data ops: dedup / similarity / text (documents, embeddings)        #
+# =========================================================================== #
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup — content md5 groupBy keeping min doc_id."""
+    from gigaspark.operators.dedup import exact_dups
+
+    return exact_dups(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+# word-3-gram shingle hashes CTE (DuckDB): mirrors dedup.doc_shingles
+_SH_CTE = """
+toks AS (
+  SELECT doc_id, regexp_split_to_array(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM toks WHERE len(w) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8))::BIGINT AS sh
+  FROM idx)"""
+
+
+def _minhash_sql(n_perm: int) -> str:
+    from gigaspark.operators.dedup import MERSENNE_P, perm_coeffs
+
+    coeffs = perm_coeffs(n_perm)
+    rows = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(coeffs))
+    return f"""
+WITH {_SH_CTE},
+perms(i, a, b) AS (VALUES {rows})
+SELECT sh.doc_id, perms.i, min((perms.a * sh.sh + perms.b) % {MERSENNE_P}) AS sig
+FROM sh CROSS JOIN perms GROUP BY sh.doc_id, perms.i
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (Broder) — 8 permutations over word-3-gram
+    shingles; integer arithmetic matches the SQL oracle exactly."""
+    from gigaspark.operators.dedup import doc_shingles, minhash_signatures
+
+    sh = doc_shingles(_t(spark, sf_dir, "documents"), k=3)
+    return minhash_signatures(sh, n_perm=8)
+
+
+def q_lsh_jaccard_pairs(spark, sf_dir):
+    """MinHash-LSH banding → candidate pairs → exact n-gram Jaccard ≥ 0.5
+    verification (the full near-dup pipeline)."""
+    from gigaspark.operators.dedup import (
+        doc_shingles, lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, k=3)
+    sigs = minhash_signatures(sh, n_perm=8)
+    pairs = lsh_candidate_pairs(sigs, n_bands=4)
+    return ngram_jaccard_pairs(sh, pairs, threshold=0.5)
+
+
+def _lsh_pairs_sql(n_perm: int = 8, n_bands: int = 4, threshold: float = 0.5) -> str:
+    return f"""
+WITH sigs AS ({_minhash_sql(n_perm)}),
+banded AS (
+  SELECT doc_id, i % {n_bands} AS band,
+         md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS band_key
+  FROM sigs GROUP BY doc_id, i % {n_bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+{_SH_CTE.lstrip()},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS n_inter
+  FROM cand c JOIN sh x ON x.doc_id = c.a_id JOIN sh y
+    ON y.doc_id = c.b_id AND y.sh = x.sh
+  GROUP BY c.a_id, c.b_id)
+SELECT i.a_id, i.b_id,
+       round(n_inter / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
+JOIN sizes sb ON sb.doc_id = i.b_id
+WHERE round(n_inter / (sa.n + sb.n - n_inter), 4) >= {threshold}
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash-32 per document — majority vote over md5 token-hash bits."""
+    from gigaspark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+SQL_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+  FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+      FROM toks WHERE t <> ''),
+votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h CROSS JOIN generate_series(0, 31) AS g(j) GROUP BY doc_id, j)
+SELECT doc_id,
+       sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """ANN baseline — brute-force exact cosine top-5 for every 25th
+    vector; integer-quantized dot products (oracle-exact floats)."""
+    from gigaspark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return cosine_topk(emb, queries, k=5)
+
+
+SQL_ANN = """
+WITH qv AS (
+  SELECT vec_id AS q_id,
+         list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+  FROM embeddings WHERE vec_id % 25 = 0),
+cv AS (
+  SELECT vec_id AS n_id,
+         list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+  FROM embeddings),
+scored AS (
+  SELECT q_id, n_id,
+    round(list_sum(list_transform(list_zip(qv.v, cv.v), p -> p[1] * p[2]))
+      / sqrt(list_sum(list_transform(qv.v, x -> x * x))::DOUBLE
+           * list_sum(list_transform(cv.v, x -> x * x))::DOUBLE), 4) AS cos
+  FROM qv CROSS JOIN cv WHERE q_id <> n_id)
+SELECT q_id, n_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """ANN scale path — random-hyperplane LSH bucketing, cosine within
+    matching signature buckets only (approximate by design; the oracle
+    reproduces the identical bucketing)."""
+    from gigaspark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return lsh_topk(emb, queries, k=5, n_planes=8, dim=64)
+
+
+def _ann_lsh_sql(n_planes: int = 8, dim: int = 64) -> str:
+    from gigaspark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(n_planes, dim)
+    plane_rows = ", ".join(
+        f"({p}, [{', '.join(str(x) for x in w)}]::BIGINT[])"
+        for p, w in enumerate(planes))
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+  FROM embeddings),
+planes(p, w) AS (VALUES {plane_rows}),
+sigs AS (
+  SELECT vec_id, sum(CASE WHEN
+      list_sum(list_transform(list_zip(v, w), z -> z[1] * z[2])) > 0
+      THEN (1::BIGINT << p) ELSE 0 END) AS sig
+  FROM vecs CROSS JOIN planes GROUP BY vec_id),
+qv AS (SELECT v.vec_id AS q_id, v.v, s.sig FROM vecs v JOIN sigs s USING (vec_id)
+       WHERE v.vec_id % 25 = 0),
+cv AS (SELECT v.vec_id AS n_id, v.v, s.sig FROM vecs v JOIN sigs s USING (vec_id)),
+scored AS (
+  SELECT q_id, n_id,
+    round(list_sum(list_transform(list_zip(qv.v, cv.v), z -> z[1] * z[2]))
+      / sqrt(list_sum(list_transform(qv.v, x -> x * x))::DOUBLE
+           * list_sum(list_transform(cv.v, x -> x * x))::DOUBLE), 4) AS cos
+  FROM qv JOIN cv ON qv.sig = cv.sig AND q_id <> n_id)
+SELECT q_id, n_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring — token counts, stopword/punct ratios, composite
+    score; pure Column exprs (no UDF), SQL-portable arithmetic."""
+    from gigaspark.functions.text import (
+        punct_ratio, quality_score, stopword_ratio, token_count)
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        stopword_ratio(c).alias("stop_ratio"),
+        punct_ratio(c).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+    )
+
+
+def _sql_text_quality() -> str:
+    from gigaspark.functions.text import STOPWORDS
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    toks = f"CASE WHEN {norm} = '' THEN 0 ELSE len(regexp_split_to_array({norm}, ' ')) END"
+    padded = f"' ' || {norm} || ' '"
+    hits = " + ".join(
+        f"((length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2})"
+        for w in STOPWORDS)
+    punct = (f"(length({norm}) - length(regexp_replace({norm}, "
+             f"'[^A-Za-z0-9\\s]', '', 'g')))")
+    stop_ratio = f"round(({hits})::BIGINT / greatest({toks}, 1), 4)"
+    punct_ratio = f"round({punct} / greatest(length({norm}), 1), 4)"
+    mean_len = f"(length({norm}) / greatest({toks}, 1))"
+    quality = (
+        f"round((CASE WHEN {toks} >= 10 THEN 0.25 ELSE 0 END)"
+        f" + (CASE WHEN {mean_len} >= 3 AND {mean_len} <= 12 THEN 0.25 ELSE 0 END)"
+        f" + (CASE WHEN {stop_ratio} >= 0.05 THEN 0.25 ELSE 0 END)"
+        f" + (CASE WHEN {punct_ratio} <= 0.2 THEN 0.25 ELSE 0 END), 2)")
+    return f"""
+SELECT doc_id, ({toks})::BIGINT AS n_tokens, {stop_ratio} AS stop_ratio,
+       {punct_ratio} AS punct_ratio, ({quality})::DOUBLE AS quality
+FROM documents
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    """Language ID — marker-word argmax heuristic (Lang.cpp analogue
+    [U][M]); deterministic tie-break, portable length/replace counting."""
+    from gigaspark.functions.text import langid
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", langid(F.col("text")).alias("lang_pred"))
+
+
+def _sql_langid() -> str:
+    from gigaspark.functions.text import LANG_MARKERS
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    padded = f"' ' || {norm} || ' '"
+
+    def score(words):
+        return "(" + " + ".join(
+            f"((length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2})"
+            for w in words) + ")::BIGINT"
+
+    scores = {lang: score(ws) for lang, ws in LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    chain = f"CASE WHEN {best} = 0 THEN 'und' "
+    for lang in LANG_MARKERS:
+        chain += f"WHEN {scores[lang]} = {best} THEN '{lang}' "
+    chain += "ELSE 'und' END"
+    return f"SELECT doc_id, {chain} AS lang_pred FROM documents"
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting — whitespace tokens + BPE-ish subword upper bound."""
+    from gigaspark.functions.text import bpe_ish_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select("doc_id", token_count(c).alias("ws_tokens"),
+                    bpe_ish_token_count(c).alias("bpe_tokens"))
+
+
+SQL_TOKENS = """
+WITH n AS (SELECT doc_id,
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents)
+SELECT doc_id,
+  (CASE WHEN t = '' THEN 0 ELSE len(regexp_split_to_array(t, ' ')) END)::BIGINT
+    AS ws_tokens,
+  (CASE WHEN t = '' THEN 0 ELSE length(replace(regexp_replace(t,
+      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 'x', 'g'), ' ', '')) END)::BIGINT
+    AS bpe_tokens
+FROM n
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting — whole-doc md5 + min/max shingle hash
+    (winnowing bounds) + shingle count."""
+    from gigaspark.functions.text import content_fingerprint
+    from gigaspark.operators.dedup import doc_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, k=3)
+    bounds = sh.groupBy("doc_id").agg(
+        F.min("sh").alias("min_sh"), F.max("sh").alias("max_sh"),
+        F.count("*").alias("n_shingles"))
+    return (
+        docs.select("doc_id", content_fingerprint(F.col("text")).alias("fp"))
+        .join(bounds, "doc_id", "left")
+        .select("doc_id", "fp",
+                F.coalesce("min_sh", F.lit(-1)).alias("min_sh"),
+                F.coalesce("max_sh", F.lit(-1)).alias("max_sh"),
+                F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"))
+    )
+
+
+SQL_FINGERPRINT = f"""
+WITH {_SH_CTE},
+b AS (SELECT doc_id, min(sh) AS min_sh, max(sh) AS max_sh,
+             count(*) AS n_shingles FROM sh GROUP BY doc_id)
+SELECT d.doc_id,
+       md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp,
+       coalesce(b.min_sh, -1) AS min_sh, coalesce(b.max_sh, -1) AS max_sh,
+       coalesce(b.n_shingles, 0) AS n_shingles
+FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id
+"""
+
+
+# =========================================================================== #
+# multimodal plumbing (no SQL oracle — binary decode is not SQL-expressible)  #
+# =========================================================================== #
+
+def q_multimodal_features(spark, sf_dir):
+    """Image feature extraction over a deterministically synthesized
+    binary-column table (ppm/png/qnt codecs) via one mapInPandas pass;
+    rows-only driver check (decode is not SQL-expressible)."""
+    import numpy as np
+
+    from gigaspark.functions.images import FORMATS, encode_image
+    from gigaspark.operators.multimodal import extract_features
+
+    rows = []
+    for i in range(120):
+        rng = np.random.default_rng(1000 + i)
+        pix = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        fmt = FORMATS[i % len(FORMATS)]
+        rows.append((f"img{i:04d}", bytearray(encode_image(fmt, pix)), fmt))
+    images = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return extract_features(images).orderBy("image_id")
+
+
+def q_crawl_round(spark, sf_dir):
+    """One full frontier round (seed → filters → robots → politeness
+    winner window → slot times) over URLs derived from sf orders; the
+    crawl loop itself is validated against the pure-Python oracle in
+    tests/test_frontier.py (rows-only check here)."""
+    from gigaspark.operators.frontier import CrawlConfig, CrawlScheduler
+
+    orders = _t(spark, sf_dir, "orders").limit(3000)
+    seeds = orders.select(
+        F.concat(F.lit("http://host"), (F.col("o_custkey") % 211).cast("string"),
+                 F.lit(".example/p/"), F.col("o_orderkey").cast("string")).alias("url"),
+        (F.col("o_orderkey") % 1000).alias("added_time_ms"),
+        F.lit(True).alias("is_seed"))
+    fixtures = {
+        "url_filters": spark.createDataFrame(
+            [(0, "isseed", 80, 30.0, 2, 100, False, False),
+             (1, "default", 50, 30.0, 1, 100, False, False)],
+            "rule_idx int, expression string, priority int, spider_freq_days double,"
+            " max_spiders_per_ip int, same_ip_wait_ms long, harvest_links boolean,"
+            " force_delete boolean"),
+        "robots": spark.createDataFrame(
+            [("host1.example", "*", "disallow", "/private", 500)],
+            "host string, user_agent string, rule_type string, path_prefix string,"
+            " crawl_delay_ms long"),
+        "link_graph": spark.createDataFrame([], "src_url string, dst_urls array<string>"),
+    }
+    sched = CrawlScheduler(spark, fixtures, CrawlConfig(use_bloom=True))
+    sched.seed(seeds)
+    sched.run_round()
+    return sched.emitted_df()
+
+
+# =========================================================================== #
+# registry                                                                    #
+# =========================================================================== #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "a1_best_per_group": q_a1_best_per_group,
+        "a2_host_next_ok": q_a2_host_next_ok,
+        "a3_crawl_counters": q_a3_crawl_counters,
+        "a4_min_hopcount": q_a4_min_hopcount,
+        "a6_site_quota": q_a6_site_quota,
+        "a7_two_level_topk": q_a7_two_level_topk,
+        "j1_latest_reply": q_j1_latest_reply,
+        "j2_dim_broadcast": q_j2_dim_broadcast,
+        "j5_seen_anti_join": q_j5_seen_anti_join,
+        "f1_filter_chain": q_f1_filter_chain,
+        "f2_pushdown_scan": q_f2_pushdown_scan,
+        "t1_topk": q_t1_topk,
+        "t3_tombstone_dedup": q_t3_tombstone_dedup,
+        "t4_boolean_ops": q_t4_boolean_ops,
+        "t5_pagination": q_t5_pagination,
+        "w2_site_cluster": q_w2_site_cluster,
+        "w4_change_rate": q_w4_change_rate,
+        "st_sessionize": q_st_sessionize,
+        "c1_canonicalize": q_c1_canonicalize,
+        "urlseen_filter": q_urlseen_filter,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
+        "simhash32": q_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_bucketed": q_ann_lsh,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "crawl_round": q_crawl_round,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "a1_best_per_group": SQL_A1,
+        "a2_host_next_ok": SQL_A2,
+        "a3_crawl_counters": SQL_A3,
+        "a4_min_hopcount": SQL_A4,
+        "a6_site_quota": SQL_A6,
+        "a7_two_level_topk": SQL_A7,
+        "j1_latest_reply": SQL_J1,
+        "j2_dim_broadcast": SQL_J2,
+        "j5_seen_anti_join": SQL_J5,
+        "f1_filter_chain": SQL_F1,
+        "f2_pushdown_scan": SQL_F2,
+        "t1_topk": SQL_T1,
+        "t3_tombstone_dedup": SQL_T3,
+        "t4_boolean_ops": _sql_t4(None),
+        "t5_pagination": SQL_T5,
+        "w2_site_cluster": SQL_W2,
+        "w4_change_rate": SQL_W4,
+        "st_sessionize": SQL_ST,
+        "c1_canonicalize": SQL_C1,
+        "urlseen_filter": SQL_URLSEEN,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "minhash_signatures": _minhash_sql(8),
+        "lsh_jaccard_pairs": _lsh_pairs_sql(8, 4, 0.5),
+        "simhash32": SQL_SIMHASH,
+        "ann_cosine_topk": SQL_ANN,
+        "ann_lsh_bucketed": _ann_lsh_sql(8, 64),
+        "text_quality": _sql_text_quality(),
+        "text_langid": _sql_langid(),
+        "token_counts": SQL_TOKENS,
+        "doc_fingerprint": SQL_FINGERPRINT,
+        # multimodal_features, crawl_round: non-SQL-expressible → rows-only
+    }

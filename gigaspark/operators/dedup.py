@@ -1,0 +1,182 @@
+"""Document deduplication operators for training-data pipelines.
+
+Gigablast dedups at three layers — URL identity (Spiderdb keys), content
+checksum, and result-time summary similarity (``Msg40.cpp`` dedup pass
+[U][M], SURVEY §2.5 W3).  These are the corpus-scale Spark-first
+equivalents over ``documents(doc_id, text)``:
+
+  * :func:`exact_dups`       — content-hash groupBy (keep min doc_id)
+  * :func:`minhash_signatures` / :func:`lsh_candidate_pairs`
+                             — MinHash + banded LSH near-dup
+  * :func:`simhash`          — 32-bit SimHash per document
+  * :func:`ngram_jaccard_pairs` — exact shingle-Jaccard verification
+
+Scale design (100 TB corpus):
+  * everything is shuffle-on-uniform-hash: shingle hashes and band
+    hashes are uniform by construction, so the explode→groupBy joins
+    don't skew; hot (ubiquitous) shingles can be dropped by document
+    frequency before pairing (``max_df``) — the classic LSH guard;
+  * signatures are fixed-width (n_perm ints) → tiny vs the corpus; the
+    candidate-pair join is on (band_id, band_hash) buckets only;
+  * all hashing is md5-hex→int, reproducible in any SQL engine (the
+    DuckDB oracle runs the identical pipeline), no Python UDFs at all —
+    pure Column expressions inside whole-stage codegen.
+
+MinHash: sig_i(doc) = min over shingles s of (a_i·h(s)+b_i mod P), P =
+2^31−1 (Mersenne), (a_i, b_i) from a fixed deterministic table — the
+standard Broder construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from gigaspark.functions.text import md5_int, norm_text, shingles
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def perm_coeffs(n_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutations.
+    A fixed LCG (no RNG APIs) so any engine can regenerate them."""
+    coeffs, x = [], 88172645463325252
+    for _ in range(n_perm):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (MERSENNE_P - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % MERSENNE_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def exact_dups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized-content md5: one row per distinct
+    fingerprint with the kept (min) doc_id and the duplicate count."""
+    return (
+        docs.withColumn("fp", F.md5(norm_text(F.col(text_col))))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count("*").alias("n_dups"))
+    )
+
+
+def doc_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh) distinct word-k-gram hash pairs — the explode stage.
+    ``sh`` is uniform (md5-derived) so every downstream shuffle is even."""
+    return (
+        docs.select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("s"))
+        .select("doc_id", md5_int(F.col("s")).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, n_perm: int = 16) -> DataFrame:
+    """(doc_id, i, sig): n_perm minhash values per document.
+
+    One explode over a tiny literal perm table (broadcast-free: it's a
+    column literal), then a partial-aggregating groupBy — two narrow
+    shuffle stages regardless of corpus size.
+    """
+    perms = F.array(*[
+        F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+        for i, (a, b) in enumerate(perm_coeffs(n_perm))
+    ])
+    return (
+        sh.select("doc_id", "sh", F.explode(perms).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.i").alias("i"),
+            ((F.col("p.a") * F.col("sh") + F.col("p.b")) % MERSENNE_P).alias("hv"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("hv").alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = 4) -> DataFrame:
+    """Band the signatures and emit candidate pairs (a_id < b_id) that
+    collide in ≥1 band.  Join key (band, band_key) is a uniform md5 →
+    no skew; identical-signature clusters are the only hot buckets and
+    those are true duplicates (bounded by real dup rate).
+    """
+    banded = (
+        sigs.withColumn("band", (F.col("i") % n_bands).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "sig"))).alias("kv"))
+        .select(
+            "doc_id", "band",
+            F.md5(F.concat_ws(",", F.transform(
+                F.col("kv"), lambda s: s["sig"].cast("string")))).alias("band_key"),
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs (or all pairs
+    sharing ≥1 shingle when ``pairs`` is None — only sane at small scale;
+    at corpus scale always feed LSH candidates).
+
+    Returns (a_id, b_id, jaccard) with jaccard ≥ threshold, rounded to 4
+    decimals (portable float contract for the SQL oracle).
+    """
+    if pairs is None:
+        x = sh.alias("x")
+        y = sh.alias("y")
+        pairs = (
+            x.join(y, "sh")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+            .distinct()
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("a_id"), "sh"), "a_id")
+        .join(sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh2")), "b_id")
+        .where(F.col("sh") == F.col("sh2"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id")
+        .withColumn("jaccard", F.round(
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per doc: bit j = majority vote of token-hash bit j.
+
+    (doc_id, token-hash) → explode over bit positions → vote sum →
+    re-assemble.  Two shuffles on uniform keys; integer-only arithmetic
+    (portable to the SQL oracle).
+    """
+    toks = (
+        docs.select("doc_id", F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("t"))
+        .where(F.col("t") != "")
+        .select("doc_id", md5_int(F.col("t")).alias("h"))
+    )
+    # one shuffle: per-bit votes as `bits` literal-shift agg expressions
+    # (no bit-position explode — 32× fewer shuffled rows than the naive plan)
+    votes = toks.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"v{j}")
+        for j in range(bits)
+    ])
+    sig = sum(
+        (F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long"))
+         .otherwise(F.lit(0).cast("long")) for j in range(bits)),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("doc_id", sig.alias("simhash"))

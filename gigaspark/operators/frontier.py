@@ -57,8 +57,10 @@ ENQUEUE_SCHEMA = T.StructType([
 EMIT_COLS = ["round", "scheduled_time_ms", "priority", "added_ms", "urlhash48",
              "url", "firstip", "hopcount", "host"]
 
-_WIN_ORDER = [F.col("priority").desc(), F.col("added_ms").asc(),
-              F.col("hopcount").asc(), F.col("urlhash48").asc()]
+def _win_order():
+    # building Columns needs an active SparkContext → lazy, not module-level
+    return [F.col("priority").desc(), F.col("added_ms").asc(),
+            F.col("hopcount").asc(), F.col("urlhash48").asc()]
 
 
 @dataclass
@@ -201,7 +203,7 @@ class CrawlScheduler:
             "next_ok_ms", F.coalesce(F.col("next_ok_ms"), F.lit(0)))
         elig = f.where(F.col("next_ok_ms") <= F.lit(T_ms))
 
-        w = Window.partitionBy("firstip").orderBy(*_WIN_ORDER)
+        w = Window.partitionBy("firstip").orderBy(*_win_order())
         ranked = (
             elig.withColumn("rn", F.row_number().over(w))
             .withColumn("k_host", F.first("max_spiders_per_ip").over(w))
@@ -214,7 +216,7 @@ class CrawlScheduler:
             + F.greatest(F.col("same_ip_wait_ms"),
                          F.coalesce(F.col("crawl_delay_ms"), F.lit(0))),
         )
-        cum = Window.partitionBy("firstip").orderBy(*_WIN_ORDER).rowsBetween(
+        cum = Window.partitionBy("firstip").orderBy(*_win_order()).rowsBetween(
             Window.unboundedPreceding, -1)
         winners = (
             winners.withColumn(

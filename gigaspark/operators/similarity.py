@@ -1,0 +1,128 @@
+"""Embedding similarity search (ANN) for training-data pipelines.
+
+Gigablast's nearest "vector" machinery is summary-vector dedup and
+clusterdb similarity (``Msg40.cpp`` dedup pass [U][M]); this module is
+the corpus-scale generalization over ``embeddings(vec_id, embedding
+array<float>, label)``:
+
+  * :func:`cosine_topk`      — brute-force exact cosine top-k (baseline)
+  * :func:`rp_signatures` / :func:`lsh_topk`
+                             — random-hyperplane LSH bucketing (scale path)
+
+Numeric contract (lets a DuckDB oracle reproduce values bit-for-bit):
+embeddings are quantized to ``round(x * 1000)`` int64 once, all dot
+products / norms are EXACT integer arithmetic, and only the final cosine
+does one IEEE-double divide+sqrt, rounded to 4 decimals.  No Python UDFs:
+``F.zip_with`` + ``F.aggregate`` run JVM-side.
+
+Scale design (10^9+ vectors): brute force is the per-query fallback —
+queries broadcast against the corpus (one map-side pass, partial top-k
+per partition via TakeOrderedAndProject, no shuffle of the corpus).  The
+LSH path buckets the corpus once by signature (uniform md5-seeded
+hyperplanes → balanced buckets) and probes only matching buckets —
+candidate set shrinks by ~2^bits/multi-probe.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+QUANT = 1000
+
+
+def _md5_int32(s: str) -> int:
+    """Same value as functions.text.md5_int, computed driver-side."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic integer hyperplanes: w[p][d] = md5_int(f"rp:{p}:{d}")
+    % 2001 - 1000 — reproducible in any engine with md5."""
+    return [
+        [(_md5_int32(f"rp:{p}:{d}") % 2001) - 1000 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def quantize(col: Column) -> Column:
+    """array<float> → array<long> of round(x*1000) (exact from then on)."""
+    return F.transform(col, lambda x: F.round(x * QUANT).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact-integer cosine, rounded to 4 decimals (oracle contract)."""
+    return F.round(
+        int_dot(a, b)
+        / F.sqrt(int_dot(a, a).cast("double") * int_dot(b, b).cast("double")),
+        4,
+    )
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k neighbours per query: (q_id, n_id, cos, rank).
+
+    ``queries`` is small → broadcast; the corpus is scanned once map-side
+    and the per-query top-k is a rank window over (cos desc, n_id asc) —
+    total order, deterministic under any parallelism.
+    """
+    q = queries.select(F.col("vec_id").alias("q_id"),
+                       quantize(F.col("embedding")).alias("qv"))
+    c = corpus.select(F.col("vec_id").alias("n_id"),
+                      quantize(F.col("embedding")).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def rp_signatures(vecs: DataFrame, n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """(vec_id, sig): random-hyperplane sign signature as a long bitmap.
+    One narrow pass; planes are column literals (no shuffle, no UDF)."""
+    planes = hyperplanes(n_planes, dim)
+    qv = quantize(F.col("embedding"))
+    sig = F.lit(0).cast("long")
+    for p, w in enumerate(planes):
+        wcol = F.array(*[F.lit(x).cast("long") for x in w])
+        sig = sig + F.when(int_dot(qv, wcol) > 0,
+                           F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return vecs.select("vec_id", sig.alias("sig"))
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """Bucketed ANN: score only corpus vectors whose signature equals the
+    query's (multi-probe = hamming-1 neighbourhoods left as a knob).
+    Returns (q_id, n_id, cos, rank) — approximate: recall < 1 by design.
+    """
+    csig = rp_signatures(corpus, n_planes, dim)
+    qsig = rp_signatures(queries, n_planes, dim)
+    c = (corpus.join(csig, "vec_id")
+         .select(F.col("vec_id").alias("n_id"), "sig",
+                 quantize(F.col("embedding")).alias("cv")))
+    q = (queries.join(qsig, "vec_id")
+         .select(F.col("vec_id").alias("q_id"), "sig",
+                 quantize(F.col("embedding")).alias("qv")))
+    scored = (
+        c.join(F.broadcast(q), "sig")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
