@@ -509,6 +509,80 @@ GROUP BY user_id, session_id
 """
 
 
+def q_s8_point_lookup(spark, sf_dir):
+    """S8 — doc-store point lookup by key (Msg22 [U][H]): key-predicate
+    scan with parquet row-group pruning."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey").isin(1, 7, 32, 33, 34, 35)).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"))
+
+
+SQL_S8 = """
+SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_orderstatus AS status
+FROM orders WHERE o_orderkey IN (1, 7, 32, 33, 34, 35)
+"""
+
+
+def q_a5_facet_counts(spark, sf_dir):
+    """A5 — facet tallies over a result set (Msg40 gbfacet [U][M])."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_size") >= 20)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"),
+             F.min("p_size").alias("min_size"),
+             F.max("p_size").alias("max_size"))
+        .select(F.col("p_brand").alias("facet"), "n", "min_size", "max_size")
+    )
+
+
+SQL_A5 = """
+SELECT p_brand AS facet, count(*) AS n, min(p_size) AS min_size,
+       max(p_size) AS max_size
+FROM part WHERE p_size >= 20 GROUP BY p_brand
+"""
+
+
+def q_w1_emit_order(spark, sf_dir):
+    """W1 — the golden emit-sequence assignment, via the SCALABLE global
+    dense-seq operator (range-partitioned sort + offsets, no single-task
+    window — operators/ordering.py); oracle = plain row_number."""
+    from gigaspark.operators.ordering import with_global_seq
+
+    o = _t(spark, sf_dir, "orders")
+    order = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    return (
+        with_global_seq(o, order, "seq", small_count=None)
+        .select("seq", F.col("o_orderkey").alias("orderkey"))
+    )
+
+
+SQL_W1 = """
+SELECT row_number() OVER (ORDER BY o_orderdate ASC, o_orderkey ASC) - 1 AS seq,
+       o_orderkey AS orderkey
+FROM orders
+"""
+
+
+def q_c4_dates(spark, sf_dir):
+    """C4 — time arithmetic: HTTP-date-style bucketing of reply times."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"),
+             F.min(F.unix_timestamp("ts")).alias("first_s"))
+    )
+
+
+SQL_C4 = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+       min(floor(epoch(ts)))::BIGINT AS first_s
+FROM events GROUP BY 1
+"""
+
+
 # =========================================================================== #
 # crawl-specific: canonicalization + URL-seen over constructed URLs           #
 # =========================================================================== #
@@ -969,6 +1043,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_site_cluster": q_w2_site_cluster,
         "w4_change_rate": q_w4_change_rate,
         "st_sessionize": q_st_sessionize,
+        "s8_point_lookup": q_s8_point_lookup,
+        "a5_facet_counts": q_a5_facet_counts,
+        "w1_emit_order": q_w1_emit_order,
+        "c4_dates": q_c4_dates,
         "c1_canonicalize": q_c1_canonicalize,
         "urlseen_filter": q_urlseen_filter,
         "dedup_exact": q_dedup_exact,
@@ -1006,6 +1084,10 @@ def oracle_sql() -> dict[str, str]:
         "w2_site_cluster": SQL_W2,
         "w4_change_rate": SQL_W4,
         "st_sessionize": SQL_ST,
+        "s8_point_lookup": SQL_S8,
+        "a5_facet_counts": SQL_A5,
+        "w1_emit_order": SQL_W1,
+        "c4_dates": SQL_C4,
         "c1_canonicalize": SQL_C1,
         "urlseen_filter": SQL_URLSEEN,
         "dedup_exact": SQL_DEDUP_EXACT,

@@ -70,6 +70,7 @@ class CrawlConfig:
     bloom: urlseen.BloomParams = field(default_factory=urlseen.BloomParams)
     checkpoint_every: int = 0        # 0 → only on explicit .checkpoint()
     validate_fetch: bool = False     # needs page_image/images/images_golden
+    tournament_salts: int = 0        # >1 → §4.4 two-level skew tournament
 
 
 class CrawlScheduler:
@@ -80,6 +81,7 @@ class CrawlScheduler:
         self.spark = spark
         self.cfg = config or CrawlConfig()
         self.rules: list[Rule] = rules_from_rows(fixtures["url_filters"].collect())
+        self.k_max = max(1, *(r.max_spiders_per_ip for r in self.rules))
         self.robots_rules = robots_op.prep_rules(fixtures["robots"]).cache()
         self.host_delays = robots_op.host_delays(self.robots_rules).cache()
         # link graph exploded once: (src_url, dst_url)
@@ -98,6 +100,7 @@ class CrawlScheduler:
             [], "firstip int, urlhash48 long, min_hopcount int, round_enqueued int")
         self.host_state = spark.createDataFrame([], "firstip int, next_ok_ms long")
         self.segments = None  # bloom segments DF (lazy-init on first enqueue)
+        self.n_seen = 0       # driver-side seen-count (fast-path guard)
         self.emitted_parts: list[DataFrame] = []
         self.fetched_parts: list[DataFrame] = []
         self.metrics: list[dict] = []
@@ -158,10 +161,15 @@ class CrawlScheduler:
         )
         annotated = df.localCheckpoint(eager=True)
         passing = annotated.where(F.col("_disposition") == "pass")
-        new = urlseen.filter_new(
-            passing, self.seen.select("firstip", "urlhash48"),
-            self.segments if self.cfg.use_bloom else None, self.cfg.bloom,
-        ).localCheckpoint(eager=True)
+        if self.n_seen == 0:
+            # seeding fast path: nothing seen yet → every passing key is new
+            # (batch itself is already key-deduped by the groupBy above)
+            new = passing.localCheckpoint(eager=True)
+        else:
+            new = urlseen.filter_new(
+                passing, self.seen.select("firstip", "urlhash48"),
+                self.segments if self.cfg.use_bloom else None, self.cfg.bloom,
+            ).localCheckpoint(eager=True)
 
         counts = {r["_disposition"]: r["n"] for r in
                   annotated.groupBy("_disposition").agg(F.count("*").alias("n")).collect()}
@@ -171,6 +179,9 @@ class CrawlScheduler:
              "tombstoned": counts.get("tombstoned", 0),
              "robots_denied": counts.get("robots_denied", 0),
              "dup_seen": n_pass - n_new, "accepted": n_new}
+        if n_new == 0:
+            return m
+        self.n_seen += n_new
 
         new_front = new.select(*[f.name for f in self._frontier_schema().fields])
         self.frontier = self.frontier.unionByName(new_front).localCheckpoint(eager=True)
@@ -202,6 +213,13 @@ class CrawlScheduler:
         f = self.frontier.join(self.host_state, "firstip", "left").withColumn(
             "next_ok_ms", F.coalesce(F.col("next_ok_ms"), F.lit(0)))
         elig = f.where(F.col("next_ok_ms") <= F.lit(T_ms))
+
+        if self.cfg.tournament_salts > 1:
+            # megahost-skew guard: identical winners, bounded task size
+            from gigaspark.operators.skew import tournament_prune
+            elig = tournament_prune(elig, ["firstip"], _win_order(),
+                                    self.k_max, "urlhash48",
+                                    self.cfg.tournament_salts)
 
         w = Window.partitionBy("firstip").orderBy(*_win_order())
         ranked = (
@@ -247,21 +265,26 @@ class CrawlScheduler:
             winners.select("firstip", "urlhash48"),
             ["firstip", "urlhash48"], "left_anti").localCheckpoint(eager=True)
 
-        n_emitted = winners.count()
+        counts = winners.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("harvest_links").cast("int")).alias("n_harvest")).collect()[0]
+        n_emitted = int(counts["n"] or 0)
         m = {"round": self.round, "clock_ms": T_ms, "emitted": n_emitted}
 
-        outlinks = (
-            winners.where(F.col("harvest_links"))
-            .join(self.links, winners["url"] == self.links["src_url"])
-            .select(
-                F.col("dst_url").alias("url"),
-                (F.col("scheduled_time_ms") + F.lit(self.cfg.fetch_ms)).alias("added_ms"),
-                (F.col("hopcount") + 1).alias("hopcount"),
-                F.lit(False).alias("is_seed"),
-            )
-        )
         self.round += 1
-        if n_emitted > 0:
+        # skip the whole enqueue pipeline when no winner harvests links
+        # (saves ~8 empty-DF jobs per round — most rounds in a drain)
+        if counts["n_harvest"]:
+            outlinks = (
+                winners.where(F.col("harvest_links"))
+                .join(self.links, winners["url"] == self.links["src_url"])
+                .select(
+                    F.col("dst_url").alias("url"),
+                    (F.col("scheduled_time_ms") + F.lit(self.cfg.fetch_ms)).alias("added_ms"),
+                    (F.col("hopcount") + 1).alias("hopcount"),
+                    F.lit(False).alias("is_seed"),
+                )
+            )
             m.update(self.enqueue(outlinks))
         self.metrics.append(m)
 
@@ -301,9 +324,10 @@ class CrawlScheduler:
         order = [F.col("round").asc(), F.col("scheduled_time_ms").asc(),
                  F.col("priority").desc(), F.col("added_ms").asc(),
                  F.col("urlhash48").asc()]
-        return acc.withColumn(
-            "seq", F.row_number().over(Window.orderBy(*order)) - 1
-        ).select("seq", *EMIT_COLS)
+        from gigaspark.operators.ordering import with_global_seq
+        n_emitted = sum(m.get("emitted", 0) for m in self.metrics) or None
+        return with_global_seq(acc, order, "seq",
+                               small_count=n_emitted).select("seq", *EMIT_COLS)
 
     def fetched_df(self) -> DataFrame | None:
         if not self.fetched_parts:

@@ -1,0 +1,55 @@
+"""Scalable global dense sequence numbers (SURVEY W1 emit ordering).
+
+``row_number() OVER (ORDER BY ...)`` with no partition key collapses the
+whole dataset into ONE task — fine at 10^4 rows, fatal at 10^10.  The
+Spark-idiomatic equivalent is:
+
+  1. range-repartition + sort on the total-order key (what a global
+     ``orderBy`` compiles to anyway — parallel TeraSort shape);
+  2. count rows per physical partition (one lightweight agg);
+  3. broadcast the running offsets and add the within-partition index.
+
+The assigned seq values are independent of the (sampled) range
+boundaries because the order key is a TOTAL order — only which task
+computes which slice varies; output is bit-identical at any parallelism
+(tests/test_frontier.py asserts equality with the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+SMALL_THRESHOLD = 100_000
+
+
+def with_global_seq(df: DataFrame, order: list[Column], seq_col: str = "seq",
+                    small_count: int | None = None) -> DataFrame:
+    """Attach a dense 0-based ``seq_col`` following the total order.
+
+    ``small_count``: pass a known row count to let tiny datasets take the
+    cheap single-window path (still correct either way).
+    """
+    if small_count is not None and small_count <= SMALL_THRESHOLD:
+        return df.withColumn(
+            seq_col, F.row_number().over(Window.orderBy(*order)) - 1)
+
+    part = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # deterministic within-partition position (data already sorted)
+    w = Window.partitionBy("_pid").orderBy(*order)
+    part = part.withColumn("_pos", F.row_number().over(w) - 1)
+    counts = part.groupBy("_pid").agg(F.count("*").alias("_n"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+    return (
+        part.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .withColumn(seq_col, (F.col("_off") + F.col("_pos")).cast("long"))
+        .drop("_pid", "_pos", "_off")
+    )

@@ -1,0 +1,83 @@
+"""Unit tests for corpus dedup operators (exact / minhash-LSH / simhash /
+n-gram Jaccard) — cross-engine parity is covered by the driver oracle;
+these pin the semantic properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gigaspark.operators.dedup import (
+    doc_shingles, exact_dups, lsh_candidate_pairs, minhash_signatures,
+    ngram_jaccard_pairs, perm_coeffs, simhash,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (2, "THE  Quick  Brown Fox jumps over the lazy dog near the river bank"),  # norm dup of 0
+    (3, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup
+    (4, "completely different content about spark query engines and shuffles"),
+    (5, "another unrelated document mentioning bloom filters and politeness"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dups(docs):
+    rows = {r["keep_doc_id"]: r["n_dups"] for r in exact_dups(docs).collect()}
+    assert rows[0] == 3  # docs 0,1,2 collapse after normalization
+    assert rows[3] == 1 and rows[4] == 1 and rows[5] == 1
+
+
+def test_perm_coeffs_deterministic():
+    assert perm_coeffs(4) == perm_coeffs(4)
+    assert len({c for c in perm_coeffs(16)}) == 16
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sh = doc_shingles(docs, k=3)
+    sigs = minhash_signatures(sh, n_perm=8)
+    by_doc = {}
+    for r in sigs.collect():
+        by_doc.setdefault(r["doc_id"], {})[r["i"]] = r["sig"]
+    assert len(by_doc[0]) == 8
+    assert by_doc[0] == by_doc[1] == by_doc[2]
+    # near-dup shares most minhash slots; unrelated shares almost none
+    share_near = sum(by_doc[0][i] == by_doc[3][i] for i in range(8))
+    share_far = sum(by_doc[0][i] == by_doc[4][i] for i in range(8))
+    assert share_near > share_far
+
+
+def test_lsh_finds_near_dups(docs):
+    sh = doc_shingles(docs, k=3)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh, n_perm=8), n_bands=4)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    verified = ngram_jaccard_pairs(sh, pairs, threshold=0.5)
+    jac = {(r["a_id"], r["b_id"]): r["jaccard"] for r in verified.collect()}
+    assert jac[(0, 1)] == 1.0
+    if (0, 3) in jac:
+        assert 0.5 <= jac[(0, 3)] < 1.0
+
+
+def test_jaccard_all_pairs(docs):
+    sh = doc_shingles(docs, k=3)
+    jac = {(r["a_id"], r["b_id"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(sh, None, threshold=0.0).collect()}
+    assert jac[(0, 1)] == 1.0
+    assert (0, 4) not in jac or jac[(0, 4)] < 0.2
+
+
+def test_simhash_properties(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=32).collect()}
+    assert sigs[0] == sigs[1] == sigs[2]
+    assert all(0 <= s < (1 << 32) for s in sigs.values())
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sigs[0], sigs[3]) < hamming(sigs[0], sigs[4])

