@@ -836,6 +836,100 @@ WHERE rank <= 5
 """
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup — the corpus is embeddings ∪ a scaled
+    copy (vec_id+100000, ×1.1 — parallel ⇒ cosine ≈ 1 after
+    quantization); RP-LSH-bucketed exact-cosine pairs ≥ 0.98 must find
+    exactly the planted duplicates."""
+    from gigaspark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.1)).alias("embedding"))
+    corpus = emb.unionByName(pert)
+    return embedding_neardup_pairs(corpus, threshold=0.98, n_planes=8, dim=64)
+
+
+def _dedup_embedding_sql(n_planes: int = 8, dim: int = 64) -> str:
+    from gigaspark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(n_planes, dim)
+    plane_rows = ", ".join(
+        f"({p}, [{', '.join(str(x) for x in w)}]::BIGINT[])"
+        for p, w in enumerate(planes))
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+corpus AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(e, x -> x * 1.1) FROM base),
+vecs AS (SELECT vec_id, list_transform(e, x -> round(x * 1000)::BIGINT) AS v
+         FROM corpus),
+planes(p, w) AS (VALUES {plane_rows}),
+sigs AS (
+  SELECT vec_id, sum(CASE WHEN
+      list_sum(list_transform(list_zip(v, w), z -> z[1] * z[2])) > 0
+      THEN (1::BIGINT << p) ELSE 0 END) AS sig
+  FROM vecs CROSS JOIN planes GROUP BY vec_id),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    round(list_sum(list_transform(list_zip(va.v, vb.v), z -> z[1] * z[2]))
+      / sqrt(list_sum(list_transform(va.v, x -> x * x))::DOUBLE
+           * list_sum(list_transform(vb.v, x -> x * x))::DOUBLE), 4) AS cos
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  JOIN vecs va ON va.vec_id = a.vec_id JOIN vecs vb ON vb.vec_id = b.vec_id)
+SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.98
+"""
+
+
+def q_fetch_validate(spark, sf_dir):
+    """S4/J8/C8 — simulated fetch + the per-row payload invariant
+    (BASELINE.json input_hint): schedule rows join their image payload,
+    decoded pixels vs golden (exact lossless / PSNR≥40dB lossy qnt),
+    captions equal.  The oracle states the expected outcome (all pass)
+    over the same deterministic id/format lattice."""
+    import numpy as np
+
+    from gigaspark.functions.images import FORMATS, encode_image
+    from gigaspark.operators.fetch import validate_fetch
+
+    img_rows, pi_rows = [], []
+    for i in range(90):
+        rng = np.random.default_rng(2000 + i)
+        pix = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+        fmt = FORMATS[i % 3]
+        img_rows.append((f"img{i:04d}", bytearray(encode_image(fmt, pix)),
+                         12, 12, fmt, f"caption {i}", bytearray(pix.tobytes())))
+        pi_rows.append((f"http://h{i % 9}.example/p/{i}", f"img{i:04d}"))
+    images = spark.createDataFrame(
+        [r[:6] for r in img_rows],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string")
+    golden = spark.createDataFrame(
+        [(r[0], r[6], r[5]) for r in img_rows],
+        "image_id string, pixels binary, caption string")
+    page_image = spark.createDataFrame(pi_rows, "src_url string, image_id string")
+    emitted = page_image.select(
+        F.col("src_url").alias("url"),
+        F.xxhash64("src_url").bitwiseAND(F.lit((1 << 48) - 1)).alias("urlhash48"),
+        F.lit(0).alias("firstip"), F.lit(0).alias("round"),
+        F.lit(0).cast("long").alias("scheduled_time_ms"))
+    return (
+        validate_fetch(emitted, page_image, images, golden)
+        .select("url", "image_id", "fmt", "pixels_ok", "caption_ok")
+    )
+
+
+SQL_FETCH_VALIDATE = """
+SELECT 'http://h' || (i % 9)::VARCHAR || '.example/p/' || i::VARCHAR AS url,
+       'img' || lpad(i::VARCHAR, 4, '0') AS image_id,
+       (['ppm', 'png', 'qnt'])[i % 3 + 1] AS fmt,
+       true AS pixels_ok, true AS caption_ok
+FROM generate_series(0, 89) AS g(i)
+"""
+
+
 def q_text_quality(spark, sf_dir):
     """Quality scoring — token counts, stopword/punct ratios, composite
     score; pure Column exprs (no UDF), SQL-portable arithmetic."""
@@ -1055,6 +1149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash32": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucketed": q_ann_lsh,
+        "dedup_embedding": q_dedup_embedding,
+        "fetch_validate": q_fetch_validate,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "token_counts": q_token_counts,
@@ -1096,6 +1192,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash32": SQL_SIMHASH,
         "ann_cosine_topk": SQL_ANN,
         "ann_lsh_bucketed": _ann_lsh_sql(8, 64),
+        "dedup_embedding": _dedup_embedding_sql(8, 64),
+        "fetch_validate": SQL_FETCH_VALIDATE,
         "text_quality": _sql_text_quality(),
         "text_langid": _sql_langid(),
         "token_counts": SQL_TOKENS,

@@ -32,7 +32,7 @@ HEADLINE = [
     "a1_best_per_group", "a7_two_level_topk", "j1_latest_reply",
     "t3_tombstone_dedup", "urlseen_filter", "c1_canonicalize",
     "dedup_exact", "minhash_signatures", "lsh_jaccard_pairs",
-    "simhash32", "ann_cosine_topk", "text_quality",
+    "simhash32", "ann_cosine_topk", "text_quality", "dedup_embedding",
 ]
 
 

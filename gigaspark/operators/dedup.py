@@ -73,24 +73,19 @@ def doc_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFra
 def minhash_signatures(sh: DataFrame, n_perm: int = 16) -> DataFrame:
     """(doc_id, i, sig): n_perm minhash values per document.
 
-    One explode over a tiny literal perm table (broadcast-free: it's a
-    column literal), then a partial-aggregating groupBy — two narrow
-    shuffle stages regardless of corpus size.
+    All n_perm permutations are evaluated as parallel ``min`` aggregates
+    in ONE groupBy — the shuffle moves only |shingles| rows (with map-side
+    partial mins), not |shingles|×n_perm exploded rows, and the wide→long
+    unpivot (``stack``) runs on the tiny post-agg result (docs×n_perm).
     """
-    perms = F.array(*[
-        F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+    aggs = [
+        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % MERSENNE_P).alias(f"s{i}")
         for i, (a, b) in enumerate(perm_coeffs(n_perm))
-    ])
-    return (
-        sh.select("doc_id", "sh", F.explode(perms).alias("p"))
-        .select(
-            "doc_id",
-            F.col("p.i").alias("i"),
-            ((F.col("p.a") * F.col("sh") + F.col("p.b")) % MERSENNE_P).alias("hv"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("hv").alias("sig"))
-    )
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{i}, s{i}" for i in range(n_perm))
+    return wide.selectExpr(
+        "doc_id", f"stack({n_perm}, {stack_args}) AS (i, sig)")
 
 
 def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = 4) -> DataFrame:

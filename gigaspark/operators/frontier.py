@@ -34,16 +34,28 @@ no ``collect()`` of data rows.
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 from gigaspark.io.tableio import StateStore
+from gigaspark.session import stable_checkpoint
 from gigaspark.operators import robots as robots_op
 from gigaspark.operators import urlseen
 from gigaspark.operators.url_filters import ASSIGN_FIELDS, Rule, apply_url_filters, rules_from_rows
 from gigaspark.functions.urls import with_url_columns
+
+_TIMING = bool(os.environ.get("GIGASPARK_TIMING"))
+
+
+def _tlog(label: str, t0: float) -> float:
+    """Per-phase wall-time tracer, enabled by $GIGASPARK_TIMING."""
+    if _TIMING:
+        print(f"    [{label}] {time.time() - t0:.2f}s", flush=True)
+    return time.time()
 
 FETCH_MS = 100
 
@@ -83,6 +95,7 @@ class CrawlScheduler:
         self.rules: list[Rule] = rules_from_rows(fixtures["url_filters"].collect())
         self.k_max = max(1, *(r.max_spiders_per_ip for r in self.rules))
         self.robots_rules = robots_op.prep_rules(fixtures["robots"]).cache()
+        self.robots_grouped = robots_op.group_rules(self.robots_rules).cache()
         self.host_delays = robots_op.host_delays(self.robots_rules).cache()
         # link graph exploded once: (src_url, dst_url)
         self.links = (
@@ -94,10 +107,15 @@ class CrawlScheduler:
         self.images_golden = fixtures.get("images_golden")
         self.store = StateStore(state_dir) if state_dir else None
 
-        empty = spark.createDataFrame([], self._frontier_schema())
-        self.frontier = empty
-        self.seen = spark.createDataFrame(
-            [], "firstip int, urlhash48 long, min_hopcount int, round_enqueued int")
+        # LSM-style state (the Rdb memtable+tombstone model [U][H] mapped
+        # to Spark): appends and removals are small materialized PARTS;
+        # the logical table is a lazy union⊖anti-join view, compacted
+        # every few rounds — never a full-copy localCheckpoint per round.
+        self.frontier_parts: list[DataFrame] = []
+        self.removed_parts: list[DataFrame] = []   # emitted keys (tombstones)
+        self.seen_parts: list[DataFrame] = []
+        self.hp_parts: list[DataFrame] = []        # per-host pending deltas
+        self.pending_count = 0                     # exact driver arithmetic
         self.host_state = spark.createDataFrame([], "firstip int, next_ok_ms long")
         self.segments = None  # bloom segments DF (lazy-init on first enqueue)
         self.n_seen = 0       # driver-side seen-count (fast-path guard)
@@ -106,6 +124,51 @@ class CrawlScheduler:
         self.metrics: list[dict] = []
         self.clock_ms = 0
         self.round = 0
+
+    # ------------------------------------------------------------------ #
+    # LSM views                                                           #
+    # ------------------------------------------------------------------ #
+    @property
+    def frontier(self) -> DataFrame:
+        """Logical frontier = union(parts) ⊖ emitted tombstones."""
+        if not self.frontier_parts:
+            return self.spark.createDataFrame([], self._frontier_schema())
+        acc = self.frontier_parts[0]
+        for p in self.frontier_parts[1:]:
+            acc = acc.unionByName(p)
+        if self.removed_parts:
+            rm = self.removed_parts[0]
+            for p in self.removed_parts[1:]:
+                rm = rm.unionByName(p)
+            acc = acc.join(rm, ["firstip", "urlhash48"], "left_anti")
+        return acc
+
+    @property
+    def seen(self) -> DataFrame:
+        if not self.seen_parts:
+            return self.spark.createDataFrame(
+                [], "firstip int, urlhash48 long, min_hopcount int,"
+                    " round_enqueued int")
+        acc = self.seen_parts[0]
+        for p in self.seen_parts[1:]:
+            acc = acc.unionByName(p)
+        return acc
+
+    def _maybe_compact(self) -> None:
+        """Bound view depth: fold parts⊖tombstones into one materialized
+        part (the RdbMerge compaction analogue)."""
+        if len(self.removed_parts) >= 4 or len(self.frontier_parts) >= 6:
+            self.frontier_parts = [self.frontier.transform(stable_checkpoint)]
+            self.removed_parts = []
+        if len(self.seen_parts) >= 8:
+            self.seen_parts = [self.seen.transform(stable_checkpoint)]
+        if len(self.hp_parts) >= 8:
+            hp = self.hp_parts[0]
+            for p in self.hp_parts[1:]:
+                hp = hp.unionByName(p)
+            self.hp_parts = [
+                hp.groupBy("firstip").agg(F.sum("d").alias("d"))
+                .where(F.col("d") != 0).transform(stable_checkpoint)]
 
     @staticmethod
     def _frontier_schema() -> T.StructType:
@@ -151,7 +214,7 @@ class CrawlScheduler:
         )
         df = df.withColumn("errorcount", F.lit(0))
         df = apply_url_filters(df, self.rules)
-        df = robots_op.eval_allowed(df, self.robots_rules)
+        df = robots_op.eval_allowed(df, self.robots_rules, self.robots_grouped)
         df = df.withColumn(
             "_disposition",
             F.when(F.col("force_delete"), "tombstoned")
@@ -159,42 +222,63 @@ class CrawlScheduler:
             .when(~F.col("robots_allowed"), "robots_denied")
             .otherwise("pass"),
         )
-        annotated = df.localCheckpoint(eager=True)
+        # disposition tallies ride the materialization job itself
+        # (CollectMetrics / Observation — no second pass over the batch)
+        obs = Observation()
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("total"),
+            F.sum((F.col("_disposition") == "filtered").cast("long")).alias("filtered"),
+            F.sum((F.col("_disposition") == "tombstoned").cast("long")).alias("tombstoned"),
+            F.sum((F.col("_disposition") == "robots_denied").cast("long")).alias("robots_denied"),
+            F.sum((F.col("_disposition") == "pass").cast("long")).alias("n_pass"),
+        )
+        t = time.time()
+        annotated = df.transform(stable_checkpoint)
+        c = obs.get
+        n_pass = int(c["n_pass"] or 0)
+        t = _tlog("enq:annotated", t)
         passing = annotated.where(F.col("_disposition") == "pass")
         if self.n_seen == 0:
             # seeding fast path: nothing seen yet → every passing key is new
-            # (batch itself is already key-deduped by the groupBy above)
-            new = passing.localCheckpoint(eager=True)
+            # (batch itself is already key-deduped by the groupBy above);
+            # `passing` is a filter over the checkpointed `annotated` —
+            # no second materialization needed
+            new, n_new = passing, n_pass
         else:
+            obs_new = Observation()
             new = urlseen.filter_new(
                 passing, self.seen.select("firstip", "urlhash48"),
                 self.segments if self.cfg.use_bloom else None, self.cfg.bloom,
-            ).localCheckpoint(eager=True)
+            ).observe(obs_new, F.count(F.lit(1)).alias("n")
+                      ).transform(stable_checkpoint)
+            n_new = int(obs_new.get["n"] or 0)
+        t = _tlog("enq:filter_new", t)
 
-        counts = {r["_disposition"]: r["n"] for r in
-                  annotated.groupBy("_disposition").agg(F.count("*").alias("n")).collect()}
-        n_pass = counts.get("pass", 0)
-        n_new = new.count()
-        m = {"deduped": sum(counts.values()), "filtered": counts.get("filtered", 0),
-             "tombstoned": counts.get("tombstoned", 0),
-             "robots_denied": counts.get("robots_denied", 0),
+        m = {"deduped": int(c["total"] or 0), "filtered": int(c["filtered"] or 0),
+             "tombstoned": int(c["tombstoned"] or 0),
+             "robots_denied": int(c["robots_denied"] or 0),
              "dup_seen": n_pass - n_new, "accepted": n_new}
         if n_new == 0:
             return m
         self.n_seen += n_new
+        self.pending_count += n_new
 
-        new_front = new.select(*[f.name for f in self._frontier_schema().fields])
-        self.frontier = self.frontier.unionByName(new_front).localCheckpoint(eager=True)
+        self.frontier_parts.append(
+            new.select(*[f.name for f in self._frontier_schema().fields]))
+        self.hp_parts.append(
+            new.groupBy("firstip").agg(F.count("*").alias("d")))
         new_keys = new.select("firstip", "urlhash48",
                               F.col("hopcount").alias("min_hopcount"),
                               F.lit(self.round).alias("round_enqueued"))
-        self.seen = self.seen.unionByName(new_keys).localCheckpoint(eager=True)
+        self.seen_parts.append(new_keys)
         if self.cfg.use_bloom:
             add = urlseen.build_segments(new_keys, self.cfg.bloom)
             self.segments = (
                 add if self.segments is None
                 else urlseen.merge_segments(self.segments, add, self.cfg.bloom)
-            ).localCheckpoint(eager=True)
+            ).transform(stable_checkpoint)
+        t = _tlog("enq:segments", t)
         return m
 
     def seed(self, seeds: DataFrame) -> dict:
@@ -209,6 +293,7 @@ class CrawlScheduler:
     # one round — oracle_sim steps 1–5, 7                                 #
     # ------------------------------------------------------------------ #
     def run_round(self) -> int:
+        t = time.time()
         T_ms = self.clock_ms
         f = self.frontier.join(self.host_state, "firstip", "left").withColumn(
             "next_ok_ms", F.coalesce(F.col("next_ok_ms"), F.lit(0)))
@@ -236,13 +321,18 @@ class CrawlScheduler:
         )
         cum = Window.partitionBy("firstip").orderBy(*_win_order()).rowsBetween(
             Window.unboundedPreceding, -1)
+        obs_w = Observation()
         winners = (
             winners.withColumn(
                 "scheduled_time_ms",
                 F.lit(T_ms) + F.coalesce(F.sum("gap_ms").over(cum), F.lit(0)))
             .withColumn("round", F.lit(self.round))
-            .localCheckpoint(eager=True)
+            .observe(obs_w, F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("harvest_links").cast("long")).alias("n_harvest"))
+            .transform(stable_checkpoint)
         )
+        wc = obs_w.get
+        t = _tlog("winners", t)
 
         emitted = winners.select(*EMIT_COLS)
         self.emitted_parts.append(emitted)
@@ -251,7 +341,7 @@ class CrawlScheduler:
             from gigaspark.operators.fetch import validate_fetch
             self.fetched_parts.append(
                 validate_fetch(emitted, self.page_image, self.images,
-                               self.images_golden).localCheckpoint(eager=True))
+                               self.images_golden).transform(stable_checkpoint))
 
         # host_state merge: fetched hosts get next_ok = last slot end
         upd = winners.groupBy("firstip").agg(
@@ -259,22 +349,24 @@ class CrawlScheduler:
         self.host_state = (
             self.host_state.join(upd.select("firstip"), "firstip", "left_anti")
             .unionByName(upd)
-            .localCheckpoint(eager=True)
+            .transform(stable_checkpoint)
         )
-        self.frontier = self.frontier.join(
-            winners.select("firstip", "urlhash48"),
-            ["firstip", "urlhash48"], "left_anti").localCheckpoint(eager=True)
+        t = _tlog("host_state", t)
+        # tombstone the emitted keys (winners is checkpointed → this part
+        # is a cheap lazy projection, no frontier re-copy)
+        self.removed_parts.append(winners.select("firstip", "urlhash48"))
+        self.hp_parts.append(
+            winners.groupBy("firstip").agg((-F.count("*")).alias("d")))
 
-        counts = winners.agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("harvest_links").cast("int")).alias("n_harvest")).collect()[0]
-        n_emitted = int(counts["n"] or 0)
+        n_emitted = int(wc["n"] or 0)
+        self.pending_count -= n_emitted
         m = {"round": self.round, "clock_ms": T_ms, "emitted": n_emitted}
 
-        self.round += 1
         # skip the whole enqueue pipeline when no winner harvests links
-        # (saves ~8 empty-DF jobs per round — most rounds in a drain)
-        if counts["n_harvest"]:
+        # (saves ~8 empty-DF jobs per round — most rounds in a drain);
+        # harvest enqueues BEFORE the round counter advances so
+        # round_enqueued matches the oracle spec (discovery round)
+        if wc["n_harvest"]:
             outlinks = (
                 winners.where(F.col("harvest_links"))
                 .join(self.links, winners["url"] == self.links["src_url"])
@@ -285,17 +377,30 @@ class CrawlScheduler:
                     F.lit(False).alias("is_seed"),
                 )
             )
+            t = _tlog("outlink-plan", t)
             m.update(self.enqueue(outlinks))
+            t = _tlog("enqueue", t)
+        self.round += 1
         self.metrics.append(m)
 
-        stats = self.frontier.join(self.host_state, "firstip", "left").agg(
-            F.count("*").alias("pending"),
-            F.min(F.coalesce(F.col("next_ok_ms"), F.lit(0))).alias("min_ok"),
-        ).collect()[0]
-        if stats["pending"] and stats["pending"] > 0:
-            self.clock_ms = max(self.clock_ms, int(stats["min_ok"]))
-        m["pending"] = int(stats["pending"] or 0)
+        # clock advance (oracle step 7): pending row count is exact driver
+        # arithmetic (rows enter via accepted, leave via emission); min_ok
+        # scans only the NARROW per-host delta parts + host_state — never
+        # the full wide frontier
+        m["pending"] = self.pending_count
+        if self.pending_count > 0:
+            hp = self.hp_parts[0]
+            for p in self.hp_parts[1:]:
+                hp = hp.unionByName(p)
+            pend_hosts = hp.groupBy("firstip").agg(F.sum("d").alias("npend")) \
+                           .where(F.col("npend") > 0)
+            min_ok = pend_hosts.join(self.host_state, "firstip", "left").agg(
+                F.min(F.coalesce(F.col("next_ok_ms"), F.lit(0)))).collect()[0][0]
+            self.clock_ms = max(self.clock_ms, int(min_ok or 0))
+        t = _tlog("stats", t)
 
+        self._maybe_compact()
+        t = _tlog("compact", t)
         if self.cfg.checkpoint_every and self.round % self.cfg.checkpoint_every == 0:
             self.checkpoint()
         return n_emitted
@@ -304,8 +409,12 @@ class CrawlScheduler:
         if seeds is not None:
             self.seed(seeds)
         while self.round < max_rounds:
-            if self.run_round() == 0 and not self.metrics[-1]["pending"]:
-                break
+            if self.metrics:
+                if self.metrics[-1].get("pending", 0) == 0:
+                    break  # frontier drained — mirror the oracle's loop exit
+            elif self.n_seen == 0:
+                break      # nothing seeded
+            self.run_round()
         return self.emitted_df()
 
     # ------------------------------------------------------------------ #
@@ -357,7 +466,7 @@ class CrawlScheduler:
         if self.segments is not None:
             tables["bloom_segments"] = self.segments
         meta = {"round": self.round, "clock_ms": self.clock_ms,
-                "metrics": self.metrics,
+                "metrics": self.metrics, "n_seen": self.n_seen,
                 "bloom": {"n_segments": self.cfg.bloom.n_segments,
                           "m_bits": self.cfg.bloom.m_bits}}
         return self.store.commit(self.round, tables, meta)
@@ -370,15 +479,22 @@ class CrawlScheduler:
         if manifest is None:
             raise FileNotFoundError(f"no MANIFEST.json under {state_dir}")
         tbl = sched.store.load_tables(spark, manifest)
-        sched.frontier = tbl["frontier"].localCheckpoint(eager=True)
-        sched.seen = tbl["seen"].localCheckpoint(eager=True)
-        sched.host_state = tbl["host_state"].localCheckpoint(eager=True)
+        sched.frontier_parts = [tbl["frontier"].transform(stable_checkpoint)]
+        sched.removed_parts = []
+        sched.seen_parts = [tbl["seen"].transform(stable_checkpoint)]
+        sched.host_state = tbl["host_state"].transform(stable_checkpoint)
         if "bloom_segments" in tbl:
-            sched.segments = tbl["bloom_segments"].localCheckpoint(eager=True)
+            sched.segments = tbl["bloom_segments"].transform(stable_checkpoint)
         emitted = tbl["emitted"]
         if emitted.columns and not emitted.rdd.isEmpty():
-            sched.emitted_parts = [emitted.select(*EMIT_COLS).localCheckpoint(eager=True)]
+            sched.emitted_parts = [emitted.select(*EMIT_COLS).transform(stable_checkpoint)]
         sched.round = manifest["meta"]["round"]
         sched.clock_ms = manifest["meta"]["clock_ms"]
         sched.metrics = list(manifest["meta"]["metrics"])
+        sched.n_seen = manifest["meta"].get(
+            "n_seen", sched.seen_parts[0].count())
+        sched.hp_parts = [
+            sched.frontier_parts[0].groupBy("firstip")
+            .agg(F.count("*").alias("d")).transform(stable_checkpoint)]
+        sched.pending_count = sched.frontier_parts[0].count()
         return sched

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 OUR_UA = "GigablastOpenSource"
 
@@ -71,30 +71,38 @@ def host_delays(prepped: DataFrame) -> DataFrame:
     return prepped.groupBy("host").agg(F.max("crawl_delay_ms").alias("crawl_delay_ms"))
 
 
-def eval_allowed(urls: DataFrame, prepped: DataFrame) -> DataFrame:
+def group_rules(prepped: DataFrame) -> DataFrame:
+    """One row per host with its UA-group rules as a struct array —
+    computed once per crawl and cached (the RdbCache robots-cache
+    analogue); the per-URL evaluation broadcasts this tiny table."""
+    return prepped.groupBy("host").agg(
+        F.collect_list(F.struct("match_len", "rule_type", "pattern_regex"))
+        .alias("_rules"))
+
+
+def eval_allowed(urls: DataFrame, prepped: DataFrame,
+                 grouped: DataFrame | None = None) -> DataFrame:
     """Attach ``robots_allowed`` to a DF with (host, path, urlhash48).
 
-    broadcast-join rules by host → rlike match → longest-match window.
-    Unmatched / rule-less hosts are allowed.
+    Shuffle-free: the rule table is grouped to ONE row per host (rules as
+    a struct array), broadcast, left-joined, and longest-match precedence
+    is evaluated with JVM array functions (``filter``/``array_sort``) —
+    the whole evaluation stays map-side whatever the frontier size (the
+    100 TB plan: no per-URL shuffle, no window).
     """
-    r = F.broadcast(prepped.withColumnRenamed("host", "r_host"))
-    cand = urls.join(r, urls["host"] == r["r_host"], "left").withColumn(
-        "matched",
-        F.col("pattern_regex").isNotNull()
-        & F.rlike(F.col("path"), F.col("pattern_regex")),
-    )
-    w = Window.partitionBy("host", "urlhash48").orderBy(
-        F.col("matched").desc(),
-        F.col("match_len").desc_nulls_last(),
-        F.col("rule_type").asc_nulls_last(),  # 'allow' < 'disallow'
-    )
-    best = cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
-    return best.withColumn(
-        "robots_allowed",
-        (~F.col("matched").cast("boolean")).cast("boolean")
-        | (F.col("rule_type") == "allow"),
-    ).drop("r_host", "rule_type", "path_prefix", "pattern_regex", "match_len",
-           "crawl_delay_ms", "matched", "_rn")
+    per_host = grouped if grouped is not None else group_rules(prepped)
+    r = F.broadcast(per_host.withColumnRenamed("host", "r_host"))
+    joined = urls.join(r, urls["host"] == r["r_host"], "left")
+    matched = F.filter(
+        F.col("_rules"), lambda x: F.rlike(F.col("path"), x["pattern_regex"]))
+    # best match = longest path_prefix; 'allow' beats 'disallow' on ties
+    # (struct array_sort orders by (neg_len asc, rule_type asc))
+    best = F.array_sort(F.transform(matched, lambda x: F.struct(
+        (-x["match_len"]).alias("neg_len"), x["rule_type"].alias("rule_type"))))
+    allowed = F.when(
+        F.col("r_host").isNull() | (F.size(matched) == 0), F.lit(True)
+    ).otherwise(F.element_at(best, 1)["rule_type"] == F.lit("allow"))
+    return joined.withColumn("robots_allowed", allowed).drop("r_host", "_rules")
 
 
 # --- Pure-Python mirror (oracle simulator) ------------------------------------

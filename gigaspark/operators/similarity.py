@@ -101,6 +101,32 @@ def rp_signatures(vecs: DataFrame, n_planes: int = 8, dim: int = 64) -> DataFram
     return vecs.select("vec_id", sig.alias("sig"))
 
 
+def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
+                            n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a_id, b_id, cos) with
+    a_id < b_id and cos ≥ threshold, candidates limited to identical
+    random-hyperplane signature buckets (the dedup-by-embedding mandate;
+    clusterdb-style similarity collapse, ``Msg40.cpp`` dedup pass [U][M]).
+
+    Scale: the self-join keys on the signature — near-identical vectors
+    agree on every plane's sign with probability 1 − θ/π per plane, so at
+    high thresholds recall ≈ 1 while each bucket holds ~corpus/2^n_planes
+    vectors; cosine is exact-integer within buckets (oracle contract).
+    """
+    sig = rp_signatures(corpus, n_planes, dim)
+    v = (corpus.join(sig, "vec_id")
+         .select("vec_id", "sig", quantize(F.col("embedding")).alias("v")))
+    a = v.select(F.col("vec_id").alias("a_id"), "sig", F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("b_id"), "sig", F.col("v").alias("vb"))
+    return (
+        a.join(b, "sig")
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 8, dim: int = 64) -> DataFrame:
     """Bucketed ANN: score only corpus vectors whose signature equals the

@@ -13,6 +13,36 @@ import os
 from pyspark.sql import SparkSession
 
 
+def stable_checkpoint(df):
+    """``localCheckpoint(eager=True)`` + rewrap as a stats-clean leaf.
+
+    ``Dataset.localCheckpoint`` preserves the origin plan's estimated
+    statistics on the resulting ``LogicalRDD``.  In an iterative driver
+    loop (the crawl rounds) those estimates COMPOUND: every join
+    multiplies child sizeInBytes, the product is carried through the
+    next checkpoint, and after ~10 rounds the BigInt bit-length grows
+    exponentially — Catalyst then spends minutes inside
+    ``BigInteger.multiplyKaratsuba`` during size-only stats estimation
+    (observed: 100 s/round on 20-row inputs).  Re-wrapping the already
+    materialized checkpoint RDD drops the origin stats, so every round
+    starts from constant-size leaf estimates.
+
+    Falls back to the plain checkpoint if the JVM-internal constructor
+    is unavailable.
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    spark = df.sparkSession
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        njdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return _DF(njdf, spark)
+    except Exception:  # pragma: no cover — private-API guard
+        return ck
+
+
 def get_spark(
     app: str = "gigaspark",
     cores: int | None = None,
