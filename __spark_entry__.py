@@ -1059,6 +1059,134 @@ FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id
 
 
 # =========================================================================== #
+# query tier: posting lists + boolean/phrase retrieval (Posdb/Msg39/TopTree)  #
+# =========================================================================== #
+
+# DuckDB postings CTE — mirrors search.build_postings (distinct term/doc/pos)
+_POSTINGS_CTE = """
+toks AS (
+  SELECT doc_id, regexp_split_to_array(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+idxp AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+  FROM toks WHERE len(w) >= 1),
+p AS (
+  SELECT DISTINCT doc_id, i - 1 AS pos, w[i] AS term
+  FROM idxp WHERE w[i] <> ''),
+dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY term),
+ranked AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM dfr)"""
+
+
+def _query_terms(spark, sf_dir, lo: int, hi: int):
+    """Deterministic query terms: document-frequency ranks lo..hi
+    (df desc, term asc) — both engines derive the identical list."""
+    from gigaspark.operators.search import build_postings
+
+    postings = build_postings(_t(spark, sf_dir, "documents"))
+    dfr = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    terms = (dfr.withColumn("r", F.row_number().over(w))
+             .where((F.col("r") >= lo) & (F.col("r") <= hi)).select("term"))
+    return postings, terms
+
+
+def q_search_and(spark, sf_dir):
+    """T4/§3.2 — AND retrieval: docs containing ALL of the df-rank-3..4
+    terms, scored by Σtf, top-10 (PosdbTable intersect + TopTree [U][H])."""
+    from gigaspark.operators.search import search_and
+
+    postings, terms = _query_terms(spark, sf_dir, 3, 4)
+    return search_and(postings, terms, k=10)
+
+
+SQL_SEARCH_AND = f"""
+WITH {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r BETWEEN 3 AND 4),
+tf AS (SELECT p.term, doc_id, count(*) AS tf FROM p JOIN q USING (term)
+       GROUP BY p.term, doc_id)
+SELECT doc_id, score FROM (
+  SELECT doc_id, count(*) AS nm, sum(tf) AS score FROM tf GROUP BY doc_id)
+WHERE nm = (SELECT count(*) FROM q)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_search_or_not(spark, sf_dir):
+    """T4 — (rank-5..8 terms OR'd) AND NOT rank-1 term: union + anti-join
+    (Query.cpp boolean tree [U][H])."""
+    from gigaspark.operators.search import search_not
+
+    postings, include = _query_terms(spark, sf_dir, 5, 8)
+    _, exclude = _query_terms(spark, sf_dir, 1, 1)
+    return search_not(postings, include, exclude, k=10)
+
+
+SQL_SEARCH_OR_NOT = f"""
+WITH {_POSTINGS_CTE},
+inc AS (SELECT term FROM ranked WHERE r BETWEEN 5 AND 8),
+exc AS (SELECT term FROM ranked WHERE r = 1),
+hits AS (
+  SELECT doc_id, sum(tf) AS score FROM (
+    SELECT p.term, doc_id, count(*) AS tf FROM p JOIN inc USING (term)
+    GROUP BY p.term, doc_id) GROUP BY doc_id),
+ban AS (SELECT DISTINCT doc_id FROM p JOIN exc USING (term))
+SELECT doc_id, score FROM hits
+WHERE doc_id NOT IN (SELECT doc_id FROM ban)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_search_phrase(spark, sf_dir):
+    """Posdb position-delta phrase match: the corpus's most frequent
+    bigram (count desc, terms asc — deterministic), occurrence-counted
+    per doc, top-10."""
+    from gigaspark.operators.search import build_postings, search_phrase
+
+    postings = build_postings(_t(spark, sf_dir, "documents")).cache()
+    a = postings.select("doc_id", F.col("pos").alias("pa"), F.col("term").alias("ta"))
+    b = postings.select("doc_id", F.col("pos").alias("pb"), F.col("term").alias("tb"))
+    top = (a.join(b, "doc_id").where(F.col("pb") == F.col("pa") + 1)
+           .groupBy("ta", "tb").agg(F.count("*").alias("c"))
+           .orderBy(F.col("c").desc(), F.col("ta").asc(), F.col("tb").asc())
+           .limit(1).collect()[0])
+    return search_phrase(postings, top["ta"], top["tb"], k=10)
+
+
+SQL_SEARCH_PHRASE = f"""
+WITH {_POSTINGS_CTE},
+big AS (
+  SELECT a.term AS ta, b.term AS tb, count(*) AS c
+  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term),
+top1 AS (SELECT ta, tb FROM big ORDER BY c DESC, ta ASC, tb ASC LIMIT 1)
+SELECT a.doc_id, count(*) AS n_occurrences
+FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+JOIN top1 ON a.term = top1.ta AND b.term = top1.tb
+GROUP BY a.doc_id
+ORDER BY n_occurrences DESC, a.doc_id ASC LIMIT 10
+"""
+
+
+def q_postings_tf(spark, sf_dir):
+    """Posdb posting-list parity: (term, doc_id, tf) rows for the
+    df-rank-3..5 terms (Msg39 partial-agg shape)."""
+    from gigaspark.operators.search import term_freqs
+
+    postings, terms = _query_terms(spark, sf_dir, 3, 5)
+    return term_freqs(postings.join(F.broadcast(terms), "term", "semi"))
+
+
+SQL_POSTINGS_TF = f"""
+WITH {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r BETWEEN 3 AND 5)
+SELECT p.term, doc_id, count(*) AS tf FROM p JOIN q USING (term)
+GROUP BY p.term, doc_id
+"""
+
+
+# =========================================================================== #
 # multimodal plumbing (no SQL oracle — binary decode is not SQL-expressible)  #
 # =========================================================================== #
 
@@ -1155,6 +1283,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "search_and_topk": q_search_and,
+        "search_or_not_topk": q_search_or_not,
+        "search_phrase_topk": q_search_phrase,
+        "postings_tf": q_postings_tf,
         "multimodal_features": q_multimodal_features,
         "crawl_round": q_crawl_round,
     }
@@ -1198,5 +1330,9 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _sql_langid(),
         "token_counts": SQL_TOKENS,
         "doc_fingerprint": SQL_FINGERPRINT,
+        "search_and_topk": SQL_SEARCH_AND,
+        "search_or_not_topk": SQL_SEARCH_OR_NOT,
+        "search_phrase_topk": SQL_SEARCH_PHRASE,
+        "postings_tf": SQL_POSTINGS_TF,
         # multimodal_features, crawl_round: non-SQL-expressible → rows-only
     }

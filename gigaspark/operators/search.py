@@ -1,0 +1,138 @@
+"""Query-tier retrieval: posting lists, boolean search, phrase match,
+ranked top-k (SURVEY §2.6 T4, §3.2).
+
+Reference: Gigablast's index is Posdb — 18-byte keys ``termId(48) ‖
+docId(38) ‖ rank-fields ‖ position(18)`` (``Posdb.h`` key comment block
+[U][H]); a query intersects the terms' docid-ordered posting lists
+(``PosdbTable::intersectLists10_r`` [U][H], ~7k LoC of hand-rolled
+k-way merge + bitvector logic), scores hits, and keeps a bounded top-k
+(``TopTree.cpp`` [U][H]).  Phrase matching uses the position field
+deltas.  ``Msg39`` runs the intersect per shard, ``Msg3a`` merges the
+per-shard top-k (partial/final — Spark's agg model exactly).
+
+Spark-first re-expression — every operator is built-in joins/aggs that
+Catalyst plans as partial/final or broadcast stages; no custom merge
+code:
+
+  * :func:`build_postings`    — posexplode of normalized tokens →
+                                ``(term, doc_id, pos)``; shuffle keys
+                                are (term, doc_id) — posting lists are
+                                co-located by term exactly like Posdb's
+                                termId sharding (``Hostdb::getShardNum``)
+  * :func:`term_freqs`        — ``(term, doc_id, tf)`` partial/final agg
+  * :func:`search_and`        — AND = n-way docid semi-intersection via
+                                groupBy(doc_id) count == n_terms
+                                (set-intersection as an aggregate: one
+                                shuffle, no join ladder)
+  * :func:`search_or`         — OR = union ≡ the same agg with count ≥ 1
+  * :func:`search_not`        — NOT = left-anti join on docid
+  * :func:`search_phrase`     — position-adjacency self-join
+                                (pos_b = pos_a + 1), the Posdb
+                                position-delta trick
+  * top-k: ``orderBy(score desc, doc_id).limit(k)`` →
+    TakeOrderedAndProject — the TopTree analogue, partial per partition
+    then final on the driver, which IS Msg39→Msg3a.
+
+Scoring: integer tf sum (deterministic, SQL-portable; relevance-polynomial
+parity with Gigablast's rank bitfields is out of scope — pinned deviation).
+
+Scale: a term's posting list can be huge (stopwords) — the AND/OR agg
+shuffles by doc_id (uniform), never by term, so hot terms spread across
+partitions; the phrase join keys on (doc_id) with both sides pre-filtered
+to the two phrase terms — bounded by the rarer term's df.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from gigaspark.functions.text import norm_text
+
+
+def tokenize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, term): whitespace tokens of normalized text with
+    0-based positions (the Posdb position field)."""
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    return (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "term"))
+        .where(F.col("term") != "")
+    )
+
+
+def build_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Posdb build: distinct (term, doc_id, pos) rows, term-keyed."""
+    return tokenize(docs, text_col).select("term", "doc_id", "pos").distinct()
+
+
+def term_freqs(postings: DataFrame) -> DataFrame:
+    """(term, doc_id, tf) — partial/final count agg (Msg39 partial shape)."""
+    return postings.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+
+
+def _tf_for_terms(postings: DataFrame, terms: DataFrame) -> DataFrame:
+    """tf rows restricted to the query terms (broadcast semi-join)."""
+    return term_freqs(postings.join(F.broadcast(terms), "term", "semi"))
+
+
+def search_and(postings: DataFrame, terms: DataFrame, k: int = 10) -> DataFrame:
+    """Docs containing ALL query terms, scored by Σtf, top-k.
+
+    ``terms``: single-column ``term`` DataFrame (the parsed query).
+    Intersection-as-aggregate: count distinct matched terms per doc and
+    keep docs matching every term — one doc_id shuffle regardless of the
+    number of terms (PosdbTable's k-way intersect, Catalyst-planned).
+    """
+    n_terms = terms.distinct().count()
+    tf = _tf_for_terms(postings, terms)
+    return (
+        tf.groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"), F.sum("tf").alias("score"))
+        .where(F.col("n_matched") == F.lit(n_terms))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+def search_or(postings: DataFrame, terms: DataFrame, k: int = 10) -> DataFrame:
+    """Docs containing ANY query term, scored by Σtf, top-k."""
+    tf = _tf_for_terms(postings, terms)
+    return (
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+def search_not(postings: DataFrame, include: DataFrame, exclude: DataFrame,
+               k: int = 10) -> DataFrame:
+    """(ANY include-term) AND NOT (any exclude-term): anti-join on docid
+    (Query.cpp boolean NOT [U][H])."""
+    hits = _tf_for_terms(postings, include).groupBy("doc_id").agg(
+        F.sum("tf").alias("score"))
+    ban = postings.join(F.broadcast(exclude), "term", "semi") \
+                  .select("doc_id").distinct()
+    return (
+        hits.join(ban, "doc_id", "left_anti")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+def search_phrase(postings: DataFrame, term_a: Column | str,
+                  term_b: Column | str, k: int = 10) -> DataFrame:
+    """Exact 2-gram phrase "a b": position-adjacency join (pos+1), count
+    of phrase occurrences as the score, top-k."""
+    ta = term_a if isinstance(term_a, Column) else F.lit(term_a)
+    tb = term_b if isinstance(term_b, Column) else F.lit(term_b)
+    a = postings.where(F.col("term") == ta).select("doc_id", F.col("pos").alias("pa"))
+    b = postings.where(F.col("term") == tb).select("doc_id", F.col("pos").alias("pb"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("pb") == F.col("pa") + 1)
+        .groupBy("doc_id").agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
