@@ -704,7 +704,9 @@ def q_lsh_jaccard_pairs(spark, sf_dir):
         doc_shingles, lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs)
 
     docs = _t(spark, sf_dir, "documents")
-    sh = doc_shingles(docs, k=3)
+    # the shingle table feeds BOTH the signature build and the exact
+    # verification — materialize once (RdbCache-style reuse)
+    sh = doc_shingles(docs, k=3).persist()
     sigs = minhash_signatures(sh, n_perm=8)
     pairs = lsh_candidate_pairs(sigs, n_bands=4)
     return ngram_jaccard_pairs(sh, pairs, threshold=0.5)
@@ -1186,6 +1188,62 @@ GROUP BY p.term, doc_id
 """
 
 
+def q_siterank_inlinks(spark, sf_dir):
+    """J4/Tagdb — siteNumInlinks → siteRank (Tagdb sitenuminlinks tag +
+    XmlDoc siterank bucketing [U][M]): link edges derived from lineitem
+    (orderkey→partkey), inlink count per target, log2 rank buckets."""
+    li = _t(spark, sf_dir, "lineitem")
+    links = li.select(F.col("l_orderkey").alias("src"),
+                      F.col("l_partkey").alias("dst")).distinct()
+    return (
+        links.groupBy("dst").agg(F.count("*").alias("n_inlinks"))
+        .withColumn("siterank", F.floor(F.log2(F.col("n_inlinks") + 1)).cast("int"))
+        .select(F.col("dst").alias("site"), "n_inlinks", "siterank")
+    )
+
+
+SQL_SITERANK = """
+SELECT dst AS site, count(*) AS n_inlinks,
+       floor(log2(count(*) + 1))::INT AS siterank
+FROM (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem)
+GROUP BY dst
+"""
+
+
+def q_snippet_extract(spark, sf_dir):
+    """Msg20-style result summaries: a 60-char snippet window around the
+    first whole-word occurrence of the corpus's df-rank-3 term in
+    normalized text (Msg20.cpp summaries [U][M]); pure Column exprs."""
+    from gigaspark.functions.text import norm_text
+
+    _, terms = _query_terms(spark, sf_dir, 3, 3)
+    d = _t(spark, sf_dir, "documents")
+    j = d.crossJoin(F.broadcast(terms))
+    padded = F.concat(F.lit(" "), norm_text(F.col("text")), F.lit(" "))
+    needle = F.concat(F.lit(" "), F.col("term"), F.lit(" "))
+    j = (j.withColumn("_p", padded)
+         .withColumn("pos", F.expr("instr(_p, concat(' ', term, ' '))")))
+    return (
+        j.where(F.col("pos") > 0)
+        .withColumn("snippet", F.expr("substr(_p, greatest(1, pos - 30), 60)"))
+        .select("doc_id", "term", "pos", "snippet")
+    )
+
+
+SQL_SNIPPET = f"""
+WITH {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r = 3),
+d AS (SELECT doc_id,
+        ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' '
+        AS _p FROM documents)
+SELECT doc_id, term, strpos(_p, ' ' || term || ' ') AS pos,
+       substr(_p, greatest(1, strpos(_p, ' ' || term || ' ') - 30), 60)
+         AS snippet
+FROM d CROSS JOIN q
+WHERE strpos(_p, ' ' || term || ' ') > 0
+"""
+
+
 # =========================================================================== #
 # multimodal plumbing (no SQL oracle — binary decode is not SQL-expressible)  #
 # =========================================================================== #
@@ -1287,6 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_or_not_topk": q_search_or_not,
         "search_phrase_topk": q_search_phrase,
         "postings_tf": q_postings_tf,
+        "siterank_inlinks": q_siterank_inlinks,
+        "snippet_extract": q_snippet_extract,
         "multimodal_features": q_multimodal_features,
         "crawl_round": q_crawl_round,
     }
@@ -1334,5 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         "search_or_not_topk": SQL_SEARCH_OR_NOT,
         "search_phrase_topk": SQL_SEARCH_PHRASE,
         "postings_tf": SQL_POSTINGS_TF,
+        "siterank_inlinks": SQL_SITERANK,
+        "snippet_extract": SQL_SNIPPET,
         # multimodal_features, crawl_round: non-SQL-expressible → rows-only
     }
