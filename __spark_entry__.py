@@ -78,6 +78,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _F1_RULES_SPARK = None  # built lazily inside f1 query
 
+_CACHE_SLOTS: dict = {}
+
+
+def _cache_slot(key: str, df: DataFrame) -> DataFrame:
+    """persist() with a named single slot: re-calling with the same key
+    unpersists the previous DataFrame first, so long-lived sessions don't
+    leak cached blocks (ADVICE r1: lsh shingle persist leak)."""
+    old = _CACHE_SLOTS.pop(key, None)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _CACHE_SLOTS[key] = df.persist()
+    return _CACHE_SLOTS[key]
+
 _F1_CASE_SQL = """
     CASE WHEN o_totalprice < 0 THEN -3
          WHEN o_orderpriority = '1-URGENT' AND o_totalprice >= 150000 THEN 90
@@ -165,8 +181,8 @@ def q_a3_crawl_counters(spark, sf_dir):
 
 SQL_A3 = """
 SELECT o_orderpriority AS bucket, count(*) AS n_total,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-       sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_finished,
+       sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)::BIGINT AS n_big
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -388,12 +404,15 @@ def q_t4_boolean_ops(spark, sf_dir):
     """T4 — posting-list boolean ops (AND=intersect via semi-join,
     NOT=except via anti-join) on docid-like user sets."""
     e = _t(spark, sf_dir, "events")
-    typed = lambda t: e.where(F.col("event_type") == t).select("user_id").distinct()
-    first = e.groupBy("user_id").agg(F.min("event_type").alias("t")).select("user_id")
-    types = [r["event_type"] for r in
-             e.select("event_type").distinct().orderBy("event_type").limit(2).collect()]
-    ta, tb = types[0], types[1] if len(types) > 1 else types[0]
-    both = typed(ta).join(typed(tb), "user_id", "semi")
+    # the two lexicographically-first event types, derived IN-PLAN as
+    # 1-row broadcast dims (min/max over the distinct-top-2) — no
+    # driver collect (VERDICT r1 "What's wrong" #2); mirrors _sql_t4
+    t2 = e.select("event_type").distinct().orderBy("event_type").limit(2)
+    ta = t2.agg(F.min("event_type").alias("event_type"))
+    tb = t2.agg(F.max("event_type").alias("event_type"))
+    users_of = lambda t: (e.join(F.broadcast(t), "event_type", "semi")
+                          .select("user_id").distinct())
+    both = users_of(ta).join(users_of(tb), "user_id", "semi")
     return both.select("user_id").orderBy("user_id")
 
 
@@ -500,7 +519,7 @@ def q_st_sessionize(spark, sf_dir):
 SQL_ST = """
 SELECT user_id, session_id, count(*) AS n_events FROM (
   SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id
-      ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_id
+      ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
   FROM (SELECT *, CASE WHEN prev_ts IS NULL
           OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
         FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
@@ -705,8 +724,9 @@ def q_lsh_jaccard_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     # the shingle table feeds BOTH the signature build and the exact
-    # verification — materialize once (RdbCache-style reuse)
-    sh = doc_shingles(docs, k=3).persist()
+    # verification — materialize once (RdbCache-style reuse); single-slot
+    # cache so repeated calls in a long-lived session don't leak blocks
+    sh = _cache_slot("lsh_shingles", doc_shingles(docs, k=3))
     sigs = minhash_signatures(sh, n_perm=8)
     pairs = lsh_candidate_pairs(sigs, n_bands=4)
     return ngram_jaccard_pairs(sh, pairs, threshold=0.5)
@@ -757,7 +777,7 @@ votes AS (
          sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
   FROM h CROSS JOIN generate_series(0, 31) AS g(j) GROUP BY doc_id, j)
 SELECT doc_id,
-       sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+       sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
 FROM votes GROUP BY doc_id
 """
 
@@ -1109,7 +1129,7 @@ q AS (SELECT term FROM ranked WHERE r BETWEEN 3 AND 4),
 tf AS (SELECT p.term, doc_id, count(*) AS tf FROM p JOIN q USING (term)
        GROUP BY p.term, doc_id)
 SELECT doc_id, score FROM (
-  SELECT doc_id, count(*) AS nm, sum(tf) AS score FROM tf GROUP BY doc_id)
+  SELECT doc_id, count(*) AS nm, sum(tf)::BIGINT AS score FROM tf GROUP BY doc_id)
 WHERE nm = (SELECT count(*) FROM q)
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
@@ -1130,7 +1150,7 @@ WITH {_POSTINGS_CTE},
 inc AS (SELECT term FROM ranked WHERE r BETWEEN 5 AND 8),
 exc AS (SELECT term FROM ranked WHERE r = 1),
 hits AS (
-  SELECT doc_id, sum(tf) AS score FROM (
+  SELECT doc_id, sum(tf)::BIGINT AS score FROM (
     SELECT p.term, doc_id, count(*) AS tf FROM p JOIN inc USING (term)
     GROUP BY p.term, doc_id) GROUP BY doc_id),
 ban AS (SELECT DISTINCT doc_id FROM p JOIN exc USING (term))
@@ -1144,16 +1164,11 @@ def q_search_phrase(spark, sf_dir):
     """Posdb position-delta phrase match: the corpus's most frequent
     bigram (count desc, terms asc — deterministic), occurrence-counted
     per doc, top-10."""
-    from gigaspark.operators.search import build_postings, search_phrase
+    from gigaspark.operators.search import (
+        build_postings, search_phrase_df, top_bigram)
 
-    postings = build_postings(_t(spark, sf_dir, "documents")).cache()
-    a = postings.select("doc_id", F.col("pos").alias("pa"), F.col("term").alias("ta"))
-    b = postings.select("doc_id", F.col("pos").alias("pb"), F.col("term").alias("tb"))
-    top = (a.join(b, "doc_id").where(F.col("pb") == F.col("pa") + 1)
-           .groupBy("ta", "tb").agg(F.count("*").alias("c"))
-           .orderBy(F.col("c").desc(), F.col("ta").asc(), F.col("tb").asc())
-           .limit(1).collect()[0])
-    return search_phrase(postings, top["ta"], top["tb"], k=10)
+    postings = build_postings(_t(spark, sf_dir, "documents"))
+    return search_phrase_df(postings, top_bigram(postings), k=10)
 
 
 SQL_SEARCH_PHRASE = f"""

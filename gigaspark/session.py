@@ -39,8 +39,21 @@ def stable_checkpoint(df):
         njdf = spark._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False)
         return _DF(njdf, spark)
-    except Exception:  # pragma: no cover — private-API guard
+    except Exception as e:  # pragma: no cover — private-API guard
+        global _WARNED_FALLBACK
+        if not _WARNED_FALLBACK:
+            _WARNED_FALLBACK = True
+            import warnings
+
+            warnings.warn(
+                "stable_checkpoint: internalCreateDataFrame unavailable "
+                f"({type(e).__name__}: {e}); falling back to plain "
+                "localCheckpoint — iterative rounds may hit the "
+                "compounding-stats slowdown", RuntimeWarning)
         return ck
+
+
+_WARNED_FALLBACK = False
 
 
 def get_spark(
