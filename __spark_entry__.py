@@ -909,9 +909,10 @@ SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.98
 def q_fetch_validate(spark, sf_dir):
     """S4/J8/C8 — simulated fetch + the per-row payload invariant
     (BASELINE.json input_hint): schedule rows join their image payload,
-    decoded pixels vs golden (exact lossless / PSNR≥40dB lossy qnt),
-    captions equal.  The oracle states the expected outcome (all pass)
-    over the same deterministic id/format lattice."""
+    decoded pixels vs golden (exact for lossless ppm/png; PSNR≥40dB for
+    lossy qnt AND real baseline JPEG via the pure-numpy T.81 codec).
+    The oracle states the expected outcome (all pass) over the same
+    deterministic id/format lattice."""
     import numpy as np
 
     from gigaspark.functions.images import FORMATS, encode_image
@@ -921,7 +922,7 @@ def q_fetch_validate(spark, sf_dir):
     for i in range(90):
         rng = np.random.default_rng(2000 + i)
         pix = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
-        fmt = FORMATS[i % 3]
+        fmt = FORMATS[i % len(FORMATS)]
         img_rows.append((f"img{i:04d}", bytearray(encode_image(fmt, pix)),
                          12, 12, fmt, f"caption {i}", bytearray(pix.tobytes())))
         pi_rows.append((f"http://h{i % 9}.example/p/{i}", f"img{i:04d}"))
@@ -946,7 +947,7 @@ def q_fetch_validate(spark, sf_dir):
 SQL_FETCH_VALIDATE = """
 SELECT 'http://h' || (i % 9)::VARCHAR || '.example/p/' || i::VARCHAR AS url,
        'img' || lpad(i::VARCHAR, 4, '0') AS image_id,
-       (['ppm', 'png', 'qnt'])[i % 3 + 1] AS fmt,
+       (['ppm', 'png', 'qnt', 'jpg'])[i % 4 + 1] AS fmt,
        true AS pixels_ok, true AS caption_ok
 FROM generate_series(0, 89) AS g(i)
 """
@@ -1225,6 +1226,65 @@ GROUP BY dst
 """
 
 
+def q_respider_due(spark, sf_dir):
+    """Respider eligibility (J1 ⋈ W4 → due decision, Spider.cpp::
+    scanSpiderdb re-eval [U][H]): latest reply per URL (events as fetch
+    history), percentchangedperday from the reply, adaptive
+    spider_freq_days assigned by the REAL url-filter rule engine
+    (percentchangedperday>= rules — the same when-chain the crawl loop
+    compiles), due time, and the due-now decision vs a data-derived
+    virtual now (max fetch time + 7 days)."""
+    from gigaspark.operators.url_filters import apply_url_filters, rules_from_rows
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = (
+        e.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("last_ts"), "event_id")
+    )
+    reqs = latest.withColumn(
+        "percentchangedperday", (F.col("event_id") % 101).cast("int"))
+    mk = lambda i, expr, freq: {
+        "rule_idx": i, "expression": expr, "priority": 50,
+        "spider_freq_days": freq, "max_spiders_per_ip": 1,
+        "same_ip_wait_ms": 0, "harvest_links": False, "force_delete": False}
+    rules = rules_from_rows([
+        mk(0, "percentchangedperday>=60", 1.0),
+        mk(1, "percentchangedperday>=25", 7.0),
+        mk(2, "default", 30.0),
+    ])
+    now = e.agg((F.max(F.unix_timestamp("ts")) + F.lit(7 * 86400)).alias("t_now"))
+    out = apply_url_filters(reqs, rules).crossJoin(F.broadcast(now))
+    return out.select(
+        F.col("user_id").alias("url_id"),
+        "percentchangedperday",
+        F.col("spider_freq_days").cast("int").alias("freq_days"),
+        (F.unix_timestamp("last_ts")
+         + (F.col("spider_freq_days") * 86400).cast("long")).alias("due_s"),
+        ((F.unix_timestamp("last_ts")
+          + (F.col("spider_freq_days") * 86400).cast("long"))
+         <= F.col("t_now")).alias("due_now"),
+    )
+
+
+SQL_RESPIDER = """
+WITH latest AS (
+  SELECT user_id, ts AS last_ts, event_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1),
+r AS (
+  SELECT user_id, last_ts, (event_id % 101)::INT AS pct,
+         CASE WHEN event_id % 101 >= 60 THEN 1
+              WHEN event_id % 101 >= 25 THEN 7 ELSE 30 END AS freq_days
+  FROM latest),
+now_t AS (SELECT max(floor(epoch(ts)))::BIGINT + 7*86400 AS t_now FROM events)
+SELECT user_id AS url_id, pct AS percentchangedperday, freq_days::INT AS freq_days,
+       floor(epoch(last_ts))::BIGINT + freq_days * 86400 AS due_s,
+       (floor(epoch(last_ts))::BIGINT + freq_days * 86400) <= t_now AS due_now
+FROM r CROSS JOIN now_t
+"""
+
+
 def q_snippet_extract(spark, sf_dir):
     """Msg20-style result summaries: a 60-char snippet window around the
     first whole-word occurrence of the corpus's df-rank-3 term in
@@ -1284,16 +1344,20 @@ def q_multimodal_features(spark, sf_dir):
 
 def q_crawl_round(spark, sf_dir):
     """One full frontier round (seed → filters → robots → politeness
-    winner window → slot times) over URLs derived from sf orders; the
-    crawl loop itself is validated against the pure-Python oracle in
-    tests/test_frontier.py (rows-only check here)."""
+    winner window → slot times) over URLs derived from sf orders,
+    run through the REAL CrawlScheduler and compared against a plain-SQL
+    DuckDB oracle (SQL_CRAWL_ROUND).  Oracle-compatible by construction:
+    added_ms = o_orderkey is globally unique, so no ordering tie ever
+    reaches the (DuckDB-inexpressible) xxhash64 tie-break columns, which
+    are projected out of the result.  The multi-round loop is separately
+    golden-tested in tests/test_frontier.py."""
     from gigaspark.operators.frontier import CrawlConfig, CrawlScheduler
 
-    orders = _t(spark, sf_dir, "orders").limit(3000)
+    orders = _t(spark, sf_dir, "orders")
     seeds = orders.select(
         F.concat(F.lit("http://host"), (F.col("o_custkey") % 211).cast("string"),
                  F.lit(".example/p/"), F.col("o_orderkey").cast("string")).alias("url"),
-        (F.col("o_orderkey") % 1000).alias("added_time_ms"),
+        F.col("o_orderkey").alias("added_time_ms"),
         F.lit(True).alias("is_seed"))
     fixtures = {
         "url_filters": spark.createDataFrame(
@@ -1311,7 +1375,35 @@ def q_crawl_round(spark, sf_dir):
     sched = CrawlScheduler(spark, fixtures, CrawlConfig(use_bloom=True))
     sched.seed(seeds)
     sched.run_round()
-    return sched.emitted_df()
+    return sched.emitted_df().select(
+        "seq", "round", "scheduled_time_ms", "priority", "added_ms",
+        "url", "host", "hopcount")
+
+
+SQL_CRAWL_ROUND = """
+WITH seeds AS (
+  SELECT 'http://host' || (o_custkey % 211)::VARCHAR || '.example/p/'
+           || o_orderkey::VARCHAR AS url,
+         'host' || (o_custkey % 211)::VARCHAR || '.example' AS host,
+         o_orderkey::BIGINT AS added_ms
+  FROM orders),
+ranked AS (  -- A1 winner window: priority all 80 (isseed), unique added_ms
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY added_ms ASC) AS rn
+  FROM seeds),
+winners AS (  -- k_host = max_spiders_per_ip(isseed) = 2; politeness gap =
+              -- fetch(100) + max(same_ip_wait 100, robots crawl_delay)
+  SELECT url, host, added_ms,
+         (100 + greatest(100, CASE WHEN host = 'host1.example'
+                                   THEN 500 ELSE 0 END))::BIGINT AS gap_ms,
+         rn
+  FROM ranked WHERE rn <= 2)
+SELECT (row_number() OVER (ORDER BY scheduled_time_ms ASC, added_ms ASC)
+          - 1)::BIGINT AS seq,
+       0::INT AS round, scheduled_time_ms, 80::INT AS priority, added_ms,
+       url, host, 0::INT AS hopcount
+FROM (SELECT url, host, added_ms, ((rn - 1) * gap_ms)::BIGINT AS scheduled_time_ms
+      FROM winners)
+"""
 
 
 # =========================================================================== #
@@ -1362,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_tf": q_postings_tf,
         "siterank_inlinks": q_siterank_inlinks,
         "snippet_extract": q_snippet_extract,
+        "respider_due": q_respider_due,
         "multimodal_features": q_multimodal_features,
         "crawl_round": q_crawl_round,
     }
@@ -1411,5 +1504,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_tf": SQL_POSTINGS_TF,
         "siterank_inlinks": SQL_SITERANK,
         "snippet_extract": SQL_SNIPPET,
-        # multimodal_features, crawl_round: non-SQL-expressible → rows-only
+        "respider_due": SQL_RESPIDER,
+        "crawl_round": SQL_CRAWL_ROUND,
+        # multimodal_features: non-SQL-expressible (binary decode) → rows-only
     }

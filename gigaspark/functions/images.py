@@ -5,17 +5,20 @@ TitleRec [U][M] (SURVEY §2.8 C8).  The graft's per-row invariant
 (BASELINE.json input_hint) is: decoded fetched bytes ≈ golden pixels
 (PSNR ≥ 40 dB for lossy formats, exact for lossless) + caption equality.
 
-No PIL in this sandbox (SURVEY §7.4.3), so fixtures use three formats we
+No PIL in this sandbox (SURVEY §7.4.3), so fixtures use four formats we
 can encode/decode with numpy+zlib alone:
 
   * ``ppm`` — binary P6, lossless
   * ``png`` — real PNG (8-bit RGB, filter 0, zlib), lossless; decodable
     by any standard viewer — the encoder/decoder here is a minimal but
     spec-conformant subset (we only emit filter type 0)
-  * ``qnt`` — deterministic lossy stand-in for JPEG: 6-bit/channel
-    quantization (q = v >> 2, reconstruct q*4+2 → MSE ≈ 1.5 →
-    PSNR ≈ 46 dB), zlib-compressed.  Exercises the lossy PSNR path
-    genuinely (documented deviation: real JPEG needs vendored Pillow).
+  * ``qnt`` — deterministic lossy 6-bit/channel quantization
+    (q = v >> 2, reconstruct q*4+2 → MSE ≈ 1.5 → PSNR ≈ 46 dB),
+    zlib-compressed
+  * ``jpg`` — REAL baseline JPEG (ITU T.81, 4:4:4, Annex K tables) via
+    the pure-numpy codec in :mod:`gigaspark.functions.jpeg`; encoded at
+    quality 98 so even uniform-noise fixtures clear the PSNR≥40dB
+    invariant (measured ≈43.6 dB on noise, ≥60 dB on natural gradients).
 
 All functions operate on whole numpy arrays; the Spark-side entry point
 is an Arrow-batched pandas UDF (see operators/fetch.py) — no per-row
@@ -29,7 +32,7 @@ import zlib
 
 import numpy as np
 
-FORMATS = ("ppm", "png", "qnt")
+FORMATS = ("ppm", "png", "qnt", "jpg")
 LOSSLESS = {"ppm", "png"}
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -115,8 +118,20 @@ def decode_qnt(data: bytes) -> np.ndarray:
     return (q.astype(np.uint16) * 4 + 2).clip(0, 255).astype(np.uint8)
 
 
-_ENC = {"ppm": encode_ppm, "png": encode_png, "qnt": encode_qnt}
-_DEC = {"ppm": decode_ppm, "png": decode_png, "qnt": decode_qnt}
+def _encode_jpg(pix: np.ndarray) -> bytes:
+    from gigaspark.functions.jpeg import encode_jpeg
+    return encode_jpeg(pix, quality=98)
+
+
+def _decode_jpg(data: bytes) -> np.ndarray:
+    from gigaspark.functions.jpeg import decode_jpeg
+    return decode_jpeg(data)
+
+
+_ENC = {"ppm": encode_ppm, "png": encode_png, "qnt": encode_qnt,
+        "jpg": _encode_jpg, "jpeg": _encode_jpg}
+_DEC = {"ppm": decode_ppm, "png": decode_png, "qnt": decode_qnt,
+        "jpg": _decode_jpg, "jpeg": _decode_jpg}
 
 
 def encode_image(fmt: str, pix: np.ndarray) -> bytes:

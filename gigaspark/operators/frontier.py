@@ -58,6 +58,7 @@ def _tlog(label: str, t0: float) -> float:
     return time.time()
 
 FETCH_MS = 100
+MS_PER_DAY = 86_400_000
 
 ENQUEUE_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
@@ -83,6 +84,7 @@ class CrawlConfig:
     checkpoint_every: int = 0        # 0 → only on explicit .checkpoint()
     validate_fetch: bool = False     # needs page_image/images/images_golden
     tournament_salts: int = 0        # >1 → §4.4 two-level skew tournament
+    respider: bool = False           # J1/W4 re-spider loop (see run_round)
 
 
 class CrawlScheduler:
@@ -140,7 +142,7 @@ class CrawlScheduler:
             rm = self.removed_parts[0]
             for p in self.removed_parts[1:]:
                 rm = rm.unionByName(p)
-            acc = acc.join(rm, ["firstip", "urlhash48"], "left_anti")
+            acc = acc.join(rm, ["firstip", "urlhash48", "gen"], "left_anti")
         return acc
 
     @property
@@ -188,6 +190,13 @@ class CrawlScheduler:
             T.StructField("same_ip_wait_ms", T.LongType()),
             T.StructField("harvest_links", T.BooleanType()),
             T.StructField("force_delete", T.BooleanType()),
+            # respider support: gen = emission generation (0 = never
+            # fetched; tombstones annihilate by (key, gen) so a re-entry
+            # with gen+1 survives the anti-join), due_ms = earliest
+            # virtual time this row may be scheduled (0 = immediately;
+            # re-entries get spidered_ms + spider_freq_days)
+            T.StructField("gen", T.IntegerType()),
+            T.StructField("due_ms", T.LongType()),
         ])
 
     # ------------------------------------------------------------------ #
@@ -212,7 +221,11 @@ class CrawlScheduler:
             df.withColumn("host", host_col(F.col("url")))
             .withColumn("path", path_col(F.col("url")))
         )
-        df = df.withColumn("errorcount", F.lit(0))
+        df = (df.withColumn("errorcount", F.lit(0))
+              .withColumn("is_indexed", F.lit(False))
+              .withColumn("percentchangedperday", F.lit(0))
+              .withColumn("gen", F.lit(0))
+              .withColumn("due_ms", F.lit(0).cast("long")))
         df = apply_url_filters(df, self.rules)
         df = robots_op.eval_allowed(df, self.robots_rules, self.robots_grouped)
         df = df.withColumn(
@@ -297,7 +310,8 @@ class CrawlScheduler:
         T_ms = self.clock_ms
         f = self.frontier.join(self.host_state, "firstip", "left").withColumn(
             "next_ok_ms", F.coalesce(F.col("next_ok_ms"), F.lit(0)))
-        elig = f.where(F.col("next_ok_ms") <= F.lit(T_ms))
+        elig = f.where((F.col("next_ok_ms") <= F.lit(T_ms))
+                       & (F.col("due_ms") <= F.lit(T_ms)))
 
         if self.cfg.tournament_salts > 1:
             # megahost-skew guard: identical winners, bounded task size
@@ -354,13 +368,51 @@ class CrawlScheduler:
         t = _tlog("host_state", t)
         # tombstone the emitted keys (winners is checkpointed → this part
         # is a cheap lazy projection, no frontier re-copy)
-        self.removed_parts.append(winners.select("firstip", "urlhash48"))
+        self.removed_parts.append(winners.select("firstip", "urlhash48", "gen"))
         self.hp_parts.append(
             winners.groupBy("firstip").agg((-F.count("*")).alias("d")))
 
         n_emitted = int(wc["n"] or 0)
         self.pending_count -= n_emitted
         m = {"round": self.round, "clock_ms": T_ms, "emitted": n_emitted}
+
+        if self.cfg.respider and n_emitted:
+            # J1/W4 respider: every fetch writes an implicit SpiderReply
+            # (spidered_ms = slot end) and the URL RE-ENTERS the frontier
+            # at gen+1 with due = spidered_ms + spider_freq_days, where
+            # the filter row is RE-EVALUATED with is_indexed=true and the
+            # reply's percentchangedperday (Spider.cpp::scanSpiderdb
+            # request⋈latest-reply + getUrlFilterNum re-eval [U][H];
+            # change signal pinned to urlhash48 % 101 — deterministic,
+            # mirrored by the oracle sim).  Robots are NOT re-checked
+            # (pinned: robots gate at discovery only).
+            re_ = (winners
+                   .withColumn("spidered_ms",
+                               F.col("scheduled_time_ms") + F.lit(self.cfg.fetch_ms))
+                   .withColumn("is_indexed", F.lit(True))
+                   .withColumn("percentchangedperday",
+                               (F.col("urlhash48") % 101).cast("int"))
+                   .withColumn("errorcount", F.lit(0))
+                   .drop(*ASSIGN_FIELDS))
+            re_ = apply_url_filters(re_, self.rules)
+            obs_r = Observation()
+            re_ = (re_.where((F.col("priority") >= 0) & (~F.col("force_delete")))
+                   .withColumn("added_ms", F.col("spidered_ms"))
+                   .withColumn("due_ms", F.col("spidered_ms")
+                               + (F.col("spider_freq_days")
+                                  * F.lit(float(MS_PER_DAY))).cast("long"))
+                   .withColumn("gen", (F.col("gen") + 1).cast("int"))
+                   .observe(obs_r, F.count(F.lit(1)).alias("n"))
+                   .transform(stable_checkpoint))
+            n_re = int(obs_r.get["n"] or 0)
+            if n_re:
+                self.frontier_parts.append(
+                    re_.select(*[fld.name for fld in self._frontier_schema().fields]))
+                self.hp_parts.append(
+                    re_.groupBy("firstip").agg(F.count("*").alias("d")))
+                self.pending_count += n_re
+            m["respidered"] = n_re
+            t = _tlog("respider", t)
 
         # skip the whole enqueue pipeline when no winner harvests links
         # (saves ~8 empty-DF jobs per round — most rounds in a drain);
@@ -389,13 +441,25 @@ class CrawlScheduler:
         # the full wide frontier
         m["pending"] = self.pending_count
         if self.pending_count > 0:
-            hp = self.hp_parts[0]
-            for p in self.hp_parts[1:]:
-                hp = hp.unionByName(p)
-            pend_hosts = hp.groupBy("firstip").agg(F.sum("d").alias("npend")) \
-                           .where(F.col("npend") > 0)
-            min_ok = pend_hosts.join(self.host_state, "firstip", "left").agg(
-                F.min(F.coalesce(F.col("next_ok_ms"), F.lit(0)))).collect()[0][0]
+            if self.cfg.respider:
+                # general clock rule (oracle step 7'): advance to the
+                # earliest moment ANY pending row can run = min over rows
+                # of max(host next_ok, row due) — needs per-row due times,
+                # so scan the (regularly compacted) frontier view
+                min_ok = (self.frontier.select("firstip", "due_ms")
+                          .join(self.host_state, "firstip", "left")
+                          .agg(F.min(F.greatest(
+                              F.coalesce(F.col("next_ok_ms"), F.lit(0)),
+                              F.col("due_ms")))).collect()[0][0])
+            else:
+                # fast path (due_ms ≡ 0): NARROW per-host delta parts only
+                hp = self.hp_parts[0]
+                for p in self.hp_parts[1:]:
+                    hp = hp.unionByName(p)
+                pend_hosts = hp.groupBy("firstip").agg(F.sum("d").alias("npend")) \
+                               .where(F.col("npend") > 0)
+                min_ok = pend_hosts.join(self.host_state, "firstip", "left").agg(
+                    F.min(F.coalesce(F.col("next_ok_ms"), F.lit(0)))).collect()[0][0]
             self.clock_ms = max(self.clock_ms, int(min_ok or 0))
         t = _tlog("stats", t)
 

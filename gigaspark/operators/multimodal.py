@@ -7,12 +7,12 @@ decode / feature-extract / resize / frame-sample stages as Arrow-batched
 ``mapInPandas`` transforms.
 
 What is REAL here (tested): the Spark plumbing — schemas, batch shapes,
-partitioning, the full decode path for the sandbox formats (ppm/png/qnt
-from functions/images.py), pixel statistics, and nearest-neighbour
-resize.  What is STUBBED (no PIL/ffmpeg in this container): jpeg/webp
-decode and audio/video codecs raise ``NotImplementedError`` through
-:func:`decode_stub`, clearly marked, with the dispatch and schema ready
-for a vendored codec.
+partitioning, the full decode path for ppm/png/qnt (functions/images.py)
+AND baseline JPEG (the pure-numpy ITU T.81 codec in functions/jpeg.py),
+pixel statistics, and nearest-neighbour resize.  What is STUBBED (no
+ffmpeg/libwebp in this container): webp/gif decode and audio/video
+codecs raise ``NotImplementedError`` through :func:`decode_stub`,
+clearly marked, with the dispatch and schema ready for a vendored codec.
 
 Scale notes: blob batches dominate memory — ``mapInPandas`` streams
 Arrow batches so an executor never holds a partition of blobs at once;
@@ -23,6 +23,8 @@ by a uniform key (image_id hash), never by host/source (skew).
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -55,15 +57,16 @@ RESIZE_SCHEMA = T.StructType([
 
 
 def decode_stub(fmt: str, data: bytes) -> np.ndarray:
-    """Dispatch decode; sandbox formats are real, web formats are stubbed.
+    """Dispatch decode; ppm/png/qnt/jpg are real, webp/gif are stubbed.
 
-    STUB: jpeg/webp/gif need a vendored codec (no PIL in this container,
-    SURVEY §7.4.3) — the Spark-side plumbing (schema, batching, error
-    channel) is identical either way.
+    jpg/jpeg route through the pure-numpy baseline codec
+    (functions/jpeg.py).  STUB: webp/gif need a vendored codec (none in
+    this container, SURVEY §7.4.3) — the Spark-side plumbing (schema,
+    batching, error channel) is identical either way.
     """
-    if fmt in FORMATS:
+    if fmt in FORMATS or fmt == "jpeg":
         return decode_image(fmt, data)
-    if fmt in ("jpg", "jpeg", "webp", "gif"):
+    if fmt in ("webp", "gif"):
         raise NotImplementedError(f"codec for {fmt!r} not vendored in sandbox")
     raise ValueError(f"unknown image format {fmt!r}")
 
@@ -95,7 +98,11 @@ def extract_features(images: DataFrame) -> DataFrame:
                         std_gray=float(gray.std()),
                         entropy_bits=float(-(pdist * np.log2(pdist)).sum()),
                     )
-                except (NotImplementedError, ValueError, Exception):
+                except (NotImplementedError, ValueError, KeyError,
+                        IndexError, struct.error, zlib.error):
+                    # decode-shaped failures only (corrupt blobs on a
+                    # 100 TB crawl are data, not bugs); anything else
+                    # propagates as a real task error
                     pass
                 for k, v in row.items():
                     out[k].append(v)

@@ -31,7 +31,8 @@ def with_global_seq(df: DataFrame, order: list[Column], seq_col: str = "seq",
     """
     if small_count is not None and small_count <= SMALL_THRESHOLD:
         return df.withColumn(
-            seq_col, F.row_number().over(Window.orderBy(*order)) - 1)
+            seq_col,
+            (F.row_number().over(Window.orderBy(*order)) - 1).cast("long"))
 
     part = (
         df.repartitionByRange(*order)

@@ -13,9 +13,16 @@ for the oracle simulator; both backends parse the same mini-language so
 they cannot drift structurally.
 
 Mini-language (conjunctions with ``&&``):
-    default | ismedia | iswww | isseed
-    hopcount>=N (also <=,==,>,<) | errorcount>=N
+    default | ismedia | iswww | isseed | isindexed
+    hopcount>=N (also <=,==,>,<) | errorcount>=N | percentchangedperday>=N
     tld==STR | urlmatch~=REGEX  (keep regexes Java/Python-common)
+
+``isindexed`` (Gigablast's isindexed predicate: the URL already has a
+SpiderReply — it's a respider candidate) and ``percentchangedperday``
+(``SpiderReply::m_percentChangedPerDay`` [U][M]) exist so respider rules
+can assign adaptive re-crawl intervals (SURVEY §2.5 W4): e.g.
+``isindexed && percentchangedperday>=50`` → short spider_freq_days.
+Never-fetched URLs evaluate with is_indexed=false, percentchangedperday=0.
 """
 
 from __future__ import annotations
@@ -30,7 +37,8 @@ PRIORITY_BANNED = -2
 
 MEDIA_EXT_RE = r"\.(jpg|jpeg|png|gif|bmp|ico|css|js|svg|woff|ttf|mp3|mp4|avi|mov|pdf|zip)$"
 
-_CMP_RE = re.compile(r"^(hopcount|errorcount)\s*(>=|<=|==|>|<)\s*(-?\d+)$")
+_CMP_RE = re.compile(
+    r"^(hopcount|errorcount|percentchangedperday)\s*(>=|<=|==|>|<)\s*(-?\d+)$")
 _TLD_RE = re.compile(r"^tld\s*==\s*([A-Za-z0-9.\-]+)$")
 _MATCH_RE = re.compile(r"^urlmatch\s*~=\s*(.+)$")
 
@@ -70,7 +78,7 @@ def parse_expression(expr: str) -> tuple[Pred, ...]:
     for term in (t.strip() for t in expr.split("&&")):
         if term == "default":
             preds.append(Pred("default"))
-        elif term in ("ismedia", "iswww", "isseed"):
+        elif term in ("ismedia", "iswww", "isseed", "isindexed"):
             preds.append(Pred(term))
         elif m := _CMP_RE.match(term):
             preds.append(Pred("cmp", field=m.group(1), op=m.group(2), value=int(m.group(3))))
@@ -114,8 +122,12 @@ def _pred_col(p: Pred) -> Column:
         return F.col("host").startswith("www.")
     if p.kind == "isseed":
         return F.coalesce(F.col("is_seed"), F.lit(False))
+    if p.kind == "isindexed":
+        return F.coalesce(F.col("is_indexed"), F.lit(False))
     if p.kind == "cmp":
         c, v = F.col(p.field), F.lit(p.value)
+        if p.field == "percentchangedperday":
+            c = F.coalesce(c, F.lit(0))
         return {"<": c < v, "<=": c <= v, "==": c == v, ">": c > v, ">=": c >= v}[p.op]
     if p.kind == "tld":
         return F.substring_index(F.col("host"), ".", -1) == F.lit(p.value)
@@ -178,8 +190,10 @@ def _pred_py(p: Pred, row: dict) -> bool:
         return row["host"].startswith("www.")
     if p.kind == "isseed":
         return bool(row.get("is_seed"))
+    if p.kind == "isindexed":
+        return bool(row.get("is_indexed"))
     if p.kind == "cmp":
-        v = row[p.field]
+        v = row.get(p.field, 0)
         return {"<": v < p.value, "<=": v <= p.value, "==": v == p.value,
                 ">": v > p.value, ">=": v >= p.value}[p.op]
     if p.kind == "tld":

@@ -29,7 +29,22 @@ rules; what THIS file independently defines is the scheduling semantics:
        dropped URLs do NOT enter seen (re-discovery re-evaluates);
        first-accepted-wins (no cross-round hopcount coalescing — pinned
        deviation from Gigablast's re-add min [M], SURVEY §7.4.6)
-    7. clock: T ← max(T, min over pending hosts of next_ok)
+    7. clock: T ← max(T, min over pending rows of max(next_ok[ip],
+       due_ms)); due_ms ≡ 0 when respider is off, reducing to the round-1
+       rule (min over pending hosts of next_ok)
+
+  respider mode (``respider=True`` — Spider.cpp::scanSpiderdb pairing
+  request⋈latest-reply + getUrlFilterNum re-eval [U][H], SURVEY §3.1):
+    8. every fetch writes an implicit reply at spidered_ms = slot + fetch
+       and the URL re-enters the frontier at gen+1 with
+       due_ms = spidered_ms + int(spider_freq_days * 86_400_000.0), where
+       the filter row is RE-EVALUATED with is_indexed=true and
+       percentchangedperday = urlhash48 % 101 (pinned deterministic
+       change signal); re-eval priority<0 or force_delete → retired.
+       Robots are NOT re-checked (pinned: discovery-time gate only).
+       Re-entry uses added_ms = spidered_ms for A1 ordering; the seen set
+       is untouched (key already present).
+    2'. winner candidates exclude rows with due_ms > T.
 """
 
 from __future__ import annotations
@@ -63,6 +78,8 @@ class Req:
     harvest_links: bool = True
     max_spiders_per_ip: int = 1
     ufn: int = -1
+    gen: int = 0
+    due_ms: int = 0
 
 
 @dataclass
@@ -88,9 +105,14 @@ def _load(fix_dir: str, name: str) -> list[dict]:
     return pq.read_table(os.path.join(fix_dir, f"{name}.parquet")).to_pylist()
 
 
+MS_PER_DAY = 86_400_000
+
+
 class OracleSim:
-    def __init__(self, fix_dir: str, fetch_ms: int = FETCH_MS):
+    def __init__(self, fix_dir: str, fetch_ms: int = FETCH_MS,
+                 respider: bool = False):
         self.fetch_ms = fetch_ms
+        self.respider = respider
         self.seeds = _load(fix_dir, "seeds")
         self.link_graph = {r["src_url"]: r["dst_urls"] for r in _load(fix_dir, "link_graph")}
         self.robots = RobotsOracle(_load(fix_dir, "robots"))
@@ -162,8 +184,9 @@ class OracleSim:
     def run_round(self) -> int:
         by_ip: dict[int, list[Req]] = {}
         for req in self.frontier.values():
-            by_ip.setdefault(req.firstip, []).append(req)
-        if not by_ip:
+            if req.due_ms <= self.T:  # step 2' — respider due gate
+                by_ip.setdefault(req.firstip, []).append(req)
+        if not by_ip and not self.frontier:
             return 0
         order_key = lambda r: (-r.priority, r.added_ms, r.hopcount, r.urlhash48)
         sched: list[tuple[int, Req]] = []  # (slot_time, req)
@@ -182,6 +205,7 @@ class OracleSim:
             self.next_ok[ip] = t  # last slot + fetch + wait
         sched.sort(key=lambda s: (s[0], -s[1].priority, s[1].added_ms, s[1].urlhash48))
         outlinks: list[tuple[str, int, int, bool]] = []
+        n_respidered = 0
         for t, req in sched:
             self.emitted.append(Emit(
                 seq=len(self.emitted), urlhash48=req.urlhash48, url=req.url,
@@ -192,13 +216,38 @@ class OracleSim:
             if req.harvest_links:
                 for dst in self.link_graph.get(req.url, ()):
                     outlinks.append((dst, req.hopcount + 1, t + self.fetch_ms, False))
+            if self.respider:  # step 8 — reply → re-entry
+                spidered = t + self.fetch_ms
+                pct = req.urlhash48 % 101
+                a = eval_rules_py(self.rules, {
+                    "url": req.url, "host": req.host, "path": req.path,
+                    "hopcount": req.hopcount, "errorcount": 0,
+                    "is_seed": req.is_seed, "is_indexed": True,
+                    "percentchangedperday": pct,
+                })
+                if a["priority"] >= 0 and not a["force_delete"]:
+                    nxt = Req(
+                        url=req.url, host=req.host, path=req.path,
+                        firstip=req.firstip, urlhash48=req.urlhash48,
+                        hopcount=req.hopcount, added_ms=spidered,
+                        is_seed=req.is_seed, priority=a["priority"],
+                        same_ip_wait_ms=a["same_ip_wait_ms"],
+                        harvest_links=a["harvest_links"],
+                        max_spiders_per_ip=a["max_spiders_per_ip"],
+                        ufn=a["ufn"], gen=req.gen + 1,
+                        due_ms=spidered + int(a["spider_freq_days"] * float(MS_PER_DAY)),
+                    )
+                    self.frontier[(nxt.firstip, nxt.urlhash48)] = nxt
+                    n_respidered += 1
         m = {"round": self.rnd, "clock_ms": self.T, "emitted": len(sched)}
+        if self.respider:
+            m["respidered"] = n_respidered
         if outlinks:
             m.update(self.enqueue(outlinks))
         self.metrics.append(m)
         self.rnd += 1
         if self.frontier:
-            self.T = max(self.T, min(self.next_ok.get(r.firstip, 0)
+            self.T = max(self.T, min(max(self.next_ok.get(r.firstip, 0), r.due_ms)
                                      for r in self.frontier.values()))
         return len(sched)
 

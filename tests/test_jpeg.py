@@ -1,0 +1,89 @@
+"""Pure-numpy baseline JPEG codec: roundtrip, spec framing, rejections."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from gigaspark.functions.images import psnr_db
+from gigaspark.functions.jpeg import decode_jpeg, encode_jpeg
+
+
+def _noise(w, h, seed=7):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("dims", [(8, 8), (32, 32), (31, 37), (128, 64)])
+def test_roundtrip_noise_q98(dims):
+    pix = _noise(*dims)
+    p = psnr_db(pix, decode_jpeg(encode_jpeg(pix, quality=98)))
+    assert 40.0 <= p < 60.0, p  # clears the invariant, genuinely lossy
+
+
+def test_smooth_image_much_better_than_noise():
+    x = np.linspace(0, 255, 64)
+    smooth = np.stack([np.add.outer(x, x) / 2] * 3, axis=-1).astype(np.uint8)
+    assert psnr_db(smooth, decode_jpeg(encode_jpeg(smooth, quality=90))) >= 55.0
+
+
+def test_quality_monotone():
+    pix = _noise(48, 48)
+    p_lo = psnr_db(pix, decode_jpeg(encode_jpeg(pix, quality=50)))
+    p_hi = psnr_db(pix, decode_jpeg(encode_jpeg(pix, quality=98)))
+    assert p_lo < p_hi
+
+
+def test_jfif_markers_present():
+    blob = encode_jpeg(_noise(16, 16))
+    assert blob.startswith(b"\xff\xd8\xff\xe0")  # SOI + APP0
+    assert blob[6:10] == b"JFIF"
+    assert blob.endswith(b"\xff\xd9")  # EOI
+    assert b"\xff\xc0" in blob and b"\xff\xc4" in blob and b"\xff\xdb" in blob
+
+
+def test_rejects_non_jpeg():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"P6\n1 1\n255\nabc")
+
+
+def test_rejects_progressive_sof2():
+    blob = bytearray(encode_jpeg(_noise(16, 16)))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(blob))
+
+
+def test_rejects_truncated_scan():
+    blob = encode_jpeg(_noise(32, 32))
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) // 2])
+
+
+def test_rejects_subsampled_sof():
+    # hand-patch the SOF0 sampling byte of component 1 to 2x2 (4:2:0)
+    blob = bytearray(encode_jpeg(_noise(16, 16)))
+    i = blob.find(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) then [cid, hv, tq]*3
+    hv_off = i + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert blob[hv_off] == 0x11
+    blob[hv_off] = 0x22
+    with pytest.raises(ValueError, match="4:4:4"):
+        decode_jpeg(bytes(blob))
+
+
+def test_byte_stuffing_roundtrip():
+    # images with many max-DC blocks produce 0xFF bytes in the scan;
+    # quality 98 noise at this size reliably exercises stuffing
+    pix = _noise(64, 64, seed=11)
+    blob = encode_jpeg(pix, quality=98)
+    assert b"\xff\x00" in blob.split(b"\xff\xda")[1]  # stuffed scan bytes
+    assert psnr_db(pix, decode_jpeg(blob)) >= 40.0
+
+
+def test_dimension_header_roundtrip():
+    blob = encode_jpeg(_noise(31, 17))
+    i = blob.find(b"\xff\xc0")
+    h, w = struct.unpack(">HH", blob[i + 5:i + 9])
+    assert (w, h) == (31, 17)
+    assert decode_jpeg(blob).shape == (17, 31, 3)
