@@ -634,6 +634,120 @@ FROM (SELECT * FROM orders LIMIT 2000)
 """
 
 
+def q_f4_linkspam(spark, sf_dir):
+    """F4 — link-spam filter (linkspam.cpp::isLinkSpam / Url.cpp::isSpam
+    [U][M], pinned heuristic slice): a URL lattice planting every spam
+    class (subdomain farm, crawler-trap segment loop, spam words, query
+    flood, deep path) plus clean rows → boolean verdict per row.  Pure
+    Column exprs; the DuckDB oracle reproduces every branch (RE2-safe
+    regex, list lambdas for the triple-repeat check)."""
+    from gigaspark.operators.url_filters import link_spam_col
+
+    o = _t(spark, sf_dir, "orders").limit(4000)
+    k = F.col("o_orderkey")
+    cls = (k % 7).cast("int")
+    host = F.when(cls == 0, F.lit("a.b.c.d.e.f.spam.example")) \
+            .otherwise(F.concat(F.lit("host"), (F.col("o_custkey") % 211).cast("string"),
+                                F.lit(".example")))
+    path = (F.when(cls == 1, F.concat(F.lit("/p/loop/loop/loop/"), k.cast("string")))
+            .when(cls == 2, F.concat(F.lit("/great-casino-deals/"), k.cast("string")))
+            .when(cls == 4, F.concat(F.lit("/a/b/c/d/e/f/g/h/i/j/k/l/m/"), k.cast("string")))
+            .otherwise(F.concat(F.lit("/p/"), k.cast("string"))))
+    query = F.when(
+        cls == 3,
+        F.concat(F.lit("?"), F.concat_ws("&", *[
+            F.concat(F.lit(f"k{i}="), k.cast("string")) for i in range(10)]))
+    ).otherwise(F.lit(""))
+    url = F.concat(F.lit("http://"), host, path, query)
+    return o.select(
+        k.alias("orderkey"), url.alias("url"),
+        link_spam_col(host, path, url).alias("is_spam"))
+
+
+SQL_F4_LINKSPAM = """
+WITH rowsrc AS (
+  SELECT o_orderkey AS k, o_custkey,
+         (o_orderkey % 7)::INT AS cls
+  FROM (SELECT * FROM orders LIMIT 4000)),
+built AS (
+  SELECT k,
+    CASE WHEN cls = 0 THEN 'a.b.c.d.e.f.spam.example'
+         ELSE 'host' || (o_custkey % 211)::VARCHAR || '.example' END AS host,
+    CASE WHEN cls = 1 THEN '/p/loop/loop/loop/' || k::VARCHAR
+         WHEN cls = 2 THEN '/great-casino-deals/' || k::VARCHAR
+         WHEN cls = 4 THEN '/a/b/c/d/e/f/g/h/i/j/k/l/m/' || k::VARCHAR
+         ELSE '/p/' || k::VARCHAR END AS path,
+    CASE WHEN cls = 3 THEN '?' || array_to_string(
+           list_transform(generate_series(0, 9),
+                          i -> 'k' || i::VARCHAR || '=' || k::VARCHAR), '&')
+         ELSE '' END AS query,
+    cls
+  FROM rowsrc),
+judged AS (
+  SELECT k, 'http://' || host || path || query AS url, cls,
+    (len(string_split(host, '.')) > 6
+     OR len(string_split(path, '/')) - 1 > 12
+     OR len(path) > 160
+     OR len(list_filter(generate_series(2, len(string_split(path, '/')) - 2),
+            i -> string_split(path, '/')[i] <> ''
+                 AND string_split(path, '/')[i] = string_split(path, '/')[i+1]
+                 AND string_split(path, '/')[i] = string_split(path, '/')[i+2])) > 0
+     OR regexp_matches(lower('http://' || host || path || query),
+                       '(casino|viagra|poker|roulette|xxx|warez)')
+     OR (CASE WHEN contains('http://' || host || path || query, '?')
+              THEN len(string_split(
+                     string_split('http://' || host || path || query, '?')[-1], '&'))
+              ELSE 0 END) > 8) AS is_spam
+  FROM built)
+SELECT k AS orderkey, url, is_spam FROM judged
+"""
+
+
+def q_c3_domains(spark, sf_dir):
+    """C3 — registered-domain extraction (Domains.cpp TLD table [U][M],
+    vendored public-suffix subset): hosts over a deterministic
+    TLD/ccTLD lattice (incl. two-level suffixes co.uk/com.au/co.jp and
+    subdomain depths 0-2) → (host, domain).  Pure Column exprs —
+    constant-folded isin over the suffix table, no UDF.  (domhash32 is
+    pytest-parity-tested instead: DuckDB has no xxhash64.)"""
+    from gigaspark.functions.urls import domain_col
+
+    o = _t(spark, sf_dir, "orders").limit(3000)
+    tld = (F.array(F.lit(".com"), F.lit(".org"), F.lit(".co.uk"),
+                   F.lit(".com.au"), F.lit(".co.jp"), F.lit(".de"))
+           .getItem((F.col("o_orderkey") % 6).cast("int")))
+    sub = (F.array(F.lit(""), F.lit("www."), F.lit("a.b."))
+           .getItem((F.col("o_custkey") % 3).cast("int")))
+    host = F.concat(sub, F.lit("site"), (F.col("o_custkey") % 211).cast("string"), tld)
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        host.alias("host"),
+        domain_col(host).alias("domain"),
+    )
+
+
+SQL_C3_DOMAINS = """
+WITH h AS (
+  SELECT o_orderkey AS orderkey,
+         (['', 'www.', 'a.b.'])[(o_custkey % 3)::INT + 1]
+           || 'site' || (o_custkey % 211)::VARCHAR
+           || (['.com', '.org', '.co.uk', '.com.au', '.co.jp', '.de'])
+                [(o_orderkey % 6)::INT + 1] AS host
+  FROM (SELECT * FROM orders LIMIT 3000)),
+d AS (
+  SELECT orderkey, host,
+         CASE WHEN len(string_split(host, '.')) >= 3
+                   AND (host LIKE '%.co.uk' OR host LIKE '%.com.au'
+                        OR host LIKE '%.co.jp')
+              THEN array_to_string(string_split(host, '.')[-3:], '.')
+              WHEN len(string_split(host, '.')) >= 2
+              THEN array_to_string(string_split(host, '.')[-2:], '.')
+              ELSE host END AS domain
+  FROM h)
+SELECT orderkey, host, domain FROM d
+"""
+
+
 def q_urlseen_filter(spark, sf_dir):
     """§2.7/F5/J5 — the bloom+exact URL-seen filter end-to-end: candidates
     are URLs built from all orderkeys; the seen set is every orderkey
@@ -1187,6 +1301,44 @@ ORDER BY n_occurrences DESC, a.doc_id ASC LIMIT 10
 """
 
 
+def q_search_ranked(spark, sf_dir):
+    """PosdbTable scoring shape (rank bitfields [U][M]): AND search over
+    df-rank-3..4 terms, score = Σtf · (1+siteRank) · (1+densityRank) —
+    siteRank from log2 buckets of per-source corpus mass (Tagdb
+    sitenuminlinks analogue), densityRank from per-doc word count
+    (Posdb density bitfield).  Integer arithmetic end-to-end so the
+    DuckDB oracle reproduces values exactly."""
+    from gigaspark.operators.search import search_ranked, site_ranks
+
+    postings, terms = _query_terms(spark, sf_dir, 3, 4)
+    docs = _t(spark, sf_dir, "documents")
+    doc_sites = docs.select("doc_id", F.col("source").alias("site"))
+    return search_ranked(postings, terms, doc_sites, site_ranks(docs), k=10)
+
+
+SQL_SEARCH_RANKED = f"""
+WITH {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r BETWEEN 3 AND 4),
+tf AS (SELECT p.term, doc_id, count(*) AS tf FROM p JOIN q USING (term)
+       GROUP BY p.term, doc_id),
+dens AS (SELECT doc_id,
+                greatest(0, 10 - floor(log2(count(*) + 1)))::INT AS density_rank
+         FROM p GROUP BY doc_id),
+sites AS (SELECT source AS site, floor(log2(count(*) + 1))::INT AS site_rank
+          FROM documents GROUP BY source),
+pd AS (SELECT doc_id, count(*) AS nm, sum(tf)::BIGINT AS tf_sum
+       FROM tf GROUP BY doc_id)
+SELECT pd.doc_id, s.site, pd.tf_sum, dens.density_rank, s.site_rank,
+       (pd.tf_sum * (1 + s.site_rank) * (1 + dens.density_rank))::BIGINT AS score
+FROM pd
+JOIN dens USING (doc_id)
+JOIN documents d ON d.doc_id = pd.doc_id
+JOIN sites s ON s.site = d.source
+WHERE pd.nm = (SELECT count(*) FROM q)
+ORDER BY score DESC, pd.doc_id ASC LIMIT 10
+"""
+
+
 def q_postings_tf(spark, sf_dir):
     """Posdb posting-list parity: (term, doc_id, tf) rows for the
     df-rank-3..5 terms (Msg39 partial-agg shape)."""
@@ -1435,6 +1587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_emit_order": q_w1_emit_order,
         "c4_dates": q_c4_dates,
         "c1_canonicalize": q_c1_canonicalize,
+        "c3_domains": q_c3_domains,
+        "f4_linkspam": q_f4_linkspam,
         "urlseen_filter": q_urlseen_filter,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -1451,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_and_topk": q_search_and,
         "search_or_not_topk": q_search_or_not,
         "search_phrase_topk": q_search_phrase,
+        "search_ranked_topk": q_search_ranked,
         "postings_tf": q_postings_tf,
         "siterank_inlinks": q_siterank_inlinks,
         "snippet_extract": q_snippet_extract,
@@ -1485,6 +1640,8 @@ def oracle_sql() -> dict[str, str]:
         "w1_emit_order": SQL_W1,
         "c4_dates": SQL_C4,
         "c1_canonicalize": SQL_C1,
+        "c3_domains": SQL_C3_DOMAINS,
+        "f4_linkspam": SQL_F4_LINKSPAM,
         "urlseen_filter": SQL_URLSEEN,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": _minhash_sql(8),
@@ -1501,6 +1658,7 @@ def oracle_sql() -> dict[str, str]:
         "search_and_topk": SQL_SEARCH_AND,
         "search_or_not_topk": SQL_SEARCH_OR_NOT,
         "search_phrase_topk": SQL_SEARCH_PHRASE,
+        "search_ranked_topk": SQL_SEARCH_RANKED,
         "postings_tf": SQL_POSTINGS_TF,
         "siterank_inlinks": SQL_SITERANK,
         "snippet_extract": SQL_SNIPPET,

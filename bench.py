@@ -33,6 +33,7 @@ HEADLINE = [
     "t3_tombstone_dedup", "urlseen_filter", "c1_canonicalize",
     "dedup_exact", "minhash_signatures", "lsh_jaccard_pairs",
     "simhash32", "ann_cosine_topk", "text_quality", "dedup_embedding",
+    "respider_due", "search_ranked_topk", "c3_domains",
 ]
 
 

@@ -11,7 +11,10 @@ A hypothesis property test asserts the two agree byte-for-byte.
 PINNED canonicalization rules (deviations from Gigablast are deliberate
 and documented; the fixture goldens are derived from THESE rules):
   1. trim ASCII whitespace; prepend ``http://`` when no ``://`` present
-  2. lowercase scheme and host; strip a single trailing dot on host
+  2. lowercase scheme and host; strip a single trailing dot on host;
+     non-ASCII host labels → IDNA/punycode ``xn--`` form (RFC 3490/3492
+     via Python's built-in idna codec — ``Punycode.cpp`` [U][M]);
+     unencodable hosts keep their lowercased form
   3. drop default ports (http:80, https:443)
   4. collapse ``//+`` in the path to ``/``; resolve ``.``/``..`` segments
      (RFC 3986 remove_dot_segments); empty path → ``/``
@@ -55,6 +58,19 @@ _UNRESERVED = set(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
 )
 _DEFAULT_PORT = {"http": "80", "https": "443"}
+
+
+def _idna_host(host: str) -> str:
+    """Punycode a non-ASCII host (already lowercased), per label.
+
+    Uses the stdlib ``idna`` codec (IDNA 2003 — a pinned deviation from
+    UTS#46; Gigablast's ``Punycode.cpp`` is its own RFC 3492 impl [U]).
+    Labels that fail to encode (overlong, bare dots) pass through.
+    """
+    try:
+        return host.encode("idna").decode("ascii")
+    except (UnicodeError, UnicodeDecodeError):
+        return host
 
 
 def _remove_dot_segments(path: str) -> str:
@@ -119,6 +135,8 @@ def canonicalize_url(url: str) -> str:
     am = _AUTH_RE.match(m.group("auth") or "")
     userinfo = am.group("userinfo") or ""
     host = (am.group("host") or "").lower().rstrip(".")
+    if not host.isascii():
+        host = _idna_host(host)
     port = am.group("port")
     portpart = "" if (not port or port == _DEFAULT_PORT.get(scheme)) else ":" + port
     path = m.group("path") or ""
@@ -156,6 +174,9 @@ def canonicalize_series(s: pd.Series) -> pd.Series:
     auth = parts["auth"].fillna("").str.extract(_AUTH_RE)
     userinfo = auth["userinfo"].fillna("")
     host = auth["host"].fillna("").str.lower().str.rstrip(".")
+    nonascii = ~host.map(str.isascii)
+    if nonascii.any():
+        host = host.mask(nonascii, host[nonascii].map(_idna_host))
     port = auth["port"]
     default_port = scheme.map(_DEFAULT_PORT)
     keep_port = port.notna() & (port != "") & (port != default_port)
@@ -185,6 +206,82 @@ def canonicalize_series(s: pd.Series) -> pd.Series:
 @F.pandas_udf(StringType())
 def canonicalize_udf(s: pd.Series) -> pd.Series:  # pragma: no cover (Spark-side)
     return canonicalize_series(s)
+
+
+# ---------------------------------------------------------------------------
+# Registered-domain extraction (C3 — Domains.cpp TLD table [U][M])
+# ---------------------------------------------------------------------------
+# Gigablast ships its own TLD table; the public equivalent is the Mozilla
+# Public Suffix List.  No network in this sandbox, so we vendor a PINNED
+# SUBSET of the most common multi-label public suffixes (documented
+# deviation: unknown ccTLD second-level suffixes fall back to the
+# last-two-labels rule).  The rule, identical in all three backends
+# (Column expr / pure Python / DuckDB oracle SQL):
+#   last2 ∈ TWO_LEVEL_SUFFIXES and host has ≥3 labels → last 3 labels
+#   host has ≥2 labels                               → last 2 labels
+#   else                                             → host verbatim
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "lg.jp",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "org.mx", "gob.mx", "edu.mx", "net.mx",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in", "ac.in",
+    "gov.in", "edu.in", "res.in",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.th", "in.th", "or.th", "ac.th", "go.th",
+    "co.id", "or.id", "ac.id", "go.id", "web.id",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.eg", "com.sa", "com.ua", "com.pl", "com.ru", "com.gr", "com.pt",
+    "com.es", "com.co", "com.pe", "com.ve", "com.uy", "com.ec", "com.bo",
+    "co.il", "org.il", "ac.il", "gov.il", "muni.il", "net.il",
+)
+
+DOMHASH32_MASK = 0xFFFFFFFF
+
+
+def py_domain(host: str) -> str:
+    """Registered domain of an (already canonical) host — pure-Python
+    mirror for the oracle sim and property tests."""
+    if not host:
+        return host
+    labels = host.split(".")
+    if len(labels) >= 3 and ".".join(labels[-2:]) in TWO_LEVEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    if len(labels) >= 2:
+        return ".".join(labels[-2:])
+    return host
+
+
+def domain_col(host: Column) -> Column:
+    """Registered domain as a pure Column expr (JVM-side, codegen): the
+    suffix-set membership is a constant-folded isin over the vendored
+    table; label slicing is substring_index with negative counts."""
+    last2 = F.substring_index(host, ".", -2)
+    n_labels = F.size(F.split(host, r"\."))
+    return (
+        F.when((n_labels >= 3) & last2.isin(*TWO_LEVEL_SUFFIXES),
+               F.substring_index(host, ".", -3))
+        .when(n_labels >= 2, last2)
+        .otherwise(host)
+    )
+
+
+def domhash32_col(domain: Column) -> Column:
+    """``hash32`` of the registered domain (Url.cpp getDomHash32 shape
+    [U][M], our pinned xxhash64-truncation rule per C2)."""
+    return F.xxhash64(domain).bitwiseAND(F.lit(DOMHASH32_MASK)).alias("domhash32")
 
 
 # ---------------------------------------------------------------------------

@@ -171,6 +171,17 @@ class CrawlScheduler:
             self.hp_parts = [
                 hp.groupBy("firstip").agg(F.sum("d").alias("d"))
                 .where(F.col("d") != 0).transform(stable_checkpoint)]
+        # emitted/fetched logs are append-only (one lazy projection per
+        # round over an already-checkpointed winners DF) but the union
+        # view still grows one plan leaf per round — a 10^4-round crawl
+        # would accumulate an unbounded driver-side plan.  Fold them too.
+        for attr in ("emitted_parts", "fetched_parts"):
+            parts = getattr(self, attr)
+            if len(parts) >= 16:
+                acc = parts[0]
+                for p in parts[1:]:
+                    acc = acc.unionByName(p)
+                setattr(self, attr, [acc.transform(stable_checkpoint)])
 
     @staticmethod
     def _frontier_schema() -> T.StructType:

@@ -121,6 +121,75 @@ def search_not(postings: DataFrame, include: DataFrame, exclude: DataFrame,
     )
 
 
+def density_ranks(postings: DataFrame) -> DataFrame:
+    """Per-doc density rank (Posdb's density bitfield [U][M]): fewer
+    words → higher density for a matching term.  Pinned bucketing:
+    ``max(0, 10 - floor(log2(n_words + 1)))`` — deterministic, integer,
+    SQL-portable.  n_words = distinct positions (exactly the Posdb
+    position-key count for the doc)."""
+    return (
+        postings.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+        .withColumn(
+            "density_rank",
+            F.greatest(
+                F.lit(0),
+                F.lit(10) - F.floor(F.log2(F.col("n_words") + 1))).cast("int"))
+        .select("doc_id", "n_words", "density_rank")
+    )
+
+
+def site_ranks(docs: DataFrame, site_col: str = "source") -> DataFrame:
+    """Per-site rank from corpus mass (Tagdb sitenuminlinks → siteRank
+    bucketing, ``XmlDoc::getSiteRank`` shape [U][M]): log2 buckets of the
+    site's doc count.  Returns (site, site_rank); broadcast-joinable dim."""
+    return (
+        docs.groupBy(F.col(site_col).alias("site"))
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("site_rank",
+                    F.floor(F.log2(F.col("n_docs") + 1)).cast("int"))
+        .select("site", "site_rank")
+    )
+
+
+def search_ranked(postings: DataFrame, terms: DataFrame,
+                  doc_sites: DataFrame, sites: DataFrame,
+                  k: int = 10) -> DataFrame:
+    """AND search scored with Posdb-style rank mixing.
+
+    score = Σ_terms tf · (1 + site_rank) · (1 + density_rank) — the
+    shape of ``PosdbTable``'s per-term score × rank-multiplier mix
+    (exact polynomial pinned out as a deviation; integer arithmetic so
+    the DuckDB oracle reproduces values bit-exactly).
+
+    Plan: one (term,doc_id) tf agg → one doc_id agg; both rank dims are
+    broadcast (site dim is |sites|, density dim is |docs| — the latter
+    derived from the same postings scan, small after its agg).
+    """
+    n_terms = terms.distinct().count()
+    tf = _tf_for_terms(postings, terms)
+    dens = density_ranks(postings).select("doc_id", "density_rank")
+    per_doc = (
+        tf.groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"), F.sum("tf").alias("tf_sum"))
+        .where(F.col("n_matched") == F.lit(n_terms))
+    )
+    return (
+        per_doc
+        .join(F.broadcast(dens), "doc_id")
+        .join(doc_sites, "doc_id")
+        .join(F.broadcast(sites), "site", "left")
+        .withColumn(
+            "score",
+            (F.col("tf_sum")
+             * (F.lit(1) + F.coalesce(F.col("site_rank"), F.lit(0)))
+             * (F.lit(1) + F.col("density_rank"))).cast("long"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "site", F.col("tf_sum").cast("long").alias("tf_sum"),
+                "density_rank", "site_rank", "score")
+    )
+
+
 def top_bigram(postings: DataFrame) -> DataFrame:
     """The corpus's most frequent adjacent bigram as a 1-row DataFrame
     ``(ta, tb)`` — count desc, ta asc, tb asc (deterministic).

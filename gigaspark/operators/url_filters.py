@@ -13,9 +13,15 @@ for the oracle simulator; both backends parse the same mini-language so
 they cannot drift structurally.
 
 Mini-language (conjunctions with ``&&``):
-    default | ismedia | iswww | isseed | isindexed
+    default | ismedia | iswww | isseed | isindexed | islinkspam
     hopcount>=N (also <=,==,>,<) | errorcount>=N | percentchangedperday>=N
     tld==STR | urlmatch~=REGEX  (keep regexes Java/Python-common)
+
+``islinkspam`` is the F4 slice (``linkspam.cpp::isLinkSpam`` /
+``Url.cpp::isSpam`` [U][M]) — PINNED deterministic heuristics, identical
+in the Column/py/SQL backends (see :func:`link_spam_col`): subdomain
+depth, path depth/length, consecutive triple-repeated path segment,
+spam-word list, query-param flood.
 
 ``isindexed`` (Gigablast's isindexed predicate: the URL already has a
 SpiderReply — it's a respider candidate) and ``percentchangedperday``
@@ -36,6 +42,62 @@ PRIORITY_FILTERED = -3
 PRIORITY_BANNED = -2
 
 MEDIA_EXT_RE = r"\.(jpg|jpeg|png|gif|bmp|ico|css|js|svg|woff|ttf|mp3|mp4|avi|mov|pdf|zip)$"
+
+# F4 link-spam heuristics (pinned thresholds; RE2-safe — no backrefs, so
+# the DuckDB oracle can reproduce every branch)
+SPAM_WORD_RE = r"(casino|viagra|poker|roulette|xxx|warez)"
+SPAM_MAX_HOST_LABELS = 6     # deeper subdomain chains are link farms
+SPAM_MAX_PATH_DEPTH = 12
+SPAM_MAX_PATH_LEN = 160
+SPAM_MAX_QUERY_PARAMS = 8
+
+
+def link_spam_col(host: Column, path: Column, url: Column) -> Column:
+    """F4 — boolean Column: is this outlink spam?  Pure built-in exprs
+    (split/size/exists/rlike), no UDF; every branch mirrors
+    :func:`py_link_spam` and the DuckDB SQL in the contract query."""
+    segs = F.split(path, "/")
+    n_segs = F.size(segs)
+    # consecutive triple-repeated non-empty segment (/a/a/a — the classic
+    # crawler-trap loop); element_at is 1-based
+    trip = F.when(
+        n_segs >= 4,
+        F.exists(
+            F.sequence(F.lit(2), n_segs - 2),
+            lambda i: (F.element_at(segs, i) != "")
+            & (F.element_at(segs, i) == F.element_at(segs, i + 1))
+            & (F.element_at(segs, i) == F.element_at(segs, i + 2)),
+        ),
+    ).otherwise(F.lit(False))
+    n_params = F.when(
+        url.contains("?"),
+        F.size(F.split(F.substring_index(url, "?", -1), "&"))).otherwise(F.lit(0))
+    return (
+        (F.size(F.split(host, r"\.")) > SPAM_MAX_HOST_LABELS)
+        | (n_segs - 1 > SPAM_MAX_PATH_DEPTH)
+        | (F.length(path) > SPAM_MAX_PATH_LEN)
+        | trip
+        | F.lower(url).rlike(SPAM_WORD_RE)
+        | (n_params > SPAM_MAX_QUERY_PARAMS)
+    )
+
+
+def py_link_spam(host: str, path: str, url: str) -> bool:
+    """Pure-Python mirror of :func:`link_spam_col` (oracle sim/tests)."""
+    segs = path.split("/")
+    trip = any(
+        segs[i] != "" and segs[i] == segs[i + 1] == segs[i + 2]
+        for i in range(1, len(segs) - 2)
+    )
+    n_params = len(url.split("?", 1)[1].split("&")) if "?" in url else 0
+    return (
+        len(host.split(".")) > SPAM_MAX_HOST_LABELS
+        or len(segs) - 1 > SPAM_MAX_PATH_DEPTH
+        or len(path) > SPAM_MAX_PATH_LEN
+        or trip
+        or re.search(SPAM_WORD_RE, url.lower()) is not None
+        or n_params > SPAM_MAX_QUERY_PARAMS
+    )
 
 _CMP_RE = re.compile(
     r"^(hopcount|errorcount|percentchangedperday)\s*(>=|<=|==|>|<)\s*(-?\d+)$")
@@ -78,7 +140,7 @@ def parse_expression(expr: str) -> tuple[Pred, ...]:
     for term in (t.strip() for t in expr.split("&&")):
         if term == "default":
             preds.append(Pred("default"))
-        elif term in ("ismedia", "iswww", "isseed", "isindexed"):
+        elif term in ("ismedia", "iswww", "isseed", "isindexed", "islinkspam"):
             preds.append(Pred(term))
         elif m := _CMP_RE.match(term):
             preds.append(Pred("cmp", field=m.group(1), op=m.group(2), value=int(m.group(3))))
@@ -124,6 +186,8 @@ def _pred_col(p: Pred) -> Column:
         return F.coalesce(F.col("is_seed"), F.lit(False))
     if p.kind == "isindexed":
         return F.coalesce(F.col("is_indexed"), F.lit(False))
+    if p.kind == "islinkspam":
+        return link_spam_col(F.col("host"), F.col("path"), F.col("url"))
     if p.kind == "cmp":
         c, v = F.col(p.field), F.lit(p.value)
         if p.field == "percentchangedperday":
@@ -192,6 +256,8 @@ def _pred_py(p: Pred, row: dict) -> bool:
         return bool(row.get("is_seed"))
     if p.kind == "isindexed":
         return bool(row.get("is_indexed"))
+    if p.kind == "islinkspam":
+        return py_link_spam(row["host"], row["path"], row["url"])
     if p.kind == "cmp":
         v = row.get(p.field, 0)
         return {"<": v < p.value, "<=": v <= p.value, "==": v == p.value,

@@ -67,3 +67,59 @@ def test_spark_matches_python(spark):
     assert by[("http://www.b.example/p/2", False)] == 4
     assert by[("http://c.test/p/3", False)] == 5
     assert by[("http://d.example/p/4", False)] == 6
+
+
+# --- F4 link-spam (round 2) --------------------------------------------------
+
+SPAM_CASES = {
+    # (host, path, query) → expected
+    ("a.b.c.d.e.f.spam.example", "/p/1", ""): True,      # subdomain farm
+    ("h.example", "/p/loop/loop/loop/9", ""): True,      # crawler trap
+    ("h.example", "/great-casino-deals/3", ""): True,    # spam word
+    ("h.example", "/a/b/c/d/e/f/g/h/i/j/k/l/m/0", ""): True,  # deep path
+    ("h.example", "/p/7", "?" + "&".join(f"k{i}=1" for i in range(10))): True,
+    ("h.example", "/" + "x" * 170, ""): True,            # long path
+    ("h.example", "/p/9", ""): False,
+    ("www.h.example", "/a/b/a/b", "?x=1&y=2"): False,    # non-consecutive
+    ("h.example", "/loop/loop/p", ""): False,            # only 2 repeats
+}
+
+
+def test_py_link_spam_cases():
+    from gigaspark.operators.url_filters import py_link_spam
+    for (host, path, q), want in SPAM_CASES.items():
+        url = f"http://{host}{path}{q}"
+        assert py_link_spam(host, path, url) is want, (host, path, q)
+
+
+def test_link_spam_col_matches_py(spark):
+    from pyspark.sql import functions as F
+    from gigaspark.operators.url_filters import link_spam_col, py_link_spam
+    rows = [(h, p, f"http://{h}{p}{q}") for (h, p, q) in SPAM_CASES]
+    df = spark.createDataFrame(rows, "host string, path string, url string")
+    got = df.select("host", "path", "url",
+                    link_spam_col(F.col("host"), F.col("path"),
+                                  F.col("url")).alias("s")).collect()
+    for r in got:
+        assert r["s"] == py_link_spam(r["host"], r["path"], r["url"]), r["url"]
+
+
+def test_islinkspam_predicate_in_chain(spark):
+    """islinkspam rule drops spam rows before clean default rule."""
+    from pyspark.sql import functions as F
+    from gigaspark.operators.url_filters import apply_url_filters, rules_from_rows
+    rules = rules_from_rows([
+        {"rule_idx": 0, "expression": "islinkspam", "priority": -3,
+         "spider_freq_days": 0.0, "max_spiders_per_ip": 1,
+         "same_ip_wait_ms": 0, "harvest_links": False, "force_delete": False},
+        {"rule_idx": 1, "expression": "default", "priority": 50,
+         "spider_freq_days": 0.0, "max_spiders_per_ip": 1,
+         "same_ip_wait_ms": 0, "harvest_links": True, "force_delete": False},
+    ])
+    rows = [(h, p, f"http://{h}{p}{q}") for (h, p, q) in SPAM_CASES]
+    df = spark.createDataFrame(rows, "host string, path string, url string")
+    out = apply_url_filters(df, rules).collect()
+    from gigaspark.operators.url_filters import py_link_spam
+    for r in out:
+        spam = py_link_spam(r["host"], r["path"], r["url"])
+        assert (r["priority"] < 0) == spam, r["url"]

@@ -76,3 +76,70 @@ def test_host_path_parse_url_parity(spark):
     for r in rows:
         assert r["h"] == py_host(r["url"])
         assert r["p"] == py_path(r["url"])
+
+
+# --- punycode (IDNA) + registered-domain extraction (C1/C3 round 2) ---------
+
+IDN_CASES = {
+    "http://bücher.example/x": "http://xn--bcher-kva.example/x",
+    "http://BÜCHER.example/x": "http://xn--bcher-kva.example/x",
+    "http://münchen.de/straße": "http://xn--mnchen-3ya.de/stra%C3%9Fe",
+    "http://例え.jp/": "http://xn--r8jz45g.jp/",
+    "http://ascii.example/ok": "http://ascii.example/ok",
+}
+
+
+def test_idna_host_pinned_cases():
+    from gigaspark.functions.urls import canonicalize_url
+    for raw, want in IDN_CASES.items():
+        got = canonicalize_url(raw)
+        assert got.split("/")[2] == want.split("/")[2], (raw, got)
+
+
+def test_idna_vectorized_matches_pure():
+    from gigaspark.functions.urls import canonicalize_series, canonicalize_url
+    raws = list(IDN_CASES) + ["http://plain.example/", "no-scheme-idn-ü.example"]
+    vec = canonicalize_series(pd.Series(raws)).tolist()
+    assert vec == [canonicalize_url(r) for r in raws]
+
+
+DOMAIN_CASES = {
+    "www.example.co.uk": "example.co.uk",
+    "a.b.shop.com.au": "shop.com.au",
+    "example.com": "example.com",
+    "www.example.com": "example.com",
+    "deep.sub.host.org": "host.org",
+    "localhost": "localhost",
+    "co.uk": "co.uk",          # bare suffix: <3 labels → last-2 rule
+    "x.co.il": "x.co.il",
+    "news.example.de": "example.de",
+}
+
+
+def test_py_domain_pinned_cases():
+    from gigaspark.functions.urls import py_domain
+    for host, want in DOMAIN_CASES.items():
+        assert py_domain(host) == want, host
+
+
+def test_domain_col_matches_py(spark):
+    from gigaspark.functions.urls import domain_col, py_domain
+    hosts = list(DOMAIN_CASES)
+    rows = (
+        spark.createDataFrame([(h,) for h in hosts], ["host"])
+        .select("host", domain_col(F.col("host")).alias("d")).collect())
+    for r in rows:
+        assert r["d"] == py_domain(r["host"]) == DOMAIN_CASES[r["host"]]
+
+
+@given(st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1,
+            max_size=8),
+    min_size=1, max_size=5))
+@settings(max_examples=60, deadline=None)
+def test_domain_property_suffix_of_host(labels):
+    from gigaspark.functions.urls import py_domain
+    host = ".".join(labels)
+    d = py_domain(host)
+    assert host == d or host.endswith("." + d)
+    assert 1 <= len(d.split(".")) <= 3

@@ -44,16 +44,29 @@ from gigaspark.session import get_spark
 from gigaspark.operators.frontier import CrawlConfig, CrawlScheduler
 
 cores = int(sys.argv[1]); sf_dir = sys.argv[2]; repl = int(sys.argv[3])
+skew = len(sys.argv) > 4 and sys.argv[4] == "skew"
+salts = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 spark = get_spark(f"scale-{cores}", cores=cores, shuffle_partitions=2 * cores)
 spark.sparkContext.setLogLevel("ERROR")
 
 orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+base = orders.select(
+    "o_orderkey", "o_custkey",
+    F.explode(F.sequence(F.lit(0), F.lit(repl - 1))).alias("j"))
+if skew:
+    # megahost universe (SURVEY §4.4): ONE host owns ~30% of the
+    # frontier; the rest spread over 8192 hosts.  This is the regime the
+    # two-level tournament (tournament_salts) exists for.
+    hostno = ((F.col("o_custkey") * repl + F.col("j")) % 8192).cast("string")
+    host_expr = F.when((F.col("o_orderkey") + F.col("j")) % 10 < 3,
+                       F.lit("megahost")).otherwise(F.concat(F.lit("host"), hostno))
+else:
+    host_expr = F.concat(
+        F.lit("host"),
+        ((F.col("o_custkey") * repl + F.col("j")) % 8192).cast("string"))
 seeds = (
-    orders.select("o_orderkey", "o_custkey",
-                  F.explode(F.sequence(F.lit(0), F.lit(repl - 1))).alias("j"))
-    .select(
-        F.concat(F.lit("http://host"),
-                 ((F.col("o_custkey") * repl + F.col("j")) % 8192).cast("string"),
+    base.select(
+        F.concat(F.lit("http://"), host_expr,
                  F.lit(".example/p/"), F.col("o_orderkey").cast("string"),
                  F.lit("/"), F.col("j").cast("string")).alias("url"),
         ((F.col("o_orderkey") + F.col("j")) % 1000).alias("added_time_ms"),
@@ -79,23 +92,26 @@ seeds = seeds.localCheckpoint(eager=True)  # input materialized before t0
 # a long-running crawl is always in this regime; cold worker fork/import
 # costs are one-off and identical at any parallelism): run the full
 # pipeline once on a small sample, measure the real input after.
-warm = CrawlScheduler(spark, fixtures, CrawlConfig(use_bloom=True))
+cfg = CrawlConfig(use_bloom=True, tournament_salts=salts)
+warm = CrawlScheduler(spark, fixtures, cfg)
 warm.seed(seeds.limit(20000))
 warm.run_round()
 
 t0 = time.time()
-sched = CrawlScheduler(spark, fixtures, CrawlConfig(use_bloom=True))
+sched = CrawlScheduler(spark, fixtures, cfg)
 sched.seed(seeds)
 n = sched.run_round()
 dt = time.time() - t0
 em = sched.emitted_df().select("seq", "urlhash48", "scheduled_time_ms")
 h = em.selectExpr("bit_xor(xxhash64(seq, urlhash48, scheduled_time_ms)) AS h").collect()[0][0]
 print(json.dumps({"cores": cores, "crawl_s": round(dt, 2), "urls": n,
-                  "urls_per_sec": round(n / dt, 1), "order_hash": h}))
+                  "urls_per_sec": round(n / dt, 1), "order_hash": h,
+                  "skew": skew, "tournament_salts": salts}))
 """
 
 
-def run_level(cores: int, sf_dir: str, repl: int) -> dict:
+def run_level(cores: int, sf_dir: str, repl: int,
+              skew: bool = False, salts: int = 0) -> dict:
     """Run one parallelism level PINNED to exactly ``cores`` CPUs.
 
     ``local[N]`` alone does NOT model an N-core cluster for pandas-UDF
@@ -106,6 +122,8 @@ def run_level(cores: int, sf_dir: str, repl: int) -> dict:
     budget — the same constraint a real N-core executor node has.
     """
     cmd = [sys.executable, "-c", WORKER, str(cores), sf_dir, str(repl)]
+    if skew or salts:
+        cmd += ["skew" if skew else "uniform", str(salts)]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
     env = dict(os.environ)
@@ -132,19 +150,45 @@ def median_level(cores: int, sf_dir: str, repl: int, reps: int) -> dict:
     return med
 
 
+def scaling_pair(ncores: int, sf_dir: str, repl: int, reps: int) -> dict:
+    n = median_level(ncores, sf_dir, repl, reps)
+    n4 = median_level(4 * ncores, sf_dir, repl, reps)
+    return {
+        "N": n, "4N": n4,
+        "scaling_efficiency": round(
+            (n4["urls_per_sec"] / n["urls_per_sec"]) / 4, 3),
+        "deterministic_across_parallelism": n["order_hash"] == n4["order_hash"],
+    }
+
+
+def skew_tournament(cores: int, sf_dir: str, repl: int) -> dict:
+    """Megahost universe (1 host ≈ 30% of frontier): salts=0 vs 16 must
+    produce the IDENTICAL schedule (order_hash equality is the
+    correctness claim; the salted plan bounds per-task size — the
+    guarantee that matters at 10^10 URLs where one host's candidate set
+    cannot fit a single task)."""
+    plain = run_level(cores, sf_dir, repl, skew=True, salts=0)
+    salted = run_level(cores, sf_dir, repl, skew=True, salts=16)
+    return {
+        "cores": cores,
+        "salts0": plain, "salts16": salted,
+        "identical_order": plain["order_hash"] == salted["order_hash"],
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     repl = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     ncores = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
-    n = median_level(ncores, sf_dir, repl, reps)
-    n4 = median_level(4 * ncores, sf_dir, repl, reps)
-    eff = round((n4["urls_per_sec"] / n["urls_per_sec"]) / 4, 3)
     res = {
         "sf_dir": sf_dir, "replication": repl, "reps": reps,
-        "N": n, "4N": n4,
-        "scaling_efficiency": eff,
-        "deterministic_across_parallelism": n["order_hash"] == n4["order_hash"],
+        # primary pair (N → 4N in the core-bound regime)…
+        **scaling_pair(ncores, sf_dir, repl, reps),
+        # …plus the 4→16 control (VERDICT r1: show 0.83 isn't an N=2
+        # fixed-overhead artifact) and the megahost-skew tournament
+        "pair_4_16": scaling_pair(4, sf_dir, repl, reps),
+        "skew_tournament": skew_tournament(8, sf_dir, repl),
     }
     print(json.dumps(res, indent=2))
     with open("BENCH_SCALING.json", "w") as f:
