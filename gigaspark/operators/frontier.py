@@ -85,6 +85,9 @@ class CrawlConfig:
     validate_fetch: bool = False     # needs page_image/images/images_golden
     tournament_salts: int = 0        # >1 → §4.4 two-level skew tournament
     respider: bool = False           # J1/W4 re-spider loop (see run_round)
+    err_mod: int = 0                 # >0 → fetch fails iff urlhash48 % err_mod == 0
+    retry_wait_ms: int = 60_000      # error retry backoff (oracle step 9)
+    site_quota: int = 0              # >0 → per-firstip successful-fetch cap (step 10)
 
 
 class CrawlScheduler:
@@ -118,7 +121,8 @@ class CrawlScheduler:
         self.seen_parts: list[DataFrame] = []
         self.hp_parts: list[DataFrame] = []        # per-host pending deltas
         self.pending_count = 0                     # exact driver arithmetic
-        self.host_state = spark.createDataFrame([], "firstip int, next_ok_ms long")
+        self.host_state = spark.createDataFrame(
+            [], "firstip int, next_ok_ms long, n_emitted long")
         self.segments = None  # bloom segments DF (lazy-init on first enqueue)
         self.n_seen = 0       # driver-side seen-count (fast-path guard)
         self.emitted_parts: list[DataFrame] = []
@@ -208,6 +212,9 @@ class CrawlScheduler:
             # re-entries get spidered_ms + spider_freq_days)
             T.StructField("gen", T.IntegerType()),
             T.StructField("due_ms", T.LongType()),
+            # error-retry support: fetch failures (oracle step 9) re-enter
+            # with errorcount+1 so hastmperror/errorcount>=N rules apply
+            T.StructField("errorcount", T.IntegerType()),
         ])
 
     # ------------------------------------------------------------------ #
@@ -319,6 +326,27 @@ class CrawlScheduler:
     def run_round(self) -> int:
         t = time.time()
         T_ms = self.clock_ms
+        n_quota = 0
+        if self.cfg.site_quota:
+            # oracle step 10 — quota purge before winner selection: every
+            # pending row of a host whose successful-fetch count reached
+            # the quota is tombstoned (otherwise capped hosts would pin
+            # the clock forever)
+            full = (self.host_state
+                    .where(F.col("n_emitted") >= F.lit(self.cfg.site_quota))
+                    .select("firstip"))
+            obs_q = Observation()
+            doomed = (self.frontier.join(F.broadcast(full), "firstip", "semi")
+                      .select("firstip", "urlhash48", "gen")
+                      .observe(obs_q, F.count(F.lit(1)).alias("n"))
+                      .transform(stable_checkpoint))
+            n_quota = int(obs_q.get["n"] or 0)
+            if n_quota:
+                self.removed_parts.append(doomed)
+                self.hp_parts.append(
+                    doomed.groupBy("firstip").agg((-F.count("*")).alias("d")))
+                self.pending_count -= n_quota
+            t = _tlog("quota", t)
         f = self.frontier.join(self.host_state, "firstip", "left").withColumn(
             "next_ok_ms", F.coalesce(F.col("next_ok_ms"), F.lit(0)))
         elig = f.where((F.col("next_ok_ms") <= F.lit(T_ms))
@@ -346,6 +374,9 @@ class CrawlScheduler:
         )
         cum = Window.partitionBy("firstip").orderBy(*_win_order()).rowsBetween(
             Window.unboundedPreceding, -1)
+        # oracle step 9: a slot's fetch FAILS iff urlhash48 % err_mod == 0
+        err_cond = ((F.col("urlhash48") % self.cfg.err_mod) == 0) \
+            if self.cfg.err_mod else F.lit(False)
         obs_w = Observation()
         winners = (
             winners.withColumn(
@@ -353,7 +384,9 @@ class CrawlScheduler:
                 F.lit(T_ms) + F.coalesce(F.sum("gap_ms").over(cum), F.lit(0)))
             .withColumn("round", F.lit(self.round))
             .observe(obs_w, F.count(F.lit(1)).alias("n"),
-                     F.sum(F.col("harvest_links").cast("long")).alias("n_harvest"))
+                     F.sum((F.col("harvest_links") & ~err_cond).cast("long"))
+                     .alias("n_harvest"),
+                     F.sum(err_cond.cast("long")).alias("n_err"))
             .transform(stable_checkpoint)
         )
         wc = obs_w.get
@@ -368,9 +401,18 @@ class CrawlScheduler:
                 validate_fetch(emitted, self.page_image, self.images,
                                self.images_golden).transform(stable_checkpoint))
 
-        # host_state merge: fetched hosts get next_ok = last slot end
+        # host_state merge: fetched hosts get next_ok = last slot end and
+        # accumulate their SUCCESSFUL-fetch count (site-quota input —
+        # error slots consume politeness time but not quota)
         upd = winners.groupBy("firstip").agg(
-            F.max(F.col("scheduled_time_ms") + F.col("gap_ms")).alias("next_ok_ms"))
+            F.max(F.col("scheduled_time_ms") + F.col("gap_ms")).alias("next_ok_ms"),
+            F.sum((~err_cond).cast("long")).alias("c"))
+        upd = (upd.join(self.host_state.select(
+                   "firstip", F.col("n_emitted").alias("prev_n")),
+                   "firstip", "left")
+               .select("firstip", "next_ok_ms",
+                       (F.coalesce(F.col("prev_n"), F.lit(0))
+                        + F.col("c")).alias("n_emitted")))
         self.host_state = (
             self.host_state.join(upd.select("firstip"), "firstip", "left_anti")
             .unionByName(upd)
@@ -386,6 +428,46 @@ class CrawlScheduler:
         n_emitted = int(wc["n"] or 0)
         self.pending_count -= n_emitted
         m = {"round": self.round, "clock_ms": T_ms, "emitted": n_emitted}
+        if self.cfg.site_quota:
+            m["quota_dropped"] = n_quota
+
+        if self.cfg.err_mod:
+            # oracle step 9 — error reply → retry re-entry: errorcount+1,
+            # filter row re-evaluated with the new count (hastmperror /
+            # errorcount>=N rules decide retry-vs-give-up), due_ms =
+            # spidered + retry backoff.  No harvest, no respider path.
+            m["errors"] = n_errors = int(wc["n_err"] or 0)
+            n_retried = 0
+            if n_errors:
+                er = (winners.where(err_cond)
+                      .withColumn("spidered_ms",
+                                  F.col("scheduled_time_ms") + F.lit(self.cfg.fetch_ms))
+                      .withColumn("errorcount",
+                                  (F.coalesce(F.col("errorcount"), F.lit(0))
+                                   + 1).cast("int"))
+                      # a failed fetch was never indexed and carries no
+                      # change signal (sim step 9 evaluates without them)
+                      .withColumn("is_indexed", F.lit(False))
+                      .withColumn("percentchangedperday", F.lit(0))
+                      .drop(*ASSIGN_FIELDS))
+                er = apply_url_filters(er, self.rules)
+                obs_e = Observation()
+                er = (er.where((F.col("priority") >= 0) & (~F.col("force_delete")))
+                      .withColumn("added_ms", F.col("spidered_ms"))
+                      .withColumn("due_ms", F.col("spidered_ms")
+                                  + F.lit(self.cfg.retry_wait_ms))
+                      .withColumn("gen", (F.col("gen") + 1).cast("int"))
+                      .observe(obs_e, F.count(F.lit(1)).alias("n"))
+                      .transform(stable_checkpoint))
+                n_retried = int(obs_e.get["n"] or 0)
+                if n_retried:
+                    self.frontier_parts.append(
+                        er.select(*[fld.name for fld in self._frontier_schema().fields]))
+                    self.hp_parts.append(
+                        er.groupBy("firstip").agg(F.count("*").alias("d")))
+                    self.pending_count += n_retried
+            m["retried"] = n_retried
+            t = _tlog("retry", t)
 
         if self.cfg.respider and n_emitted:
             # J1/W4 respider: every fetch writes an implicit SpiderReply
@@ -397,7 +479,7 @@ class CrawlScheduler:
             # change signal pinned to urlhash48 % 101 — deterministic,
             # mirrored by the oracle sim).  Robots are NOT re-checked
             # (pinned: robots gate at discovery only).
-            re_ = (winners
+            re_ = (winners.where(~err_cond)
                    .withColumn("spidered_ms",
                                F.col("scheduled_time_ms") + F.lit(self.cfg.fetch_ms))
                    .withColumn("is_indexed", F.lit(True))
@@ -431,7 +513,7 @@ class CrawlScheduler:
         # round_enqueued matches the oracle spec (discovery round)
         if wc["n_harvest"]:
             outlinks = (
-                winners.where(F.col("harvest_links"))
+                winners.where(F.col("harvest_links") & ~err_cond)
                 .join(self.links, winners["url"] == self.links["src_url"])
                 .select(
                     F.col("dst_url").alias("url"),
@@ -452,7 +534,7 @@ class CrawlScheduler:
         # the full wide frontier
         m["pending"] = self.pending_count
         if self.pending_count > 0:
-            if self.cfg.respider:
+            if self.cfg.respider or self.cfg.err_mod:
                 # general clock rule (oracle step 7'): advance to the
                 # earliest moment ANY pending row can run = min over rows
                 # of max(host next_ok, row due) — needs per-row due times,

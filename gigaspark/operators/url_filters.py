@@ -13,9 +13,14 @@ for the oracle simulator; both backends parse the same mini-language so
 they cannot drift structurally.
 
 Mini-language (conjunctions with ``&&``):
-    default | ismedia | iswww | isseed | isindexed | islinkspam
+    default | ismedia | iswww | isseed | isindexed | islinkspam | hastmperror
     hopcount>=N (also <=,==,>,<) | errorcount>=N | percentchangedperday>=N
     tld==STR | urlmatch~=REGEX  (keep regexes Java/Python-common)
+
+``hastmperror``/``errorcount`` mirror Gigablast's retry predicates
+(``SpiderReply::m_errCode`` + per-request error counter [U][M]): a failed
+fetch re-enters the frontier with errorcount+1 and rules decide whether
+to retry (and at what priority) or give up (``errorcount>=N`` → -3).
 
 ``islinkspam`` is the F4 slice (``linkspam.cpp::isLinkSpam`` /
 ``Url.cpp::isSpam`` [U][M]) — PINNED deterministic heuristics, identical
@@ -140,7 +145,8 @@ def parse_expression(expr: str) -> tuple[Pred, ...]:
     for term in (t.strip() for t in expr.split("&&")):
         if term == "default":
             preds.append(Pred("default"))
-        elif term in ("ismedia", "iswww", "isseed", "isindexed", "islinkspam"):
+        elif term in ("ismedia", "iswww", "isseed", "isindexed", "islinkspam",
+                      "hastmperror"):
             preds.append(Pred(term))
         elif m := _CMP_RE.match(term):
             preds.append(Pred("cmp", field=m.group(1), op=m.group(2), value=int(m.group(3))))
@@ -188,6 +194,8 @@ def _pred_col(p: Pred) -> Column:
         return F.coalesce(F.col("is_indexed"), F.lit(False))
     if p.kind == "islinkspam":
         return link_spam_col(F.col("host"), F.col("path"), F.col("url"))
+    if p.kind == "hastmperror":
+        return F.coalesce(F.col("errorcount"), F.lit(0)) > 0
     if p.kind == "cmp":
         c, v = F.col(p.field), F.lit(p.value)
         if p.field == "percentchangedperday":
@@ -258,6 +266,8 @@ def _pred_py(p: Pred, row: dict) -> bool:
         return bool(row.get("is_indexed"))
     if p.kind == "islinkspam":
         return py_link_spam(row["host"], row["path"], row["url"])
+    if p.kind == "hastmperror":
+        return int(row.get("errorcount") or 0) > 0
     if p.kind == "cmp":
         v = row.get(p.field, 0)
         return {"<": v < p.value, "<=": v <= p.value, "==": v == p.value,

@@ -45,6 +45,23 @@ rules; what THIS file independently defines is the scheduling semantics:
        Re-entry uses added_ms = spidered_ms for A1 ordering; the seen set
        is untouched (key already present).
     2'. winner candidates exclude rows with due_ms > T.
+
+  error-retry mode (``err_mod > 0`` — SpiderReply::m_errCode + errorcount
+  retry loop, hastmperror/errorcount filter predicates [U][M]):
+    9. a fetch FAILS iff urlhash48 % err_mod == 0 (pinned deterministic
+       "tmperror" signal).  Failed fetches occupy their slot (the HTTP
+       round-trip happened) but harvest no links and take no respider
+       success path; instead the URL re-enters at gen+1 with
+       errorcount+1, added_ms = spidered_ms, due_ms = spidered_ms +
+       retry_wait_ms, filter row RE-EVALUATED with the new errorcount
+       (rules like ``errorcount>=3`` → -3 give up; ``hastmperror``
+       matches any retry row).  Robots not re-checked.
+
+  site-quota mode (``site_quota > 0`` — Tagdb sitepages quota,
+  XmlDoc quota check [U][L]; site pinned to firstip):
+    10. at round START, every pending row of a host whose SUCCESSFUL
+        emission count has reached the quota is retired (metric
+        quota_dropped).  Error emissions do not count toward quota.
 """
 
 from __future__ import annotations
@@ -80,6 +97,7 @@ class Req:
     ufn: int = -1
     gen: int = 0
     due_ms: int = 0
+    errorcount: int = 0
 
 
 @dataclass
@@ -110,9 +128,14 @@ MS_PER_DAY = 86_400_000
 
 class OracleSim:
     def __init__(self, fix_dir: str, fetch_ms: int = FETCH_MS,
-                 respider: bool = False):
+                 respider: bool = False, err_mod: int = 0,
+                 retry_wait_ms: int = 60_000, site_quota: int = 0):
         self.fetch_ms = fetch_ms
         self.respider = respider
+        self.err_mod = err_mod
+        self.retry_wait_ms = retry_wait_ms
+        self.site_quota = site_quota
+        self.site_emitted: dict[int, int] = {}
         self.seeds = _load(fix_dir, "seeds")
         self.link_graph = {r["src_url"]: r["dst_urls"] for r in _load(fix_dir, "link_graph")}
         self.robots = RobotsOracle(_load(fix_dir, "robots"))
@@ -182,9 +205,17 @@ class OracleSim:
 
     # ---- one round (steps 1–5, 7) -------------------------------------------
     def run_round(self) -> int:
+        n_quota_dropped = 0
+        if self.site_quota:
+            # step 10 — quota purge before winner selection
+            doomed = [k for k, r in self.frontier.items()
+                      if self.site_emitted.get(r.firstip, 0) >= self.site_quota]
+            for k in doomed:
+                del self.frontier[k]
+            n_quota_dropped = len(doomed)
         by_ip: dict[int, list[Req]] = {}
         for req in self.frontier.values():
-            if req.due_ms <= self.T:  # step 2' — respider due gate
+            if req.due_ms <= self.T:  # step 2' — respider/retry due gate
                 by_ip.setdefault(req.firstip, []).append(req)
         if not by_ip and not self.frontier:
             return 0
@@ -205,7 +236,7 @@ class OracleSim:
             self.next_ok[ip] = t  # last slot + fetch + wait
         sched.sort(key=lambda s: (s[0], -s[1].priority, s[1].added_ms, s[1].urlhash48))
         outlinks: list[tuple[str, int, int, bool]] = []
-        n_respidered = 0
+        n_respidered = n_errors = n_retried = 0
         for t, req in sched:
             self.emitted.append(Emit(
                 seq=len(self.emitted), urlhash48=req.urlhash48, url=req.url,
@@ -213,11 +244,37 @@ class OracleSim:
                 scheduled_time_ms=t, hopcount=req.hopcount, rnd=self.rnd,
             ))
             del self.frontier[(req.firstip, req.urlhash48)]
+            spidered = t + self.fetch_ms
+            failed = bool(self.err_mod) and req.urlhash48 % self.err_mod == 0
+            if failed:  # step 9 — error reply → retry re-entry
+                n_errors += 1
+                ec = req.errorcount + 1
+                a = eval_rules_py(self.rules, {
+                    "url": req.url, "host": req.host, "path": req.path,
+                    "hopcount": req.hopcount, "errorcount": ec,
+                    "is_seed": req.is_seed,
+                })
+                if a["priority"] >= 0 and not a["force_delete"]:
+                    nxt = Req(
+                        url=req.url, host=req.host, path=req.path,
+                        firstip=req.firstip, urlhash48=req.urlhash48,
+                        hopcount=req.hopcount, added_ms=spidered,
+                        is_seed=req.is_seed, priority=a["priority"],
+                        same_ip_wait_ms=a["same_ip_wait_ms"],
+                        harvest_links=a["harvest_links"],
+                        max_spiders_per_ip=a["max_spiders_per_ip"],
+                        ufn=a["ufn"], gen=req.gen + 1,
+                        due_ms=spidered + self.retry_wait_ms, errorcount=ec,
+                    )
+                    self.frontier[(nxt.firstip, nxt.urlhash48)] = nxt
+                    n_retried += 1
+                continue  # no harvest, no quota count, no respider path
+            self.site_emitted[req.firstip] = \
+                self.site_emitted.get(req.firstip, 0) + 1
             if req.harvest_links:
                 for dst in self.link_graph.get(req.url, ()):
                     outlinks.append((dst, req.hopcount + 1, t + self.fetch_ms, False))
             if self.respider:  # step 8 — reply → re-entry
-                spidered = t + self.fetch_ms
                 pct = req.urlhash48 % 101
                 a = eval_rules_py(self.rules, {
                     "url": req.url, "host": req.host, "path": req.path,
@@ -242,6 +299,11 @@ class OracleSim:
         m = {"round": self.rnd, "clock_ms": self.T, "emitted": len(sched)}
         if self.respider:
             m["respidered"] = n_respidered
+        if self.err_mod:
+            m["errors"] = n_errors
+            m["retried"] = n_retried
+        if self.site_quota:
+            m["quota_dropped"] = n_quota_dropped
         if outlinks:
             m.update(self.enqueue(outlinks))
         self.metrics.append(m)
