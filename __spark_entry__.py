@@ -748,6 +748,33 @@ SELECT orderkey, host, domain FROM d
 """
 
 
+def q_c7_json(spark, sf_dir):
+    """C7 — JSON parse (Json.cpp diffbot-reply parsing [U][M], built-in
+    `from_json`): extract props.k from the events JSON column, aggregate
+    per event_type.  The parse stays JVM-side (JsonToStructs in codegen);
+    no UDF."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum("k").cast("long").alias("sum_k"),
+             F.min("k").cast("int").alias("min_k"),
+             F.max("k").cast("int").alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
+SQL_C7_JSON = """
+SELECT event_type, count(*) AS n,
+       sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+       min(json_extract(props, '$.k')::INT)::INT AS min_k,
+       max(json_extract(props, '$.k')::INT)::INT AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_urlseen_filter(spark, sf_dir):
     """§2.7/F5/J5 — the bloom+exact URL-seen filter end-to-end: candidates
     are URLs built from all orderkeys; the seen set is every orderkey
@@ -1589,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_canonicalize": q_c1_canonicalize,
         "c3_domains": q_c3_domains,
         "f4_linkspam": q_f4_linkspam,
+        "c7_json": q_c7_json,
         "urlseen_filter": q_urlseen_filter,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -1642,6 +1670,7 @@ def oracle_sql() -> dict[str, str]:
         "c1_canonicalize": SQL_C1,
         "c3_domains": SQL_C3_DOMAINS,
         "f4_linkspam": SQL_F4_LINKSPAM,
+        "c7_json": SQL_C7_JSON,
         "urlseen_filter": SQL_URLSEEN,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": _minhash_sql(8),
