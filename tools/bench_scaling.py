@@ -151,13 +151,30 @@ def median_level(cores: int, sf_dir: str, repl: int, reps: int) -> dict:
 
 
 def scaling_pair(ncores: int, sf_dir: str, repl: int, reps: int) -> dict:
-    n = median_level(ncores, sf_dir, repl, reps)
-    n4 = median_level(4 * ncores, sf_dir, repl, reps)
+    """INTERLEAVED protocol: run (N, 4N) back-to-back per repetition.
+
+    This sandbox VM shows slow host-level noise drift (±20-30% over tens
+    of minutes, invisible to guest metrics).  Running all N reps then all
+    4N reps lets the drift bias the ratio; interleaving means every
+    repetition's pair sees ~the same host conditions, so the MEDIAN OF
+    PER-REP EFFICIENCIES is drift-robust (the ratio within a rep cancels
+    the common noise factor).
+    """
+    runs = [(run_level(ncores, sf_dir, repl),
+             run_level(4 * ncores, sf_dir, repl)) for _ in range(reps)]
+    effs = sorted((r4["urls_per_sec"] / rn["urls_per_sec"]) / 4
+                  for rn, r4 in runs)
+    n_runs = sorted((r for r, _ in runs), key=lambda r: r["crawl_s"])
+    n4_runs = sorted((r for _, r in runs), key=lambda r: r["crawl_s"])
+    n = dict(n_runs[len(n_runs) // 2]); n["all_crawl_s"] = [r["crawl_s"] for r in n_runs]
+    n4 = dict(n4_runs[len(n4_runs) // 2]); n4["all_crawl_s"] = [r["crawl_s"] for r in n4_runs]
+    hashes = {r["order_hash"] for r, _ in runs} | {r["order_hash"] for _, r in runs}
+    assert len(hashes) == 1, "nondeterministic!"
     return {
         "N": n, "4N": n4,
-        "scaling_efficiency": round(
-            (n4["urls_per_sec"] / n["urls_per_sec"]) / 4, 3),
-        "deterministic_across_parallelism": n["order_hash"] == n4["order_hash"],
+        "per_rep_efficiencies": [round(e, 3) for e in effs],
+        "scaling_efficiency": round(effs[len(effs) // 2], 3),
+        "deterministic_across_parallelism": True,
     }
 
 
