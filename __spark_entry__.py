@@ -802,6 +802,39 @@ FROM orders WHERE o_orderkey % 3 <> 0
 """
 
 
+def q_urlseen_cuckoo(spark, sf_dir):
+    """§2.7 cuckoo variant — same layered-exact seen filter, PLUS the
+    deletion capability bloom lacks: every 15th orderkey is force-deleted
+    from both the cuckoo segments (delete_keys) and the exact seen set,
+    so it re-qualifies as new.  Survivors = non-multiples of 3 ∪
+    multiples of 15 — plain SQL, so the oracle is exact."""
+    from gigaspark.functions.urls import with_url_columns
+    from gigaspark.operators.urlseen_cuckoo import (
+        CuckooParams, build_segments, delete_keys, filter_new,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(F.lit("http://h"), (F.col("o_orderkey") % 997).cast("string"),
+                   F.lit(".example/p/"), F.col("o_orderkey").cast("string"))
+    cands = with_url_columns(o.select(url.alias("url"), "o_orderkey"))
+    seen0 = cands.where(F.col("o_orderkey") % 3 == 0)
+    deleted = seen0.where(F.col("o_orderkey") % 15 == 0)
+    seen = seen0.where(F.col("o_orderkey") % 15 != 0)
+    p = CuckooParams(n_segments=8, n_buckets=1 << 13)
+    segs = delete_keys(build_segments(seen0.select("urlhash48"), p),
+                       deleted.select("urlhash48"), p)
+    new = filter_new(cands, seen.select("firstip", "urlhash48"), segs, p)
+    return new.select(F.col("o_orderkey").alias("orderkey"), "url")
+
+
+SQL_URLSEEN_CUCKOO = """
+SELECT o_orderkey AS orderkey,
+       'http://h' || (o_orderkey % 997)::VARCHAR || '.example/p/' ||
+       o_orderkey::VARCHAR AS url
+FROM orders WHERE o_orderkey % 3 <> 0 OR o_orderkey % 15 = 0
+"""
+
+
 # =========================================================================== #
 # training-data ops: dedup / similarity / text (documents, embeddings)        #
 # =========================================================================== #
@@ -1504,18 +1537,19 @@ WHERE strpos(_p, ' ' || term || ' ') > 0
 
 def q_multimodal_features(spark, sf_dir):
     """Image feature extraction over a deterministically synthesized
-    binary-column table (ppm/png/qnt codecs) via one mapInPandas pass;
-    rows-only driver check (decode is not SQL-expressible)."""
+    binary-column table (ppm/png/qnt/jpg/gif codecs) via one mapInPandas
+    pass; rows-only driver check (decode is not SQL-expressible)."""
     import numpy as np
 
     from gigaspark.functions.images import FORMATS, encode_image
     from gigaspark.operators.multimodal import extract_features
 
+    fmts = list(FORMATS) + ["gif"]  # 16x16=256 px → ≤256 colors → encodable
     rows = []
     for i in range(120):
         rng = np.random.default_rng(1000 + i)
         pix = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
-        fmt = FORMATS[i % len(FORMATS)]
+        fmt = fmts[i % len(fmts)]
         rows.append((f"img{i:04d}", bytearray(encode_image(fmt, pix)), fmt))
     images = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
     return extract_features(images).orderBy("image_id")
@@ -1618,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_linkspam": q_f4_linkspam,
         "c7_json": q_c7_json,
         "urlseen_filter": q_urlseen_filter,
+        "urlseen_cuckoo": q_urlseen_cuckoo,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
@@ -1672,6 +1707,7 @@ def oracle_sql() -> dict[str, str]:
         "f4_linkspam": SQL_F4_LINKSPAM,
         "c7_json": SQL_C7_JSON,
         "urlseen_filter": SQL_URLSEEN,
+        "urlseen_cuckoo": SQL_URLSEEN_CUCKOO,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": _minhash_sql(8),
         "lsh_jaccard_pairs": _lsh_pairs_sql(8, 4, 0.5),

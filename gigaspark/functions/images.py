@@ -128,10 +128,20 @@ def _decode_jpg(data: bytes) -> np.ndarray:
     return decode_jpeg(data)
 
 
+def _encode_gif(pix: np.ndarray) -> bytes:
+    from gigaspark.functions.gif import encode_gif
+    return encode_gif(pix)
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    from gigaspark.functions.gif import decode_gif
+    return decode_gif(data)
+
+
 _ENC = {"ppm": encode_ppm, "png": encode_png, "qnt": encode_qnt,
-        "jpg": _encode_jpg, "jpeg": _encode_jpg}
+        "jpg": _encode_jpg, "jpeg": _encode_jpg, "gif": _encode_gif}
 _DEC = {"ppm": decode_ppm, "png": decode_png, "qnt": decode_qnt,
-        "jpg": _decode_jpg, "jpeg": _decode_jpg}
+        "jpg": _decode_jpg, "jpeg": _decode_jpg, "gif": _decode_gif}
 
 
 def encode_image(fmt: str, pix: np.ndarray) -> bytes:

@@ -326,6 +326,13 @@ def _extend(bits: int, size: int) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → RGB uint8 (h, w, 3). Subset per module doc."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as e:  # truncated/corrupt container
+        raise ValueError(f"jpeg: truncated/corrupt ({e})") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a jpeg (no SOI)")
     i = 2

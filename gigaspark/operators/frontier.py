@@ -79,8 +79,11 @@ def _win_order():
 @dataclass
 class CrawlConfig:
     fetch_ms: int = FETCH_MS
-    use_bloom: bool = True
+    use_bloom: bool = True           # use a probabilistic seen-prefilter at all
+    seen_filter: str = "bloom"       # "bloom" | "cuckoo" (north rule §2.7;
+                                     # cuckoo supports force-delete removal)
     bloom: urlseen.BloomParams = field(default_factory=urlseen.BloomParams)
+    cuckoo: "object" = None          # CuckooParams when seen_filter="cuckoo"
     checkpoint_every: int = 0        # 0 → only on explicit .checkpoint()
     validate_fetch: bool = False     # needs page_image/images/images_golden
     tournament_salts: int = 0        # >1 → §4.4 two-level skew tournament
@@ -97,6 +100,15 @@ class CrawlScheduler:
                  config: CrawlConfig | None = None, state_dir: str | None = None):
         self.spark = spark
         self.cfg = config or CrawlConfig()
+        # probabilistic-prefilter backend (§2.7): bloom (default) or
+        # cuckoo — identical exact semantics, same segment partitioning
+        if self.cfg.seen_filter == "cuckoo":
+            from gigaspark.operators import urlseen_cuckoo
+            self.seen_mod = urlseen_cuckoo
+            self.seen_params = self.cfg.cuckoo or urlseen_cuckoo.CuckooParams()
+        else:
+            self.seen_mod = urlseen
+            self.seen_params = self.cfg.bloom
         self.rules: list[Rule] = rules_from_rows(fixtures["url_filters"].collect())
         self.k_max = max(1, *(r.max_spiders_per_ip for r in self.rules))
         self.robots_rules = robots_op.prep_rules(fixtures["robots"]).cache()
@@ -278,9 +290,9 @@ class CrawlScheduler:
             new, n_new = passing, n_pass
         else:
             obs_new = Observation()
-            new = urlseen.filter_new(
+            new = self.seen_mod.filter_new(
                 passing, self.seen.select("firstip", "urlhash48"),
-                self.segments if self.cfg.use_bloom else None, self.cfg.bloom,
+                self.segments if self.cfg.use_bloom else None, self.seen_params,
             ).observe(obs_new, F.count(F.lit(1)).alias("n")
                       ).transform(stable_checkpoint)
             n_new = int(obs_new.get["n"] or 0)
@@ -304,10 +316,11 @@ class CrawlScheduler:
                               F.lit(self.round).alias("round_enqueued"))
         self.seen_parts.append(new_keys)
         if self.cfg.use_bloom:
-            add = urlseen.build_segments(new_keys, self.cfg.bloom)
+            add = self.seen_mod.build_segments(new_keys, self.seen_params)
             self.segments = (
                 add if self.segments is None
-                else urlseen.merge_segments(self.segments, add, self.cfg.bloom)
+                else self.seen_mod.merge_segments(self.segments, add,
+                                                  self.seen_params)
             ).transform(stable_checkpoint)
         t = _tlog("enq:segments", t)
         return m
@@ -624,8 +637,12 @@ class CrawlScheduler:
             tables["bloom_segments"] = self.segments
         meta = {"round": self.round, "clock_ms": self.clock_ms,
                 "metrics": self.metrics, "n_seen": self.n_seen,
+                "seen_filter": self.cfg.seen_filter,
                 "bloom": {"n_segments": self.cfg.bloom.n_segments,
                           "m_bits": self.cfg.bloom.m_bits}}
+        if self.cfg.seen_filter == "cuckoo":
+            meta["cuckoo"] = {"n_segments": self.seen_params.n_segments,
+                              "n_buckets": self.seen_params.n_buckets}
         return self.store.commit(self.round, tables, meta)
 
     @classmethod

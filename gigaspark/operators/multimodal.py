@@ -7,12 +7,13 @@ decode / feature-extract / resize / frame-sample stages as Arrow-batched
 ``mapInPandas`` transforms.
 
 What is REAL here (tested): the Spark plumbing — schemas, batch shapes,
-partitioning, the full decode path for ppm/png/qnt (functions/images.py)
-AND baseline JPEG (the pure-numpy ITU T.81 codec in functions/jpeg.py),
-pixel statistics, and nearest-neighbour resize.  What is STUBBED (no
-ffmpeg/libwebp in this container): webp/gif decode and audio/video
-codecs raise ``NotImplementedError`` through :func:`decode_stub`,
-clearly marked, with the dispatch and schema ready for a vendored codec.
+partitioning, the full decode path for ppm/png/qnt (functions/images.py),
+baseline JPEG (the pure-numpy ITU T.81 codec in functions/jpeg.py) AND
+GIF87a/89a (the pure-numpy LZW codec in functions/gif.py), pixel
+statistics, and nearest-neighbour resize.  What is STUBBED (no
+ffmpeg/libwebp in this container): webp decode and audio/video codecs
+raise ``NotImplementedError`` through :func:`decode_stub`, clearly
+marked, with the dispatch and schema ready for a vendored codec.
 
 Scale notes: blob batches dominate memory — ``mapInPandas`` streams
 Arrow batches so an executor never holds a partition of blobs at once;
@@ -57,16 +58,18 @@ RESIZE_SCHEMA = T.StructType([
 
 
 def decode_stub(fmt: str, data: bytes) -> np.ndarray:
-    """Dispatch decode; ppm/png/qnt/jpg are real, webp/gif are stubbed.
+    """Dispatch decode; ppm/png/qnt/jpg/gif are real, webp is stubbed.
 
     jpg/jpeg route through the pure-numpy baseline codec
-    (functions/jpeg.py).  STUB: webp/gif need a vendored codec (none in
-    this container, SURVEY §7.4.3) — the Spark-side plumbing (schema,
-    batching, error channel) is identical either way.
+    (functions/jpeg.py); gif through the pure-numpy LZW codec
+    (functions/gif.py — GIF87a/89a incl. interlace).  STUB: webp needs a
+    vendored VP8 codec (none in this container, SURVEY §7.4.3) — the
+    Spark-side plumbing (schema, batching, error channel) is identical
+    either way.
     """
-    if fmt in FORMATS or fmt == "jpeg":
+    if fmt in FORMATS or fmt in ("jpeg", "gif"):
         return decode_image(fmt, data)
-    if fmt in ("webp", "gif"):
+    if fmt == "webp":
         raise NotImplementedError(f"codec for {fmt!r} not vendored in sandbox")
     raise ValueError(f"unknown image format {fmt!r}")
 

@@ -106,7 +106,7 @@ def test_multimodal_features_roundtrip(spark):
         assert r["decode_ok"] and r["w"] == 12 and r["h"] == 8
         assert 0 <= r["mean_r"] <= 255 and r["entropy_bits"] > 0
     assert feats["bad"]["decode_ok"] is False
-    assert feats["jpegstub"]["decode_ok"] is False  # stubbed codec → clean miss
+    assert feats["jpegstub"]["decode_ok"] is False  # truncated jpg → clean miss
 
     thumbs = resize_nn(df, 4, 4).collect()
     ok = {r["image_id"]: r for r in thumbs}
