@@ -956,6 +956,40 @@ FROM votes GROUP BY doc_id
 """
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """Hamming-LSH near-dup pairs over the 32-bit SimHash (W3 + the
+    dedup ask): banding is LOSSLESS for max_dist < n_bands (pigeonhole),
+    so the bucket-join result equals the all-pairs oracle exactly."""
+    from gigaspark.operators.dedup import hamming_neardup_pairs, simhash
+
+    sigs = simhash(_t(spark, sf_dir, "documents"), bits=32)
+    return hamming_neardup_pairs(sigs, "doc_id", "simhash",
+                                 bits=32, n_bands=4, max_dist=3)
+
+
+SQL_SIMHASH_NEARDUP = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+  FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+      FROM toks WHERE t <> ''),
+votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h CROSS JOIN generate_series(0, 31) AS g(j) GROUP BY doc_id, j),
+s AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash))::INT AS dist
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """ANN baseline — brute-force exact cosine top-5 for every 25th
     vector; integer-quantized dot products (oracle-exact floats)."""
@@ -1555,6 +1589,107 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(images).orderBy("image_id")
 
 
+def q_image_neardup(spark, sf_dir):
+    """Image near-dup detection end-to-end: decode → dHash64
+    (functions/phash.py) → banded hamming-LSH pairs.  60 base images
+    with every 4th getting a lightly-noised COPY (planted near-dups);
+    the pairs found must link each copy to its base.  Rows-only driver
+    check (pixel decode + DCT aren't SQL), with the planted-pair
+    invariant asserted in tests/test_multimodal_av.py."""
+    import numpy as np
+
+    from gigaspark.functions.images import encode_image
+    from gigaspark.operators.dedup import hamming_neardup_pairs
+    from gigaspark.operators.multimodal import image_phash
+
+    rows = []
+    for i in range(60):
+        rng = np.random.default_rng(2000 + i)
+        # smooth gradient + blobs → perceptually hashable structure
+        y, x = np.mgrid[0:32, 0:32]
+        base = ((x * (3 + i % 5) + y * (2 + i % 7)) % 256).astype(np.uint8)
+        pix = np.stack([base, base[::-1], base.T], axis=2).copy()
+        rows.append((f"base{i:03d}", bytearray(encode_image("png", pix)), "png"))
+        if i % 4 == 0:  # planted near-dup: tiny additive noise
+            noisy = np.clip(pix.astype(np.int16)
+                            + rng.integers(-6, 7, pix.shape), 0, 255
+                            ).astype(np.uint8)
+            rows.append((f"copy{i:03d}", bytearray(encode_image("png", noisy)),
+                         "png"))
+    images = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    sigs = image_phash(images).where(F.col("decode_ok"))
+    return (hamming_neardup_pairs(sigs, "image_id", "dhash64",
+                                  bits=64, n_bands=8, max_dist=6)
+            .orderBy("a_id", "b_id"))
+
+
+def q_audio_features(spark, sf_dir):
+    """Audio feature extraction over deterministically synthesized WAV
+    clips (pure-python RIFF/PCM codec) — duration/rms/peak/zcr via one
+    mapInPandas pass; rows-only driver check (PCM decode isn't SQL)."""
+    import numpy as np
+
+    from gigaspark.functions.wav import encode_wav
+    from gigaspark.operators.multimodal import audio_features
+
+    rows = []
+    for i in range(48):
+        rate = (8000, 16000, 44100)[i % 3]
+        t = np.arange(int(rate * 0.25)) / rate
+        sig = 0.5 * np.sin(2 * np.pi * (110 * (1 + i % 8)) * t)
+        if i % 5 == 0:  # stereo variant
+            sig = np.stack([sig, sig * 0.25], axis=1)
+        blob = encode_wav(sig, rate, bits=8 if i % 7 == 0 else 16)
+        rows.append((f"clip{i:03d}", bytearray(blob), "wav"))
+    rows.append(("badclip", bytearray(b"RIFFxxxxWAVE"), "wav"))
+    rows.append(("mp3clip", bytearray(b"ID3\x03"), "mp3"))
+    audio = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    return audio_features(audio).orderBy("audio_id")
+
+
+def q_video_frames(spark, sf_dir):
+    """Video frame sampling over deterministically synthesized AVI/MJPEG
+    clips (RIFF container + the pure-numpy baseline-JPEG codec): every
+    5th frame re-emitted as a standalone JPEG row that downstream image
+    ops consume unchanged.  Rows-only driver check."""
+    import numpy as np
+
+    from gigaspark.functions.avi import encode_avi_mjpeg
+    from gigaspark.operators.multimodal import extract_features, frame_sample
+
+    rows = []
+    for v in range(12):
+        frames = []
+        for f in range(10 + v % 4):
+            y, x = np.mgrid[0:16, 0:24]
+            pix = np.stack([(x * 7 + f * 11 + v) % 256,
+                            (y * 5 + f * 3) % 256,
+                            (x + y + v * 13) % 256], axis=2).astype(np.uint8)
+            frames.append(pix)
+        rows.append((f"vid{v:02d}", bytearray(encode_avi_mjpeg(frames, fps=10)),
+                     "avi-mjpg"))
+    rows.append(("badvid", bytearray(b"RIFF\x00\x00\x00\x00AVI "), "avi-mjpg"))
+    rows.append(("mp4vid", bytearray(b"\x00\x00\x00 ftypmp42"), "mp4"))
+    videos = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
+    sampled = frame_sample(videos, every_n=5)
+    frames_as_images = (sampled.where(F.col("decode_ok"))
+                        .select(F.concat("video_id", F.lit("#"),
+                                         F.col("frame_idx").cast("string"))
+                                .alias("image_id"), "bytes", "fmt"))
+    feats = extract_features(frames_as_images)
+    bad = (sampled.where(~F.col("decode_ok"))
+           .select(F.col("video_id").alias("image_id"), "fmt",
+                   F.lit(None).cast("int").alias("w"),
+                   F.lit(None).cast("int").alias("h"),
+                   F.lit(False).alias("decode_ok"),
+                   *[F.lit(None).cast("double").alias(c)
+                     for c in ("mean_r", "mean_g", "mean_b", "std_gray",
+                               "entropy_bits")]))
+    return feats.select("image_id", "fmt", "w", "h", "decode_ok", "mean_r",
+                        "mean_g", "mean_b", "std_gray", "entropy_bits"
+                        ).unionByName(bad).orderBy("image_id")
+
+
 def q_crawl_round(spark, sf_dir):
     """One full frontier round (seed → filters → robots → politeness
     winner window → slot times) over URLs derived from sf orders,
@@ -1657,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "simhash32": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucketed": q_ann_lsh,
         "dedup_embedding": q_dedup_embedding,
@@ -1674,6 +1810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_extract": q_snippet_extract,
         "respider_due": q_respider_due,
         "multimodal_features": q_multimodal_features,
+        "image_neardup": q_image_neardup,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "crawl_round": q_crawl_round,
     }
 
@@ -1712,6 +1851,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_sql(8),
         "lsh_jaccard_pairs": _lsh_pairs_sql(8, 4, 0.5),
         "simhash32": SQL_SIMHASH,
+        "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "ann_cosine_topk": SQL_ANN,
         "ann_lsh_bucketed": _ann_lsh_sql(8, 64),
         "dedup_embedding": _dedup_embedding_sql(8, 64),

@@ -175,3 +175,48 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
         F.lit(0).cast("long"),
     )
     return votes.select("doc_id", sig.alias("simhash"))
+
+
+def hamming_neardup_pairs(sigs: DataFrame, id_col: str, sig_col: str,
+                          bits: int = 64, n_bands: int = 8,
+                          max_dist: int = 3) -> DataFrame:
+    """Banded hamming-LSH near-dup pairs over ANY integer signature
+    column (text SimHash, image dHash/pHash — operators/multimodal.py).
+
+    Two signatures within ``max_dist`` hamming bits agree EXACTLY on at
+    least ``n_bands - max_dist`` of ``n_bands`` disjoint bit-bands
+    (pigeonhole), so with ``max_dist < n_bands`` candidate generation by
+    band-equality join is LOSSLESS — this is exact near-dup search, not
+    approximate, at bucket-join cost.
+
+    Scale: the join key is (band_id, band_bits) — uniform by signature
+    mixing; identical-signature clusters bound bucket size by true dup
+    count.  ``bit_count(a XOR b)`` verification runs JVM-side in
+    whole-stage codegen.  Output: (a_id, b_id, dist), a_id < b_id.
+    """
+    assert bits % n_bands == 0, "bands must tile the signature"
+    w = bits // n_bands
+    mask = (1 << w) - 1
+    bands = sigs.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned(F.col(sig_col), i * w)
+                     .bitwiseAND(F.lit(mask)).alias("key"))
+            for i in range(n_bands)
+        ])).alias("bk"),
+    ).select("_id", "_sig", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"),
+                F.col("a._sig").alias("sa"), F.col("b._sig").alias("sb"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cand.withColumn("dist", F.bit_count(
+            F.col("sa").bitwiseXOR(F.col("sb"))).cast("int"))
+        .where(F.col("dist") <= max_dist)
+        .select("a_id", "b_id", "dist")
+    )

@@ -8,12 +8,15 @@ decode / feature-extract / resize / frame-sample stages as Arrow-batched
 
 What is REAL here (tested): the Spark plumbing — schemas, batch shapes,
 partitioning, the full decode path for ppm/png/qnt (functions/images.py),
-baseline JPEG (the pure-numpy ITU T.81 codec in functions/jpeg.py) AND
-GIF87a/89a (the pure-numpy LZW codec in functions/gif.py), pixel
-statistics, and nearest-neighbour resize.  What is STUBBED (no
-ffmpeg/libwebp in this container): webp decode and audio/video codecs
-raise ``NotImplementedError`` through :func:`decode_stub`, clearly
-marked, with the dispatch and schema ready for a vendored codec.
+baseline JPEG (the pure-numpy ITU T.81 codec in functions/jpeg.py),
+GIF87a/89a (the pure-numpy LZW codec in functions/gif.py), WAV PCM
+audio (functions/wav.py → :func:`audio_features`), AVI/MJPEG video
+(functions/avi.py → :func:`frame_sample`), pixel statistics,
+perceptual hashes, and nearest-neighbour resize.  What is STUBBED (no
+ffmpeg/libwebp in this container): webp decode and compressed
+audio/video codecs (mp3/h264/vp9) surface as decode_ok=false rows,
+clearly marked, with the dispatch and schema ready for a vendored
+codec.
 
 Scale notes: blob batches dominate memory — ``mapInPandas`` streams
 Arrow batches so an executor never holds a partition of blobs at once;
@@ -140,26 +143,142 @@ def resize_nn(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(_run, RESIZE_SCHEMA)
 
 
-def frame_sample_stub(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — STUB: no video codec in this container.
+PHASH_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("decode_ok", T.BooleanType()),
+    T.StructField("ahash64", T.LongType()),
+    T.StructField("dhash64", T.LongType()),
+    T.StructField("phash64", T.LongType()),
+])
 
-    The contract (schema + partitioning) is real: input (video_id,
-    bytes, fmt, n_frames), output one row per sampled frame with the
-    parent id, so downstream image ops apply unchanged.  Raises
-    NotImplementedError inside the task for any real row.
+
+def image_phash(images: DataFrame) -> DataFrame:
+    """(image_id, bytes, fmt) → perceptual hashes (functions/phash.py).
+
+    The image-side analogue of text SimHash: feed the signatures into
+    :func:`gigaspark.operators.dedup.hamming_neardup_pairs` for banded
+    near-duplicate detection without an all-pairs scan.
     """
-
-    schema = T.StructType([
-        T.StructField("video_id", T.StringType()),
-        T.StructField("frame_idx", T.IntegerType()),
-        T.StructField("bytes", T.BinaryType()),
-        T.StructField("fmt", T.StringType()),
-    ])
+    from gigaspark.functions.phash import ahash64, dhash64, phash64
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf):
-                raise NotImplementedError("video codecs not vendored in sandbox")
-            yield pd.DataFrame({f.name: [] for f in schema.fields})
+            out = {k: [] for k in PHASH_SCHEMA.fieldNames()}
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                row = dict.fromkeys(out, None)
+                row["image_id"], row["fmt"], row["decode_ok"] = iid, fmt, False
+                try:
+                    pix = decode_stub(fmt, bytes(blob))
+                    row.update(decode_ok=True, ahash64=ahash64(pix),
+                               dhash64=dhash64(pix), phash64=phash64(pix))
+                except (NotImplementedError, ValueError, KeyError,
+                        IndexError, struct.error, zlib.error):
+                    pass
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
 
-    return videos.mapInPandas(_run, schema)
+    return images.select("image_id", "bytes", "fmt").mapInPandas(_run, PHASH_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("audio_id", T.StringType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("decode_ok", T.BooleanType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+    T.StructField("zcr", T.DoubleType()),
+])
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """(audio_id, bytes, fmt) → per-clip audio statistics.
+
+    REAL for fmt='wav' (the pure-python RIFF/WAVE PCM codec in
+    functions/wav.py); compressed codecs (mp3/ogg/aac — no codec libs
+    in this container) surface as decode_ok=false, same error channel
+    as image decode.  zcr = zero-crossing rate per sample on the
+    channel-mean signal; rms/peak over all channels.
+    """
+    from gigaspark.functions.wav import decode_wav
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_SCHEMA.fieldNames()}
+            for aid, blob, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
+                row = dict.fromkeys(out, None)
+                row["audio_id"], row["fmt"], row["decode_ok"] = aid, fmt, False
+                try:
+                    if fmt != "wav":
+                        raise NotImplementedError(f"no {fmt!r} codec in sandbox")
+                    samples, rate = decode_wav(bytes(blob))
+                    mono = samples.mean(axis=1)
+                    row.update(
+                        decode_ok=True, sample_rate=rate,
+                        n_channels=int(samples.shape[1]),
+                        duration_s=float(samples.shape[0] / rate),
+                        rms=float(np.sqrt((samples ** 2).mean())),
+                        peak=float(np.abs(samples).max()),
+                        zcr=float((np.diff(np.signbit(mono)) != 0).mean())
+                        if len(mono) > 1 else 0.0,
+                    )
+                except (NotImplementedError, ValueError, struct.error):
+                    pass
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return audio.select("audio_id", "bytes", "fmt").mapInPandas(_run, AUDIO_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("video_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("decode_ok", T.BooleanType()),
+])
+
+
+def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling — REAL for fmt='avi-mjpg' (RIFF/AVI parse in
+    functions/avi.py; each sampled frame is a standalone baseline JPEG
+    that flows straight into the image ops above).
+
+    Input (video_id, bytes, fmt); output one row per sampled frame
+    (every ``every_n``-th, always including frame 0) with fmt='jpg'.
+    Codecs this container can't decode (mp4/h264/vp9 — no ffmpeg) and
+    corrupt blobs emit ONE decode_ok=false row instead of failing the
+    task.  One blob never amplifies memory: frames are sliced views of
+    the container bytes, emitted per Arrow batch.
+    """
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gigaspark.functions.avi import decode_avi_frames
+
+        for pdf in batches:
+            out = {k: [] for k in FRAME_SCHEMA.fieldNames()}
+            for vid, blob, fmt in zip(pdf["video_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    if fmt != "avi-mjpg":
+                        raise NotImplementedError(f"no {fmt!r} codec in sandbox")
+                    jpgs = decode_avi_frames(bytes(blob))
+                    for idx in range(0, len(jpgs), max(1, every_n)):
+                        out["video_id"].append(vid)
+                        out["frame_idx"].append(idx)
+                        out["bytes"].append(jpgs[idx])
+                        out["fmt"].append("jpg")
+                        out["decode_ok"].append(True)
+                except (NotImplementedError, ValueError, struct.error):
+                    out["video_id"].append(vid)
+                    out["frame_idx"].append(-1)
+                    out["bytes"].append(None)
+                    out["fmt"].append(fmt)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return videos.select("video_id", "bytes", "fmt").mapInPandas(_run, FRAME_SCHEMA)

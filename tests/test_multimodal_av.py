@@ -1,0 +1,211 @@
+"""Audio (WAV), video (AVI/MJPEG) and perceptual-hash operators.
+
+These make the previously-stubbed halves of the multimodal axis REAL:
+pure-python RIFF/WAVE PCM decode, RIFF/AVI MJPEG frame extraction via
+the numpy baseline-JPEG codec, and dHash/aHash/pHash near-dup detection
+with lossless banded hamming-LSH."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gigaspark.functions.avi import decode_avi_frames, encode_avi_mjpeg
+from gigaspark.functions.phash import ahash64, dhash64, gray_area, phash64
+from gigaspark.functions.wav import decode_wav, encode_wav
+
+
+# ------------------------------------------------------------------ wav ---
+
+def test_wav_roundtrip_16bit_stereo():
+    t = np.arange(8000) / 16000.0
+    sig = np.stack([np.sin(2 * np.pi * 440 * t),
+                    0.5 * np.sin(2 * np.pi * 880 * t)], axis=1)
+    out, rate = decode_wav(encode_wav(sig, 16000, 16))
+    assert rate == 16000 and out.shape == (8000, 2)
+    assert np.abs(out - sig).max() < 1e-4
+
+
+def test_wav_8bit_and_junk_chunks():
+    sig = np.linspace(-1, 1, 100)
+    blob = bytearray(encode_wav(sig, 8000, 8))
+    # splice an unknown chunk between fmt and data (real WAVs have LIST)
+    import struct
+    insert = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    fmt_end = 12 + 8 + 16
+    blob2 = bytes(blob[:fmt_end]) + insert + bytes(blob[fmt_end:])
+    blob2 = blob2[:4] + struct.pack("<I", len(blob2) - 8) + blob2[8:]
+    out, rate = decode_wav(blob2)
+    assert rate == 8000 and len(out) == 100
+    assert np.abs(out[:, 0] - sig).max() < 1 / 64
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio at all")
+
+
+# ------------------------------------------------------------------ avi ---
+
+def test_avi_mjpeg_roundtrip():
+    frames = []
+    for f in range(7):
+        y, x = np.mgrid[0:16, 0:24]
+        frames.append(((x * 5 + y * 3 + f * 17) % 256).astype(np.uint8)
+                      [..., None].repeat(3, axis=2))
+    jpgs = decode_avi_frames(encode_avi_mjpeg(frames, fps=10))
+    assert len(jpgs) == 7
+    from gigaspark.functions.jpeg import decode_jpeg
+    for f, j in zip(frames, jpgs):
+        pix = decode_jpeg(j)
+        assert pix.shape == (16, 24, 3)
+        assert np.abs(pix.astype(float) - f.astype(float)).mean() < 12
+
+
+def test_avi_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_avi_frames(b"RIFF\x00\x00\x00\x00AVI ")
+    with pytest.raises(ValueError):
+        decode_avi_frames(b"\x00\x00\x00 ftypmp42")
+
+
+# ---------------------------------------------------------------- phash ---
+
+def _grad_img(seed: int, h=40, w=56) -> np.ndarray:
+    y, x = np.mgrid[0:h, 0:w]
+    base = ((x * (3 + seed % 5) + y * (2 + seed % 7) + seed) % 256)
+    return np.stack([base, base[::-1], np.roll(base, h // 2, axis=0)],
+                    axis=2).astype(np.uint8)
+
+
+def test_gray_area_is_windowed_mean():
+    pix = np.arange(64, dtype=np.uint8).reshape(8, 8)[..., None].repeat(3, 2)
+    g = gray_area(pix, 2, 2)
+    assert g.shape == (2, 2)
+    assert abs(g[0, 0] - pix[:4, :4, 0].mean()) < 1e-9
+
+
+def _natural_img(seed: int, n=64) -> np.ndarray:
+    """Random field with 1/f spectrum via inverse DCT — the dense-
+    spectrum statistics of natural photos (a sparse-spectrum synthetic
+    gradient leaves most DCT coefficients ≈0, whose signs — hence pHash
+    bits — are decided by noise; real pHash assumes natural images)."""
+    from gigaspark.functions.phash import _dct_mat
+    rng = np.random.default_rng(seed)
+    u, v = np.mgrid[0:n, 0:n]
+    coef = rng.normal(0, 1, (n, n)) * 2000.0 / (1.0 + u + v) ** 1.5
+    coef[0, 0] = 40000  # DC → mid gray
+    d = _dct_mat(n)
+    img = d.T @ coef @ d / (n * n / 4)
+    img = np.clip(img - img.min(), 0, None)
+    img = (img / img.max() * 255).astype(np.uint8)
+    return img[..., None].repeat(3, axis=2)
+
+
+def test_hashes_stable_under_noise_and_resize():
+    rng = np.random.default_rng(3)
+    pix = _natural_img(1)
+    noisy = np.clip(pix.astype(np.int16) + rng.integers(-8, 9, pix.shape),
+                    0, 255).astype(np.uint8)
+    # nearest-neighbour upscale 2x
+    big = pix.repeat(2, axis=0).repeat(2, axis=1)
+    other = _natural_img(9)
+    for h in (dhash64, ahash64, phash64):
+        d_noise = bin(h(pix) ^ h(noisy)).count("1")
+        d_scale = bin(h(pix) ^ h(big)).count("1")
+        d_other = bin(h(pix) ^ h(other)).count("1")
+        assert d_noise <= 8, (h.__name__, d_noise)
+        assert d_scale <= 8, (h.__name__, d_scale)
+        assert d_other > 12, (h.__name__, d_other)
+
+
+# ------------------------------------------------------- spark operators ---
+
+def test_audio_features_operator(spark):
+    from gigaspark.operators.multimodal import audio_features
+
+    t = np.arange(4000) / 8000.0
+    sig = 0.5 * np.sin(2 * np.pi * 100 * t)
+    rows = [("a", bytearray(encode_wav(sig, 8000, 16)), "wav"),
+            ("bad", bytearray(b"RIFFxxxxWAVE"), "wav"),
+            ("mp3", bytearray(b"ID3\x03"), "mp3")]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    got = {r["audio_id"]: r for r in audio_features(df).collect()}
+    a = got["a"]
+    assert a["decode_ok"] and a["sample_rate"] == 8000
+    assert abs(a["duration_s"] - 0.5) < 1e-6
+    assert abs(a["rms"] - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(a["zcr"] - 2 * 100 / 8000.0) < 0.005  # 2 crossings/cycle
+    assert got["bad"]["decode_ok"] is False
+    assert got["mp3"]["decode_ok"] is False
+
+
+def test_frame_sample_operator(spark):
+    from gigaspark.operators.multimodal import extract_features, frame_sample
+
+    frames = [_grad_img(i, 16, 24) for i in range(12)]
+    rows = [("v0", bytearray(encode_avi_mjpeg(frames, fps=10)), "avi-mjpg"),
+            ("vbad", bytearray(b"nope"), "avi-mjpg"),
+            ("vmp4", bytearray(b"\x00\x00\x00 ftypmp42"), "mp4")]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
+    out = frame_sample(df, every_n=5).collect()
+    ok = sorted((r["video_id"], r["frame_idx"]) for r in out if r["decode_ok"])
+    assert ok == [("v0", 0), ("v0", 5), ("v0", 10)]
+    bad = {r["video_id"] for r in out if not r["decode_ok"]}
+    assert bad == {"vbad", "vmp4"}
+    # sampled frames are consumable by the image ops unchanged
+    imgs = (frame_sample(df, every_n=5).where(F.col("decode_ok"))
+            .select(F.col("video_id").alias("image_id"), "bytes", "fmt"))
+    feats = extract_features(imgs).collect()
+    assert len(feats) == 3 and all(r["decode_ok"] for r in feats)
+
+
+def test_image_phash_and_neardup_pairs(spark):
+    from gigaspark.functions.images import encode_image
+    from gigaspark.operators.dedup import hamming_neardup_pairs
+    from gigaspark.operators.multimodal import image_phash
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(20):
+        pix = _grad_img(i)
+        rows.append((f"base{i}", bytearray(encode_image("png", pix)), "png"))
+        if i % 4 == 0:
+            noisy = np.clip(pix.astype(np.int16)
+                            + rng.integers(-6, 7, pix.shape), 0, 255
+                            ).astype(np.uint8)
+            rows.append((f"copy{i}", bytearray(encode_image("png", noisy)), "png"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    sigs = image_phash(df).where("decode_ok")
+    pairs = hamming_neardup_pairs(sigs, "image_id", "dhash64",
+                                  bits=64, n_bands=8, max_dist=6)
+    found = {tuple(sorted((r["a_id"], r["b_id"]))) for r in pairs.collect()}
+    for i in range(0, 20, 4):
+        assert (f"base{i}", f"copy{i}") in found, f"planted pair {i} missed"
+
+
+def test_hamming_banding_is_lossless(spark):
+    """Bucket-join pairs == all-pairs filter for max_dist < n_bands."""
+    from gigaspark.operators.dedup import hamming_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(-(1 << 62), 1 << 62, 60, dtype=np.int64)
+    vals = list(base)
+    for i in range(0, 60, 6):  # plant close neighbours (flip ≤3 bits)
+        v = int(base[i])
+        for b in rng.integers(0, 64, int(rng.integers(1, 4))):
+            v ^= 1 << int(b)
+        vals.append(np.int64(v))
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(vals)], "id int, sig long")
+    got = {(r["a_id"], r["b_id"], r["dist"]) for r in
+           hamming_neardup_pairs(df, "id", "sig", 64, 8, 3).collect()}
+    import itertools
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(enumerate(vals), 2):
+        d = bin(int(a) ^ int(b) & ((1 << 64) - 1)).count("1")
+        d = bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+        if d <= 3:
+            want.add((i, j, d))
+    assert got == want and len(want) >= 10
