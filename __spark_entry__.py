@@ -1124,6 +1124,7 @@ def q_fetch_validate(spark, sf_dir):
     import numpy as np
 
     from gigaspark.functions.images import FORMATS, encode_image
+    from gigaspark.functions.phash import dhash64
     from gigaspark.operators.fetch import validate_fetch
 
     img_rows, pi_rows = [], []
@@ -1132,13 +1133,15 @@ def q_fetch_validate(spark, sf_dir):
         pix = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
         fmt = FORMATS[i % len(FORMATS)]
         img_rows.append((f"img{i:04d}", bytearray(encode_image(fmt, pix)),
-                         12, 12, fmt, f"caption {i}", bytearray(pix.tobytes())))
+                         12, 12, fmt, f"caption {i}", dhash64(pix),
+                         bytearray(pix.tobytes())))
         pi_rows.append((f"http://h{i % 9}.example/p/{i}", f"img{i:04d}"))
     images = spark.createDataFrame(
-        [r[:6] for r in img_rows],
-        "image_id string, bytes binary, w int, h int, fmt string, caption string")
+        [r[:7] for r in img_rows],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long")
     golden = spark.createDataFrame(
-        [(r[0], r[6], r[5]) for r in img_rows],
+        [(r[0], r[7], r[5]) for r in img_rows],
         "image_id string, pixels binary, caption string")
     page_image = spark.createDataFrame(pi_rows, "src_url string, image_id string")
     emitted = page_image.select(
@@ -1148,7 +1151,7 @@ def q_fetch_validate(spark, sf_dir):
         F.lit(0).cast("long").alias("scheduled_time_ms"))
     return (
         validate_fetch(emitted, page_image, images, golden)
-        .select("url", "image_id", "fmt", "pixels_ok", "caption_ok")
+        .select("url", "image_id", "fmt", "pixels_ok", "caption_ok", "phash_ok")
     )
 
 
@@ -1156,7 +1159,7 @@ SQL_FETCH_VALIDATE = """
 SELECT 'http://h' || (i % 9)::VARCHAR || '.example/p/' || i::VARCHAR AS url,
        'img' || lpad(i::VARCHAR, 4, '0') AS image_id,
        (['ppm', 'png', 'qnt', 'jpg'])[i % 4 + 1] AS fmt,
-       true AS pixels_ok, true AS caption_ok
+       true AS pixels_ok, true AS caption_ok, true AS phash_ok
 FROM generate_series(0, 89) AS g(i)
 """
 
@@ -1424,6 +1427,45 @@ pd AS (SELECT doc_id, count(*) AS nm, sum(tf)::BIGINT AS tf_sum
        FROM tf GROUP BY doc_id)
 SELECT pd.doc_id, s.site, pd.tf_sum, dens.density_rank, s.site_rank,
        (pd.tf_sum * (1 + s.site_rank) * (1 + dens.density_rank))::BIGINT AS score
+FROM pd
+JOIN dens USING (doc_id)
+JOIN documents d ON d.doc_id = pd.doc_id
+JOIN sites s ON s.site = d.source
+WHERE pd.nm = (SELECT count(*) FROM q)
+ORDER BY score DESC, pd.doc_id ASC LIMIT 10
+"""
+
+
+def q_search_wordspam(spark, sf_dir):
+    """Full Posdb rank-mix: per-term wordSpam demotion (tf share of the
+    doc, integer rule) under the site × density multipliers — the last
+    Posdb score bitfield (wordSpamRank [U][M]) the query tier lacked."""
+    from gigaspark.operators.search import search_ranked_spam, site_ranks
+
+    postings, terms = _query_terms(spark, sf_dir, 3, 4)
+    docs = _t(spark, sf_dir, "documents")
+    doc_sites = docs.select("doc_id", F.col("source").alias("site"))
+    return search_ranked_spam(postings, terms, doc_sites, site_ranks(docs), k=10)
+
+
+SQL_SEARCH_WORDSPAM = f"""
+WITH {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r BETWEEN 3 AND 4),
+nw AS (SELECT doc_id, count(*) AS n_words FROM p GROUP BY doc_id),
+tf AS (SELECT p.term, doc_id, count(*) AS tf FROM p JOIN q USING (term)
+       GROUP BY p.term, doc_id),
+wtf AS (SELECT term, tf.doc_id,
+               (tf * (10 - least((100 * tf) // n_words, 9)))::BIGINT AS wtf
+        FROM tf JOIN nw ON nw.doc_id = tf.doc_id),
+dens AS (SELECT doc_id,
+                greatest(0, 10 - floor(log2(count(*) + 1)))::INT AS density_rank
+         FROM p GROUP BY doc_id),
+sites AS (SELECT source AS site, floor(log2(count(*) + 1))::INT AS site_rank
+          FROM documents GROUP BY source),
+pd AS (SELECT doc_id, count(*) AS nm, sum(wtf)::BIGINT AS wtf_sum
+       FROM wtf GROUP BY doc_id)
+SELECT pd.doc_id, s.site, pd.wtf_sum, dens.density_rank, s.site_rank,
+       (pd.wtf_sum * (1 + s.site_rank) * (1 + dens.density_rank))::BIGINT AS score
 FROM pd
 JOIN dens USING (doc_id)
 JOIN documents d ON d.doc_id = pd.doc_id
@@ -1805,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_or_not_topk": q_search_or_not,
         "search_phrase_topk": q_search_phrase,
         "search_ranked_topk": q_search_ranked,
+        "search_wordspam_topk": q_search_wordspam,
         "postings_tf": q_postings_tf,
         "siterank_inlinks": q_siterank_inlinks,
         "snippet_extract": q_snippet_extract,
@@ -1864,6 +1907,7 @@ def oracle_sql() -> dict[str, str]:
         "search_or_not_topk": SQL_SEARCH_OR_NOT,
         "search_phrase_topk": SQL_SEARCH_PHRASE,
         "search_ranked_topk": SQL_SEARCH_RANKED,
+        "search_wordspam_topk": SQL_SEARCH_WORDSPAM,
         "postings_tf": SQL_POSTINGS_TF,
         "siterank_inlinks": SQL_SITERANK,
         "snippet_extract": SQL_SNIPPET,

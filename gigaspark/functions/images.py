@@ -138,10 +138,22 @@ def _decode_gif(data: bytes) -> np.ndarray:
     return decode_gif(data)
 
 
+def _encode_webp(pix: np.ndarray) -> bytes:
+    from gigaspark.functions.webp import encode_webp
+    return encode_webp(pix)
+
+
+def _decode_webp(data: bytes) -> np.ndarray:
+    from gigaspark.functions.webp import decode_webp
+    return decode_webp(data)
+
+
 _ENC = {"ppm": encode_ppm, "png": encode_png, "qnt": encode_qnt,
-        "jpg": _encode_jpg, "jpeg": _encode_jpg, "gif": _encode_gif}
+        "jpg": _encode_jpg, "jpeg": _encode_jpg, "gif": _encode_gif,
+        "webp": _encode_webp}
 _DEC = {"ppm": decode_ppm, "png": decode_png, "qnt": decode_qnt,
-        "jpg": _decode_jpg, "jpeg": _decode_jpg, "gif": _decode_gif}
+        "jpg": _decode_jpg, "jpeg": _decode_jpg, "gif": _decode_gif,
+        "webp": _decode_webp}
 
 
 def encode_image(fmt: str, pix: np.ndarray) -> bytes:

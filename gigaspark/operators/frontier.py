@@ -46,7 +46,7 @@ from gigaspark.session import stable_checkpoint
 from gigaspark.operators import robots as robots_op
 from gigaspark.operators import urlseen
 from gigaspark.operators.url_filters import ASSIGN_FIELDS, Rule, apply_url_filters, rules_from_rows
-from gigaspark.functions.urls import with_url_columns
+from gigaspark.functions.urls import host_col, path_col, with_url_columns
 
 _TIMING = bool(os.environ.get("GIGASPARK_TIMING"))
 
@@ -202,9 +202,13 @@ class CrawlScheduler:
     @staticmethod
     def _frontier_schema() -> T.StructType:
         return T.StructType([
+            # NOTE no host/path: both derive from url with built-in
+            # regexes, so carrying them through every frontier
+            # checkpoint/shuffle would pay ~2× string bytes for columns
+            # needed only on the (tiny) winners set and in respider
+            # re-eval — re-derived there instead (100 TB: state bytes
+            # are the scaling currency, codegen regex is free)
             T.StructField("url", T.StringType()),
-            T.StructField("host", T.StringType()),
-            T.StructField("path", T.StringType()),
             T.StructField("firstip", T.IntegerType()),
             T.StructField("urlhash48", T.LongType()),
             T.StructField("hopcount", T.IntegerType()),
@@ -379,6 +383,9 @@ class CrawlScheduler:
         )
         winners = ranked.where(F.col("rn") <= F.greatest(F.col("k_host"), F.lit(1)))
         # politeness gap per fetched URL: fetch + max(rule wait, host crawl_delay)
+        # (host re-derived from url — winners is k-per-host tiny, and the
+        # frontier deliberately doesn't store host/path strings)
+        winners = winners.withColumn("host", host_col(F.col("url")))
         winners = winners.join(F.broadcast(self.host_delays), "host", "left").withColumn(
             "gap_ms",
             F.lit(self.cfg.fetch_ms)
@@ -420,12 +427,17 @@ class CrawlScheduler:
         upd = winners.groupBy("firstip").agg(
             F.max(F.col("scheduled_time_ms") + F.col("gap_ms")).alias("next_ok_ms"),
             F.sum((~err_cond).cast("long")).alias("c"))
-        upd = (upd.join(self.host_state.select(
-                   "firstip", F.col("n_emitted").alias("prev_n")),
-                   "firstip", "left")
-               .select("firstip", "next_ok_ms",
-                       (F.coalesce(F.col("prev_n"), F.lit(0))
-                        + F.col("c")).alias("n_emitted")))
+        if self.cfg.site_quota:
+            upd = (upd.join(self.host_state.select(
+                       "firstip", F.col("n_emitted").alias("prev_n")),
+                       "firstip", "left")
+                   .select("firstip", "next_ok_ms",
+                           (F.coalesce(F.col("prev_n"), F.lit(0))
+                            + F.col("c")).alias("n_emitted")))
+        else:
+            # quota off → the count is never read; skip the extra join
+            upd = upd.select("firstip", "next_ok_ms",
+                             F.lit(0).cast("long").alias("n_emitted"))
         self.host_state = (
             self.host_state.join(upd.select("firstip"), "firstip", "left_anti")
             .unionByName(upd)
@@ -462,6 +474,7 @@ class CrawlScheduler:
                       # change signal (sim step 9 evaluates without them)
                       .withColumn("is_indexed", F.lit(False))
                       .withColumn("percentchangedperday", F.lit(0))
+                      .withColumn("path", path_col(F.col("url")))
                       .drop(*ASSIGN_FIELDS))
                 er = apply_url_filters(er, self.rules)
                 obs_e = Observation()
@@ -499,6 +512,7 @@ class CrawlScheduler:
                    .withColumn("percentchangedperday",
                                (F.col("urlhash48") % 101).cast("int"))
                    .withColumn("errorcount", F.lit(0))
+                   .withColumn("path", path_col(F.col("url")))
                    .drop(*ASSIGN_FIELDS))
             re_ = apply_url_filters(re_, self.rules)
             obs_r = Observation()

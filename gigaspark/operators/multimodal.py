@@ -12,10 +12,11 @@ baseline JPEG (the pure-numpy ITU T.81 codec in functions/jpeg.py),
 GIF87a/89a (the pure-numpy LZW codec in functions/gif.py), WAV PCM
 audio (functions/wav.py → :func:`audio_features`), AVI/MJPEG video
 (functions/avi.py → :func:`frame_sample`), pixel statistics,
-perceptual hashes, and nearest-neighbour resize.  What is STUBBED (no
-ffmpeg/libwebp in this container): webp decode and compressed
-audio/video codecs (mp3/h264/vp9) surface as decode_ok=false rows,
-clearly marked, with the dispatch and schema ready for a vendored
+perceptual hashes, nearest-neighbour resize, and lossless WebP/VP8L
+(functions/webp.py — canonical-Huffman + LZ77 + color-cache).  What is
+STUBBED (no ffmpeg/libwebp in this container): lossy-VP8 webp and
+compressed audio/video codecs (mp3/h264/vp9) surface as decode_ok=false
+rows, clearly marked, with the dispatch and schema ready for a vendored
 codec.
 
 Scale notes: blob batches dominate memory — ``mapInPandas`` streams
@@ -61,19 +62,19 @@ RESIZE_SCHEMA = T.StructType([
 
 
 def decode_stub(fmt: str, data: bytes) -> np.ndarray:
-    """Dispatch decode; ppm/png/qnt/jpg/gif are real, webp is stubbed.
+    """Dispatch decode; ppm/png/qnt/jpg/gif/webp(lossless) are real.
 
     jpg/jpeg route through the pure-numpy baseline codec
     (functions/jpeg.py); gif through the pure-numpy LZW codec
-    (functions/gif.py — GIF87a/89a incl. interlace).  STUB: webp needs a
-    vendored VP8 codec (none in this container, SURVEY §7.4.3) — the
-    Spark-side plumbing (schema, batching, error channel) is identical
-    either way.
+    (functions/gif.py — GIF87a/89a incl. interlace); webp through the
+    pure-numpy VP8L lossless codec (functions/webp.py).  Lossy-VP8 webp
+    raises inside decode_webp (``ValueError('webp: unsupported ...')``)
+    — a vendored VP8 codec would be needed (none in this container,
+    SURVEY §7.4.3); the Spark-side plumbing (schema, batching, error
+    channel) is identical either way.
     """
-    if fmt in FORMATS or fmt in ("jpeg", "gif"):
+    if fmt in FORMATS or fmt in ("jpeg", "gif", "webp"):
         return decode_image(fmt, data)
-    if fmt == "webp":
-        raise NotImplementedError(f"codec for {fmt!r} not vendored in sandbox")
     raise ValueError(f"unknown image format {fmt!r}")
 
 

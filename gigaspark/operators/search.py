@@ -138,6 +138,63 @@ def density_ranks(postings: DataFrame) -> DataFrame:
     )
 
 
+def wordspam_weighted_tf(postings: DataFrame, terms: DataFrame) -> DataFrame:
+    """Per-(term, doc) spam-demoted term weight (Posdb's wordSpamRank
+    bitfield [U][M]: a term occupying a large share of a document is
+    repeated-keyword spam and its score contribution is demoted).
+
+    Pinned integer rule (SQL-portable, no floats):
+        spam_pct = (100 · tf) div n_words            -- share of the doc
+        weight   = tf · (10 − least(spam_pct, 9))    -- demote to ≥1×
+    Returns (term, doc_id, tf, wtf).  Plan: the tf agg and the n_words
+    agg both come from one postings scan; n_words is an already-small
+    per-doc dim → broadcast."""
+    tf = _tf_for_terms(postings, terms)
+    n_words = postings.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    return (
+        tf.join(F.broadcast(n_words), "doc_id")
+        .withColumn("spam_pct",
+                    F.expr("(100 * tf) div n_words").cast("int"))
+        .withColumn("wtf", (F.col("tf")
+                            * (F.lit(10) - F.least(F.col("spam_pct"),
+                                                   F.lit(9)))).cast("long"))
+        .select("term", "doc_id", "tf", "wtf")
+    )
+
+
+def search_ranked_spam(postings: DataFrame, terms: DataFrame,
+                       doc_sites: DataFrame, sites: DataFrame,
+                       k: int = 10) -> DataFrame:
+    """AND search with the FULL Posdb rank-mix shape: per-term word-spam
+    demotion, then doc-level density and site multipliers —
+    score = (Σ_terms tf·spamMul) · (1+siteRank) · (1+densityRank)
+    (``PosdbTable::intersectLists`` score mix [U][M]; exact polynomial
+    pinned as integer arithmetic for oracle parity)."""
+    n_terms = terms.distinct().count()
+    wtf = wordspam_weighted_tf(postings, terms)
+    dens = density_ranks(postings).select("doc_id", "density_rank")
+    per_doc = (
+        wtf.groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"), F.sum("wtf").alias("wtf_sum"))
+        .where(F.col("n_matched") == F.lit(n_terms))
+    )
+    return (
+        per_doc
+        .join(F.broadcast(dens), "doc_id")
+        .join(doc_sites, "doc_id")
+        .join(F.broadcast(sites), "site", "left")
+        .withColumn(
+            "score",
+            (F.col("wtf_sum")
+             * (F.lit(1) + F.coalesce(F.col("site_rank"), F.lit(0)))
+             * (F.lit(1) + F.col("density_rank"))).cast("long"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "site", F.col("wtf_sum").cast("long").alias("wtf_sum"),
+                "density_rank", "site_rank", "score")
+    )
+
+
 def site_ranks(docs: DataFrame, site_col: str = "source") -> DataFrame:
     """Per-site rank from corpus mass (Tagdb sitenuminlinks → siteRank
     bucketing, ``XmlDoc::getSiteRank`` shape [U][M]): log2 buckets of the

@@ -89,7 +89,8 @@ def _fingerprints(keys: np.ndarray, p: CuckooParams) -> tuple[np.ndarray, np.nda
 def _alt_bucket(i: np.ndarray, fp: np.ndarray, p: CuckooParams) -> np.ndarray:
     """Partial-key cuckoo: i2 = i XOR hash(fp) — an involution, so the
     pair {i1, i2} is recoverable from EITHER bucket plus the fp."""
-    h = _mix(fp.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        h = _mix(fp.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
     return (i.astype(np.uint64) ^ (h & np.uint64(p.bucket_mask))).astype(np.int64)
 
 

@@ -22,6 +22,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from gigaspark.functions.images import FORMATS, encode_image
+from gigaspark.functions.phash import dhash64
 from gigaspark.xxh import xxh64, xxh64_signed
 
 NOUNS = ["otter", "harbor", "lantern", "orchid", "glacier", "raven", "dune", "ember"]
@@ -235,7 +236,7 @@ def gen_images(out_dir: str, p: SynthParams) -> None:
         blobs.append(encode_image(fmt, pix))
         ws.append(w); hs.append(h); fmts.append(fmt)
         caps.append(f"caption of img{i:08d} {NOUNS[i % len(NOUNS)]} {ADJS[i % len(ADJS)]}")
-        phashes.append(xxh64_signed(pix.tobytes()))
+        phashes.append(dhash64(pix))  # REAL perceptual hash (input_hint)
         gids.append(f"img{i:08d}"); gw.append(w); gh.append(h)
         gpix.append(pix.tobytes())  # golden sidecar: raw pixels + caption
     _write(out_dir, "images", pa.table({

@@ -110,7 +110,8 @@ def test_interlaced_gif89a_with_extensions():
 
 def test_multimodal_gif_rows(spark):
     """gif rows flow decode_ok=true through the mapInPandas feature
-    extractor; webp rows stay a clean NotImplementedError miss."""
+    extractor; a corrupt webp blob stays a clean decode_ok=false miss
+    (real lossless-webp decode is covered in test_webp.py)."""
     from gigaspark.functions.images import encode_image
     from gigaspark.operators.multimodal import extract_features
 
