@@ -12,13 +12,19 @@ REAL and tested here:
   * "simple" (1-2 symbol) and normal code representations;
   * literals + LZ77 backward references (length/distance prefix codes
     with extra bits, the 120 near-distance plane codes) + color cache;
-  * encoder producing valid single-group, no-transform VP8L streams
-    (flat 8-bit literal codes) that libwebp or this decoder reads.
+  * ALL FOUR pixel transforms on the decode side — predictor (14
+    modes incl. Select / ClampAddSubtract), cross-channel color
+    transform (3.5-bit fixed-point multipliers), subtract-green, and
+    color-indexing (delta-coded palette incl. sub-byte pixel
+    bundling) — with transform data decoded as nested entropy-coded
+    images per the spec;
+  * encoder producing valid single-group VP8L streams (flat 8-bit
+    literal codes, optional subtract-green) that libwebp or this
+    decoder reads.
 
 Out of scope, raising ``ValueError('webp: unsupported ...')`` honestly:
-the four pixel transforms (predictor/color/subtract-green/palette),
-meta-Huffman (multiple groups), and lossy VP8 — a vendored libwebp
-would be needed for those (none in this sandbox).
+meta-Huffman (multiple entropy groups) and lossy VP8 — a vendored
+libwebp would be needed for those (none in this sandbox).
 """
 
 from __future__ import annotations
@@ -209,43 +215,17 @@ def _plane_to_dist(code: int, w: int) -> int:
     return max(d, 1)
 
 
-def decode_webp(data: bytes) -> np.ndarray:
-    """WebP bytes → RGB uint8 (h, w, 3).  Lossless (VP8L) subset only."""
-    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
-        raise ValueError("not a RIFF/WEBP file")
-    pos = 12
-    vp8l = None
-    while pos + 8 <= len(data):
-        cid = data[pos:pos + 4]
-        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
-        if cid == b"VP8L":
-            vp8l = data[pos + 8:pos + 8 + size]
-            break
-        if cid == b"VP8 " or cid == b"VP8X":
-            raise ValueError(f"webp: unsupported chunk {cid!r} "
-                             "(lossy/extended needs libwebp)")
-        pos += 8 + size + (size & 1)
-    if vp8l is None or len(vp8l) < 5:
-        raise ValueError("webp: no VP8L chunk")
-    if vp8l[0] != 0x2F:
-        raise ValueError("webp: bad VP8L signature")
-    br = _BitReader(vp8l[1:])
-    w = br.read(14) + 1
-    h = br.read(14) + 1
-    br.read(1)   # alpha hint
-    if br.read(3) != 0:
-        raise ValueError("webp: bad version")
-    while br.read(1):
-        raise ValueError("webp: unsupported transform (needs libwebp)")
-    # color cache
+def _decode_entropy_image(br: _BitReader, w: int, h: int) -> np.ndarray:
+    """One spatially-coded VP8L image (the main ARGB image or a
+    transform's sub-image): color-cache info, Huffman codes, then the
+    literal/LZ77/cache-symbol pixel stream.  Returns (w·h, 4) uint8
+    rows (r, g, b, a)."""
     cache_bits = br.read(4) if br.read(1) else 0
     if cache_bits > 11:
         raise ValueError("webp: bad color-cache size")
     cache = [0] * (1 << cache_bits) if cache_bits else None
-    # meta-huffman (entropy-image) not supported
-    # NOTE: spec puts the meta-huffman bit before the cache bit at the
-    # TOP level decode; our order matches libwebp's ReadHuffmanCodes for
-    # the top-level image: color_cache_info THEN huffman image bit.
+    # meta-huffman (entropy-image) not supported; bit order matches
+    # libwebp's ReadHuffmanCodes: color_cache_info THEN huffman image bit
     if br.read(1):
         raise ValueError("webp: unsupported meta-huffman (needs libwebp)")
     green_size = 256 + 24 + (1 << cache_bits if cache_bits else 0)
@@ -256,7 +236,7 @@ def decode_webp(data: bytes) -> np.ndarray:
     h_dist = _read_code(br, 40)
 
     n = w * h
-    out = np.zeros((n, 4), dtype=np.uint8)  # RGBA
+    out = np.zeros((n, 4), dtype=np.uint8)  # (r, g, b, a)
     i = 0
     while i < n:
         s = h_green.read(br)
@@ -290,18 +270,231 @@ def decode_webp(data: bytes) -> np.ndarray:
             out[i] = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF,
                       argb & 0xFF, (argb >> 24) & 0xFF)
             i += 1
+    return out
+
+
+# ------------------------------------------------------ inverse transforms --
+
+def _avg2(a, b):
+    return tuple((int(x) + int(y)) >> 1 for x, y in zip(a, b))
+
+
+def _clamp_add_sub_full(L, T, TL):
+    return tuple(min(255, max(0, int(a) + int(b) - int(c)))
+                 for a, b, c in zip(L, T, TL))
+
+
+def _clamp_add_sub_half(avg, TL):
+    # a + (a − b)/2 with C's truncation-toward-zero, then clip to [0,255]
+    out = []
+    for a, c in zip(avg, TL):
+        a, c = int(a), int(c)
+        half = (a - c) // 2 if a >= c else -((c - a) // 2)
+        out.append(min(255, max(0, a + half)))
+    return tuple(out)
+
+
+def _select(L, T, TL):
+    # spec: predict L+T-TL per channel; pick the neighbor closer to it
+    p = [int(a) + int(b) - int(c) for a, b, c in zip(L, T, TL)]
+    p_l = sum(abs(pc - int(lc)) for pc, lc in zip(p, L))
+    p_t = sum(abs(pc - int(tc)) for pc, tc in zip(p, T))
+    return L if p_l <= p_t else T
+
+
+def _inverse_predictor(out: np.ndarray, w: int, h: int, size_bits: int,
+                       sub: np.ndarray, tw: int) -> None:
+    """In-place inverse of the predictor transform (transform type 0):
+    pixel += predictor(L, T, TL, TR) mod 256, scan order.  Flat
+    addressing makes TR at the rightmost column wrap to the current
+    row's first pixel, matching libwebp's contiguous-buffer decode."""
+    modes = sub[:, 1]  # green channel of the sub-image
+    for y in range(h):
+        row_block = (y >> size_bits) * tw
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = (0, 0, 0, 255)
+            elif y == 0:
+                pred = tuple(out[i - 1])
+            elif x == 0:
+                pred = tuple(out[i - w])
+            else:
+                m = modes[row_block + (x >> size_bits)]
+                L, T = out[i - 1], out[i - w]
+                if m == 0:
+                    pred = (0, 0, 0, 255)
+                elif m == 1:
+                    pred = tuple(L)
+                elif m == 2:
+                    pred = tuple(T)
+                elif m == 3:
+                    pred = tuple(out[i - w + 1])
+                elif m == 4:
+                    pred = tuple(out[i - w - 1])
+                elif m == 5:
+                    pred = _avg2(_avg2(L, out[i - w + 1]), T)
+                elif m == 6:
+                    pred = _avg2(L, out[i - w - 1])
+                elif m == 7:
+                    pred = _avg2(L, T)
+                elif m == 8:
+                    pred = _avg2(out[i - w - 1], T)
+                elif m == 9:
+                    pred = _avg2(T, out[i - w + 1])
+                elif m == 10:
+                    pred = _avg2(_avg2(L, out[i - w - 1]),
+                                 _avg2(T, out[i - w + 1]))
+                elif m == 11:
+                    pred = _select(L, T, out[i - w - 1])
+                elif m == 12:
+                    pred = _clamp_add_sub_full(L, T, out[i - w - 1])
+                elif m == 13:
+                    pred = _clamp_add_sub_half(_avg2(L, T), out[i - w - 1])
+                else:
+                    raise ValueError(f"webp: bad predictor mode {m}")
+            out[i] = [(int(v) + int(p)) & 0xFF for v, p in zip(out[i], pred)]
+
+
+def _ct_delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """ColorTransformDelta: (int8(t) · int8(c)) >> 5 (arithmetic)."""
+    return (t.astype(np.int8).astype(np.int32)
+            * c.astype(np.int8).astype(np.int32)) >> 5
+
+
+def _inverse_color_transform(out: np.ndarray, w: int, h: int,
+                             size_bits: int, sub: np.ndarray,
+                             tw: int) -> None:
+    """Inverse cross-channel color transform (type 1).  Per libwebp's
+    ColorCodeToMultipliers the sub-image pixel packs green_to_red in
+    BLUE, green_to_blue in GREEN, red_to_blue in RED."""
+    ys, xs = np.divmod(np.arange(w * h), w)
+    blk = (ys >> size_bits) * tw + (xs >> size_bits)
+    g2r, g2b, r2b = sub[blk, 2], sub[blk, 1], sub[blk, 0]
+    g = out[:, 1]
+    r = (out[:, 0].astype(np.int32) + _ct_delta(g2r, g)) & 0xFF
+    b = (out[:, 2].astype(np.int32) + _ct_delta(g2b, g)) & 0xFF
+    b = (b + _ct_delta(r2b, r.astype(np.uint8))) & 0xFF
+    out[:, 0] = r.astype(np.uint8)
+    out[:, 2] = b.astype(np.uint8)
+
+
+def _inverse_palette(out: np.ndarray, w: int, h: int, pal: np.ndarray,
+                     width_bits: int, packed_w: int) -> np.ndarray:
+    """Inverse color-indexing (type 3): unbundle sub-byte indices from
+    the green channel, then map through the delta-decoded palette.
+    Out-of-range indices decode to transparent black (libwebp zeroes)."""
+    idx = out[:, 1].reshape(h, packed_w)
+    if width_bits:
+        per = 1 << width_bits          # pixels per packed byte
+        bits = 8 >> width_bits         # bits per index
+        shifts = (np.arange(per, dtype=np.uint8) * bits)
+        expanded = (idx[:, :, None] >> shifts[None, None, :]) & ((1 << bits) - 1)
+        idx = expanded.reshape(h, packed_w * per)[:, :w]
+    n_colors = pal.shape[0]
+    safe = np.where(idx < n_colors, idx, 0)
+    full = pal[safe.reshape(-1).astype(np.int64)]
+    bad = (idx >= n_colors).reshape(-1)
+    if bad.any():
+        full[bad] = 0
+    return full
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """WebP bytes → RGB uint8 (h, w, 3).  Lossless (VP8L) only; all
+    four spec transforms supported, meta-Huffman and lossy VP8 not."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP file")
+    pos = 12
+    vp8l = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        if cid == b"VP8L":
+            vp8l = data[pos + 8:pos + 8 + size]
+            break
+        if cid == b"VP8 " or cid == b"VP8X":
+            raise ValueError(f"webp: unsupported chunk {cid!r} "
+                             "(lossy/extended needs libwebp)")
+        pos += 8 + size + (size & 1)
+    if vp8l is None or len(vp8l) < 5:
+        raise ValueError("webp: no VP8L chunk")
+    if vp8l[0] != 0x2F:
+        raise ValueError("webp: bad VP8L signature")
+    br = _BitReader(vp8l[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)   # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("webp: bad version")
+
+    # transforms (each type at most once), read order = forward order;
+    # color-indexing shrinks the coded width for everything after it
+    xsize = w
+    transforms = []
+    seen_types = set()
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen_types or len(seen_types) == 4:
+            raise ValueError("webp: duplicate transform")
+        seen_types.add(ttype)
+        if ttype == 2:                       # subtract-green: no data
+            transforms.append(("subtract_green",))
+        elif ttype in (0, 1):                # predictor / color
+            size_bits = br.read(3) + 2
+            tw = (xsize + (1 << size_bits) - 1) >> size_bits
+            th = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _decode_entropy_image(br, tw, th)
+            transforms.append(("predictor" if ttype == 0 else "color",
+                               size_bits, sub, tw))
+        elif ttype == 3:                     # color-indexing (palette)
+            n_colors = br.read(8) + 1
+            pal_raw = _decode_entropy_image(br, n_colors, 1)
+            # palette entries are delta-coded per channel
+            pal = (np.cumsum(pal_raw.astype(np.uint32), axis=0)
+                   & 0xFF).astype(np.uint8)
+            if n_colors > 16:
+                width_bits = 0
+            elif n_colors > 4:
+                width_bits = 1
+            elif n_colors > 2:
+                width_bits = 2
+            else:
+                width_bits = 3
+            transforms.append(("palette", pal, width_bits, xsize))
+            if width_bits:
+                xsize = (xsize + (1 << width_bits) - 1) >> width_bits
+
+    out = _decode_entropy_image(br, xsize, h)
+
+    # inverse transforms in reverse read order
+    cur_w = xsize
+    for t in reversed(transforms):
+        if t[0] == "palette":
+            _, pal, width_bits, orig_w = t
+            out = _inverse_palette(out, orig_w, h, pal, width_bits, cur_w)
+            cur_w = orig_w
+        elif t[0] == "subtract_green":
+            out[:, 0] = (out[:, 0].astype(np.int32) + out[:, 1]) & 0xFF
+            out[:, 2] = (out[:, 2].astype(np.int32) + out[:, 1]) & 0xFF
+        elif t[0] == "color":
+            _, size_bits, sub, tw = t
+            _inverse_color_transform(out, cur_w, h, size_bits, sub, tw)
+        else:  # predictor
+            _, size_bits, sub, tw = t
+            _inverse_predictor(out, cur_w, h, size_bits, sub, tw)
     return out.reshape(h, w, 4)[:, :, :3].copy()
 
 
 # ---------------------------------------------------------------- encode --
 
-def encode_webp(pix: np.ndarray) -> bytes:
+def encode_webp(pix: np.ndarray, subtract_green: bool = False) -> bytes:
     """RGB uint8 (h, w, 3) → lossless WebP (VP8L) bytes.
 
-    Simple-but-valid stream: no transforms, no color cache, no
-    meta-Huffman, flat 8-bit literal codes for G/R/B, 1-symbol codes
-    for alpha (always 255) and distance (unused).  ~32 bpp; the point
-    is real-format round-trip, not ratio.
+    Simple-but-valid stream: optional subtract-green transform, no
+    color cache, no meta-Huffman, flat 8-bit literal codes for G/R/B,
+    1-symbol codes for alpha (always 255) and distance (unused).
+    ~32 bpp; the point is real-format round-trip, not ratio.
     """
     h, w = pix.shape[:2]
     if w > (1 << 14) or h > (1 << 14):
@@ -311,7 +504,10 @@ def encode_webp(pix: np.ndarray) -> bytes:
     bw.write(h - 1, 14)
     bw.write(0, 1)   # no alpha
     bw.write(0, 3)   # version
-    bw.write(0, 1)   # no transform
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)   # transform type 2 = subtract-green (no data)
+    bw.write(0, 1)   # no (more) transforms
     bw.write(0, 1)   # no color cache
     bw.write(0, 1)   # no meta-huffman
 
@@ -350,7 +546,11 @@ def encode_webp(pix: np.ndarray) -> bytes:
     write_single(255, 256)      # alpha (constant 255)
     write_single(0, 40)         # distance (never used)
 
-    flat = pix.reshape(-1, 3)
+    flat = pix.reshape(-1, 3).astype(np.int32)
+    if subtract_green:
+        flat = flat.copy()
+        flat[:, 0] = (flat[:, 0] - flat[:, 1]) & 0xFF   # r -= g
+        flat[:, 2] = (flat[:, 2] - flat[:, 1]) & 0xFF   # b -= g
     for r, g, b in flat:
         # flat 8-bit canonical code ⇒ code(sym) == sym, MSB-first
         bw.write_code(int(g), 8)

@@ -54,7 +54,7 @@ def psnr_vs_golden(data: pd.Series, fmt: pd.Series, golden: pd.Series,
             out_psnr[i] = float("-inf")
     return pd.DataFrame({"psnr_db": out_psnr, "dhash": out_hash})
 
-LOSSLESS_FMTS = ("ppm", "png")
+LOSSLESS_FMTS = ("ppm", "png", "gif", "webp")
 PHASH_DIST_BUDGET = 4  # lossy formats; lossless must match exactly
 
 

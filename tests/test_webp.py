@@ -234,3 +234,203 @@ def test_multimodal_webp_rows(spark):
     assert feats["ok"]["decode_ok"] and feats["ok"]["w"] == 12
     assert feats["corrupt"]["decode_ok"] is False
     assert feats["lossy"]["decode_ok"] is False
+
+
+# ------------------------------------------------------------- transforms --
+
+
+def test_subtract_green_roundtrip():
+    """encoder emits transform type 2; decoder inverts it."""
+    pix = _rng(31).integers(0, 256, (9, 14, 3), dtype=np.uint8)
+    blob = encode_webp(pix, subtract_green=True)
+    plain = encode_webp(pix)
+    assert blob != plain
+    assert (decode_webp(blob) == pix).all()
+
+
+def _sub_image_single(bw: _BitWriter, r=0, g=0, b=0, a=0) -> None:
+    """Entropy-coded 1x1 sub-image where every channel is a 1-symbol
+    code (zero pixel bits follow)."""
+    bw.write(0, 1)                  # no color cache
+    bw.write(0, 1)                  # no meta-huffman
+    _write_single(bw, g)            # green
+    _write_single(bw, r)            # red
+    _write_single(bw, b)            # blue
+    _write_single(bw, a)            # alpha
+    _write_single(bw, 0)            # distance
+
+
+def _emit_main_flat(bw: _BitWriter, rgba: np.ndarray) -> None:
+    """Main image with flat G/R/B/A codes; rgba is (n, 4) residuals."""
+    bw.write(0, 1)                  # no color cache
+    bw.write(0, 1)                  # no meta-huffman
+    _write_flat(bw, 256 + 24, 9)    # green
+    _write_flat(bw, 256, 8)         # red
+    _write_flat(bw, 256, 8)         # blue
+    _write_flat(bw, 256, 8)         # alpha
+    _write_single(bw, 0)            # distance
+    for r, g, b, a in rgba:
+        bw.write_code(int(g), 9)
+        bw.write_code(int(r), 8)
+        bw.write_code(int(b), 8)
+        bw.write_code(int(a), 8)
+
+
+def _forward_predict(pix4: np.ndarray, w: int, h: int, mode: int) -> np.ndarray:
+    """Reference forward predictor (mirrors the decoder's border rules
+    and flat TR addressing) → residuals mod 256."""
+    from gigaspark.functions.webp import (
+        _avg2, _clamp_add_sub_full, _clamp_add_sub_half, _select,
+    )
+    res = np.zeros_like(pix4)
+    out = pix4.astype(np.int32)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = (0, 0, 0, 255)
+            elif y == 0:
+                pred = tuple(out[i - 1])
+            elif x == 0:
+                pred = tuple(out[i - w])
+            else:
+                L, T = out[i - 1], out[i - w]
+                TL, TR = out[i - w - 1], out[i - w + 1]
+                pred = {
+                    0: (0, 0, 0, 255), 1: tuple(L), 2: tuple(T),
+                    3: tuple(TR), 4: tuple(TL),
+                    5: _avg2(_avg2(L, TR), T), 6: _avg2(L, TL),
+                    7: _avg2(L, T), 8: _avg2(TL, T), 9: _avg2(T, TR),
+                    10: _avg2(_avg2(L, TL), _avg2(T, TR)),
+                    11: _select(L, T, TL),
+                    12: _clamp_add_sub_full(L, T, TL),
+                    13: _clamp_add_sub_half(_avg2(L, T), TL),
+                }[mode]
+            res[i] = [(int(v) - int(p)) & 0xFF for v, p in zip(out[i], pred)]
+    return res
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_predictor_transform_all_modes(mode):
+    """single-block predictor image, every mode: forward residuals
+    crafted in-test decode back to the original pixels."""
+    w, h = 7, 5
+    pix = _rng(100 + mode).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    pix4 = np.concatenate(
+        [pix.reshape(-1, 3), np.full((w * h, 1), 255, np.uint8)], axis=1)
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)                  # transform present
+    bw.write(0, 2)                  # type 0 = predictor
+    bw.write(2, 3)                  # size_bits = 4 → 16-px blocks (1 block)
+    _sub_image_single(bw, g=mode)   # predictor mode image
+    bw.write(0, 1)                  # no more transforms
+    _emit_main_flat(bw, _forward_predict(pix4, w, h, mode))
+    out = decode_webp(_wrap_vp8l(bw))
+    assert (out == pix).all(), f"mode {mode}"
+
+
+def test_color_transform():
+    """constant cross-channel multipliers: forward-transformed pixels
+    decode back exactly (3.5-bit fixed point, int8 semantics)."""
+    g2r, g2b, r2b = 0x25, 0xE0, 0x11   # mixed signs as int8
+    w, h = 6, 4
+    pix = _rng(55).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    flat = pix.reshape(-1, 3).astype(np.int32)
+
+    def delta(t, c):
+        t8 = t - 256 if t >= 128 else t
+        c8 = np.where(c >= 128, c - 256, c)
+        return (t8 * c8) >> 5
+
+    r, g, b = flat[:, 0], flat[:, 1], flat[:, 2]
+    r_st = (r - delta(g2r, g)) & 0xFF
+    b_st = (b - delta(g2b, g) - delta(r2b, r)) & 0xFF
+    rgba = np.stack([r_st, g, b_st, np.full_like(g, 255)], axis=1)
+
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)
+    bw.write(1, 2)                  # type 1 = color transform
+    bw.write(2, 3)                  # size_bits = 4 → one block
+    # cte packing (libwebp ColorCodeToMultipliers): blue=g2r, green=g2b, red=r2b
+    _sub_image_single(bw, r=r2b, g=g2b, b=g2r, a=0)
+    bw.write(0, 1)
+    _emit_main_flat(bw, rgba)
+    out = decode_webp(_wrap_vp8l(bw))
+    assert (out == pix).all()
+
+
+def test_palette_transform_with_bundling():
+    """4-color palette (width_bits=2, 4 indices/byte), delta-coded
+    entries, sub-byte bundling unpack."""
+    colors = np.array([[10, 20, 30], [200, 100, 0],
+                       [0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    w, h = 10, 3
+    idx = _rng(77).integers(0, 4, (h, w), dtype=np.uint8)
+    pix = colors[idx]
+
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)
+    bw.write(3, 2)                  # type 3 = color indexing
+    bw.write(4 - 1, 8)              # n_colors = 4
+    # palette as 4x1 entropy image, channel-wise delta-coded, alpha 255
+    pal4 = np.concatenate(
+        [colors, np.full((4, 1), 255, np.uint8)], axis=1).astype(np.int32)
+    deltas = pal4.copy()
+    deltas[1:] = (pal4[1:] - pal4[:-1]) & 0xFF
+    _emit_main_flat(bw, deltas)     # palette sub-image (flat codes ok)
+    bw.write(0, 1)                  # no more transforms
+    # bundled main image: width_bits=2 → 2 bits/index, 4 per byte
+    packed_w = (w + 3) // 4
+    packed = np.zeros((h, packed_w), dtype=np.int32)
+    for x in range(w):
+        packed[:, x // 4] |= idx[:, x].astype(np.int32) << (2 * (x % 4))
+    rgba = np.zeros((h * packed_w, 4), dtype=np.int32)
+    rgba[:, 1] = packed.reshape(-1)
+    rgba[:, 3] = 0
+    _emit_main_flat(bw, rgba)
+    out = decode_webp(_wrap_vp8l(bw))
+    assert (out == pix).all()
+
+
+def test_chained_subtract_green_then_predictor():
+    """two transforms in one stream: read order [predictor,
+    subtract-green] ⇒ inverse applies subtract-green first, then
+    predictor (reverse read order) — matches a forward pipeline of
+    subtract-green THEN predict."""
+    w, h = 5, 4
+    pix = _rng(88).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    flat = pix.reshape(-1, 3).astype(np.int32)
+    sg = flat.copy()
+    sg[:, 0] = (sg[:, 0] - sg[:, 1]) & 0xFF
+    sg[:, 2] = (sg[:, 2] - sg[:, 1]) & 0xFF
+    sg4 = np.concatenate(
+        [sg, np.full((w * h, 1), 255, np.int32)], axis=1).astype(np.uint8)
+    res = _forward_predict(sg4, w, h, mode=1)   # predict-left over SG plane
+
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)
+    bw.write(0, 2)                  # predictor (read first → applied last)
+    bw.write(2, 3)
+    _sub_image_single(bw, g=1)
+    bw.write(1, 1)
+    bw.write(2, 2)                  # subtract-green
+    bw.write(0, 1)
+    _emit_main_flat(bw, res)
+    out = decode_webp(_wrap_vp8l(bw))
+    assert (out == pix).all()
