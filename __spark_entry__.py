@@ -1066,6 +1066,55 @@ WHERE rank <= 5
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """ANN scale path #2 — IVF-Flat: deterministic md5-seeded coarse
+    quantizer (16 centroids), single-list corpus assignment by exact
+    integer L2, nprobe=2 query probing, exact integer cosine within the
+    probed lists only (approximate by design; the oracle reproduces the
+    identical quantizer and probing)."""
+    from gigaspark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=2)
+
+
+SQL_ANN_IVF = """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+  FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY h) AS cid, v AS cvec
+  FROM (SELECT md5(vec_id::VARCHAR) AS h, v FROM vecs ORDER BY h LIMIT 16)),
+cass AS (
+  SELECT n_id, cid, v FROM (
+    SELECT vecs.vec_id AS n_id, vecs.v, cent.cid,
+           row_number() OVER (PARTITION BY vecs.vec_id ORDER BY
+             list_sum(list_transform(list_zip(vecs.v, cent.cvec),
+                                     z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC,
+             cent.cid ASC) AS rn
+    FROM vecs CROSS JOIN cent) WHERE rn = 1),
+qass AS (
+  SELECT q_id, cid, v AS qv FROM (
+    SELECT vecs.vec_id AS q_id, vecs.v, cent.cid,
+           row_number() OVER (PARTITION BY vecs.vec_id ORDER BY
+             list_sum(list_transform(list_zip(vecs.v, cent.cvec),
+                                     z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC,
+             cent.cid ASC) AS rn
+    FROM vecs CROSS JOIN cent WHERE vecs.vec_id % 25 = 0) WHERE rn <= 2),
+scored AS (
+  SELECT q_id, n_id,
+    round(list_sum(list_transform(list_zip(qv, cass.v), z -> z[1] * z[2]))
+      / sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE
+           * list_sum(list_transform(cass.v, x -> x * x))::DOUBLE), 4) AS cos
+  FROM cass JOIN qass USING (cid) WHERE q_id <> n_id)
+SELECT q_id, n_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+WHERE rank <= 5
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup — the corpus is embeddings ∪ a scaled
     copy (vec_id+100000, ×1.1 — parallel ⇒ cosine ≈ 1 after
@@ -1839,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucketed": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
         "fetch_validate": q_fetch_validate,
         "text_quality": q_text_quality,
@@ -1899,6 +1949,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "ann_cosine_topk": SQL_ANN,
         "ann_lsh_bucketed": _ann_lsh_sql(8, 64),
+        "ann_ivf_topk": SQL_ANN_IVF,
         "dedup_embedding": _dedup_embedding_sql(8, 64),
         "fetch_validate": SQL_FETCH_VALIDATE,
         "text_quality": _sql_text_quality(),

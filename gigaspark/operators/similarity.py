@@ -152,3 +152,75 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
     )
+
+
+def int_l2(a: Column, b: Column) -> Column:
+    """Exact integer squared-L2 between quantized vectors."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def ivf_centroids(corpus: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """Deterministic IVF coarse quantizer: the ``n_centroids`` corpus
+    vectors ranked first by ``md5(vec_id)`` serve as centroids
+    (uniform pseudo-random, reproducible in any md5-capable engine —
+    the oracle contract).  At cluster scale, swap in k-means-trained
+    centroids; the search path below is unchanged (IVF-Flat shape).
+
+    Plan: global top-K by md5 is TakeOrdered (no full sort shuffle);
+    the result is K rows → broadcast everywhere downstream."""
+    return (
+        corpus.select(quantize(F.col("embedding")).alias("cvec"),
+                      F.md5(F.col("vec_id").cast("string")).alias("_h"))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .withColumn("cid", F.row_number().over(Window.orderBy("_h")))
+        .select("cid", "cvec")
+    )
+
+
+def ivf_assign(vecs: DataFrame, centroids: DataFrame, id_alias: str,
+               n_assign: int = 1) -> DataFrame:
+    """Assign each vector to its ``n_assign`` nearest centroids by exact
+    integer squared-L2 (ties → lowest cid).  One map-side pass: the
+    centroid table is broadcast, argmin is a per-vector window over K
+    rows — no corpus shuffle."""
+    v = vecs.select(F.col("vec_id").alias(id_alias),
+                    quantize(F.col("embedding")).alias("v"))
+    d = (v.crossJoin(F.broadcast(centroids))
+         .withColumn("dist", int_l2(F.col("v"), F.col("cvec"))))
+    w = Window.partitionBy(id_alias).orderBy(F.col("dist").asc(),
+                                             F.col("cid").asc())
+    return (d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= n_assign)
+            .select(id_alias, "cid", "v"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 2) -> DataFrame:
+    """IVF-Flat ANN: corpus vectors live in exactly one inverted list
+    (nearest centroid); each query probes its ``nprobe`` nearest lists
+    and scores exact integer cosine only there.  Returns (q_id, n_id,
+    cos, rank) — approximate: recall < 1 when a true neighbour hashes
+    to an unprobed list.
+
+    Scale: the corpus is scanned once for assignment (broadcast
+    centroids, no shuffle), then shuffled once on cid — uniform when
+    centroids are representative; probe joins touch ~nprobe/K of the
+    corpus per query instead of all of it.  Each (q, n) pair appears at
+    most once (a corpus vector has one list)."""
+    cent = ivf_centroids(corpus, n_centroids)
+    c = ivf_assign(corpus, cent, "n_id", 1)
+    q = (ivf_assign(queries, cent, "q_id", nprobe)
+         .select("q_id", "cid", F.col("v").alias("qv")))
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )

@@ -64,3 +64,42 @@ def test_lsh_topk_subset_of_bruteforce(vecs):
     assert any(r["n_id"] == 100 and r["rank"] == 1 for r in approx)
     for r in approx:
         assert (r["q_id"], r["n_id"]) in exact or r["cos"] <= 1.0
+
+
+def test_ivf_assignment_invariants(vecs):
+    from gigaspark.operators.similarity import ivf_assign, ivf_centroids
+
+    cent = ivf_centroids(vecs, n_centroids=4)
+    crows = cent.collect()
+    assert [r["cid"] for r in sorted(crows, key=lambda r: r["cid"])] == [1, 2, 3, 4]
+    assigned = ivf_assign(vecs, cent, "n_id", 1)
+    counts = assigned.groupBy("n_id").count().collect()
+    # every vector in exactly ONE inverted list
+    assert all(r["count"] == 1 for r in counts) and len(counts) == 42
+    probes = ivf_assign(vecs.where(F.col("vec_id") == 0), cent, "q_id", 2)
+    assert probes.count() == 2            # nprobe lists per query
+    assert probes.select("cid").distinct().count() == 2
+
+
+def test_ivf_topk_finds_planted_neighbour(vecs):
+    """near-copy lands in the same inverted list (closest centroid is
+    determined by the vector itself), so IVF must rank it #1; every
+    IVF hit's cosine agrees with brute force."""
+    from gigaspark.operators.similarity import ivf_topk
+
+    qs = vecs.where(F.col("vec_id") == 0)
+    res = ivf_topk(vecs, qs, k=5, n_centroids=4, nprobe=2).collect()
+    assert any(r["n_id"] == 100 and r["rank"] == 1 for r in res)
+    exact = {(r["q_id"], r["n_id"]): r["cos"]
+             for r in cosine_topk(vecs, qs, k=41).collect()}
+    for r in res:
+        assert exact[(r["q_id"], r["n_id"])] == r["cos"]
+
+
+def test_ivf_deterministic(vecs):
+    from gigaspark.operators.similarity import ivf_topk
+
+    qs = vecs.where(F.col("vec_id").isin(0, 1))
+    a = sorted(map(tuple, ivf_topk(vecs, qs, k=3, n_centroids=4).collect()))
+    b = sorted(map(tuple, ivf_topk(vecs, qs, k=3, n_centroids=4).collect()))
+    assert a == b
