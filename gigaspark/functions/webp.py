@@ -18,13 +18,16 @@ REAL and tested here:
     color-indexing (delta-coded palette incl. sub-byte pixel
     bundling) — with transform data decoded as nested entropy-coded
     images per the spec;
+  * meta-Huffman: an entropy image selects one of several Huffman
+    groups per pixel block ((red<<8)|green group index, group
+    re-resolved at each symbol read);
   * encoder producing valid single-group VP8L streams (flat 8-bit
     literal codes, optional subtract-green) that libwebp or this
     decoder reads.
 
 Out of scope, raising ``ValueError('webp: unsupported ...')`` honestly:
-meta-Huffman (multiple entropy groups) and lossy VP8 — a vendored
-libwebp would be needed for those (none in this sandbox).
+lossy VP8 — a vendored libwebp/VP8 codec would be needed (none in
+this sandbox).
 """
 
 from __future__ import annotations
@@ -215,30 +218,49 @@ def _plane_to_dist(code: int, w: int) -> int:
     return max(d, 1)
 
 
-def _decode_entropy_image(br: _BitReader, w: int, h: int) -> np.ndarray:
+def _decode_entropy_image(br: _BitReader, w: int, h: int,
+                          allow_meta: bool = True) -> np.ndarray:
     """One spatially-coded VP8L image (the main ARGB image or a
-    transform's sub-image): color-cache info, Huffman codes, then the
-    literal/LZ77/cache-symbol pixel stream.  Returns (w·h, 4) uint8
-    rows (r, g, b, a)."""
+    transform's sub-image): color-cache info, optional meta-Huffman
+    (entropy image selecting one of several Huffman groups per block),
+    Huffman codes, then the literal/LZ77/cache-symbol pixel stream.
+    Returns (w·h, 4) uint8 rows (r, g, b, a)."""
     cache_bits = br.read(4) if br.read(1) else 0
     if cache_bits > 11:
         raise ValueError("webp: bad color-cache size")
     cache = [0] * (1 << cache_bits) if cache_bits else None
-    # meta-huffman (entropy-image) not supported; bit order matches
-    # libwebp's ReadHuffmanCodes: color_cache_info THEN huffman image bit
+    # bit order matches libwebp's ReadHuffmanCodes: color_cache_info
+    # THEN huffman-image bit
+    meta = None
+    meta_bits = 0
+    meta_w = 0
+    n_groups = 1
     if br.read(1):
-        raise ValueError("webp: unsupported meta-huffman (needs libwebp)")
+        if not allow_meta:
+            raise ValueError("webp: nested meta-huffman")
+        meta_bits = br.read(3) + 2
+        meta_w = (w + (1 << meta_bits) - 1) >> meta_bits
+        meta_h = (h + (1 << meta_bits) - 1) >> meta_bits
+        mimg = _decode_entropy_image(br, meta_w, meta_h, allow_meta=False)
+        # group index packed as (red << 8) | green per spec
+        meta = (mimg[:, 0].astype(np.int32) << 8) | mimg[:, 1]
+        n_groups = int(meta.max()) + 1
     green_size = 256 + 24 + (1 << cache_bits if cache_bits else 0)
-    h_green = _read_code(br, green_size)
-    h_red = _read_code(br, 256)
-    h_blue = _read_code(br, 256)
-    h_alpha = _read_code(br, 256)
-    h_dist = _read_code(br, 40)
+    groups = []
+    for _ in range(n_groups):
+        groups.append((_read_code(br, green_size), _read_code(br, 256),
+                       _read_code(br, 256), _read_code(br, 256),
+                       _read_code(br, 40)))
 
     n = w * h
     out = np.zeros((n, 4), dtype=np.uint8)  # (r, g, b, a)
     i = 0
+    h_green, h_red, h_blue, h_alpha, h_dist = groups[0]
     while i < n:
+        if meta is not None:
+            y, x = divmod(i, w)
+            g_i = meta[(y >> meta_bits) * meta_w + (x >> meta_bits)]
+            h_green, h_red, h_blue, h_alpha, h_dist = groups[g_i]
         s = h_green.read(br)
         if s < 256:
             g = s
@@ -402,7 +424,7 @@ def _inverse_palette(out: np.ndarray, w: int, h: int, pal: np.ndarray,
 
 def decode_webp(data: bytes) -> np.ndarray:
     """WebP bytes → RGB uint8 (h, w, 3).  Lossless (VP8L) only; all
-    four spec transforms supported, meta-Huffman and lossy VP8 not."""
+    four spec transforms and meta-Huffman supported, lossy VP8 not."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP file")
     pos = 12

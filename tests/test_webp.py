@@ -434,3 +434,50 @@ def test_chained_subtract_green_then_predictor():
     _emit_main_flat(bw, res)
     out = decode_webp(_wrap_vp8l(bw))
     assert (out == pix).all()
+
+
+def test_meta_huffman_two_groups():
+    """entropy image splits an 8x1 row into two 4-px blocks with
+    different Huffman groups: group 0 = flat literal codes, group 1 =
+    all-single-symbol codes (a constant pixel, zero bits each)."""
+    w, h = 8, 1
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)                  # no transforms
+    bw.write(0, 1)                  # no color cache
+    bw.write(1, 1)                  # meta-huffman present
+    bw.write(0, 3)                  # meta_bits = 2 → 4-px blocks, meta_w=2
+    # --- entropy (meta) image, 2x1: group ids 0 then 1 in green ---
+    bw.write(0, 1)                  # meta image: no cache
+    bw.write(0, 1)                  # meta image: no nested meta
+    _write_flat(bw, 256 + 24, 9)    # green
+    _write_single(bw, 0)            # red (group id high byte = 0)
+    _write_single(bw, 0)            # blue
+    _write_single(bw, 0)            # alpha
+    _write_single(bw, 0)            # distance
+    bw.write_code(0, 9)             # block 0 → group 0
+    bw.write_code(1, 9)             # block 1 → group 1
+    # --- group 0: flat codes ---
+    _write_flat(bw, 256 + 24, 9)
+    _write_flat(bw, 256, 8)
+    _write_flat(bw, 256, 8)
+    _write_single(bw, 255)
+    _write_single(bw, 0)
+    # --- group 1: constant pixel via 1-symbol codes ---
+    _write_single(bw, 77)           # green
+    _write_single(bw, 200)          # red
+    _write_single(bw, 10)           # blue
+    _write_single(bw, 255)          # alpha
+    _write_single(bw, 0)            # distance
+    # --- pixels: 4 literals through group 0, 4 zero-bit through group 1
+    first = [(i + 1, 50 + i, 100 + i) for i in range(4)]
+    for r, g, b in first:
+        bw.write_code(g, 9)
+        bw.write_code(r, 8)
+        bw.write_code(b, 8)
+    pix = decode_webp(_wrap_vp8l(bw))
+    assert [tuple(int(v) for v in p) for p in pix[0, :4]] == first
+    assert (pix[0, 4:] == np.array([200, 77, 10])).all()
