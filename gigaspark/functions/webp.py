@@ -510,13 +510,148 @@ def decode_webp(data: bytes) -> np.ndarray:
 
 # ---------------------------------------------------------------- encode --
 
+def _pm_lengths(freqs, max_len: int) -> list[int]:
+    """Length-limited Huffman code lengths via package-merge
+    (Larmore–Hirschberg, public algorithm).  Optimal under the
+    ``max_len`` bound; Kraft-feasible by construction."""
+    syms = sorted((f, (s,)) for s, f in enumerate(freqs) if f > 0)
+    lengths = [0] * len(freqs)
+    n = len(syms)
+    if n == 0:
+        return lengths
+    if n == 1:
+        lengths[syms[0][1][0]] = 1
+        return lengths
+    if n > (1 << max_len):
+        raise ValueError("webp: alphabet too large for length limit")
+    packages = list(syms)
+    for _ in range(max_len - 1):
+        paired = [(packages[i][0] + packages[i + 1][0],
+                   packages[i][1] + packages[i + 1][1])
+                  for i in range(0, len(packages) - 1, 2)]
+        packages = sorted(paired + syms)
+    for _, ss in packages[:2 * n - 2]:
+        for s in ss:
+            lengths[s] += 1
+    return lengths
+
+
+def _canonical_codes(lengths) -> list[tuple[int, int]]:
+    """(code, len) per symbol — same construction as _Huffman, so the
+    encoder and decoder agree bit-for-bit."""
+    used = [(l, s) for s, l in enumerate(lengths) if l > 0]
+    out = [(0, 0)] * len(lengths)
+    if not used:
+        return out
+    max_len = max(l for l, _ in used)
+    bl_count = [0] * (max_len + 1)
+    for l, _ in used:
+        bl_count[l] += 1
+    code = 0
+    next_code = [0] * (max_len + 2)
+    for l in range(1, max_len + 1):
+        code = (code + bl_count[l - 1]) << 1
+        next_code[l] = code
+    for s, l in enumerate(lengths):
+        if l > 0:
+            out[s] = (next_code[l], l)
+            next_code[l] += 1
+    return out
+
+
+def _rle_code_lengths(lengths) -> list[tuple[int, int, int]]:
+    """lengths → [(cl_symbol, extra_value, extra_bits)] using the
+    spec's RLE: 16 = repeat previous nonzero ×3-6, 17 = 3-10 zeros,
+    18 = 11-138 zeros."""
+    out = []
+    i, n = 0, len(lengths)
+    while i < n:
+        v = lengths[i]
+        if v == 0:
+            j = i
+            while j < n and lengths[j] == 0:
+                j += 1
+            run = j - i
+            while run >= 11:
+                take = min(run, 138)
+                out.append((18, take - 11, 7))
+                run -= take
+            while run >= 3:
+                take = min(run, 10)
+                out.append((17, take - 3, 3))
+                run -= take
+            out.extend((0, 0, 0) for _ in range(run))
+            i = j
+        else:
+            out.append((v, 0, 0))
+            i += 1
+            run = 0
+            while i + run < n and lengths[i + run] == v:
+                run += 1
+            left = run
+            while left >= 3:
+                take = min(left, 6)
+                out.append((16, take - 3, 2))
+                left -= take
+            out.extend((v, 0, 0) for _ in range(left))
+            i += run
+    return out
+
+
+def _emit_huffman_code(bw: _BitWriter, lengths) -> None:
+    """Emit one prefix code: 'simple' when 1-2 symbols all ≤255, else
+    the normal code-length-coded form (always with an explicit
+    max_symbol so single-symbol code-length codes stay unambiguous)."""
+    used = [s for s, l in enumerate(lengths) if l > 0]
+    if 1 <= len(used) <= 2 and used[-1] <= 255:
+        bw.write(1, 1)                       # simple
+        bw.write(len(used) - 1, 1)
+        if len(used) == 1 and used[0] <= 1:
+            bw.write(0, 1)                   # 1-bit first symbol
+            bw.write(used[0], 1)
+        else:
+            bw.write(1, 1)                   # 8-bit first symbol
+            bw.write(used[0], 8)
+        if len(used) == 2:
+            bw.write(used[1], 8)
+        return
+    seq = _rle_code_lengths(lengths)
+    cl_freqs = [0] * 19
+    for s, _, _ in seq:
+        cl_freqs[s] += 1
+    cl_len = _pm_lengths(cl_freqs, 7)        # stored in 3-bit fields
+    order_pos = {s: i for i, s in enumerate(_CLC_ORDER)}
+    maxpos = max(order_pos[s] for s in range(19) if cl_len[s] > 0)
+    n_codes = max(4, maxpos + 1)
+    bw.write(0, 1)                           # not simple
+    bw.write(n_codes - 4, 4)
+    for i in range(n_codes):
+        bw.write(cl_len[_CLC_ORDER[i]], 3)
+    # explicit symbol-count limit = number of RLE symbols (required
+    # when the code-length code is single-symbol: the decoder reads
+    # zero bits per symbol and only the limit stops it)
+    assert len(seq) >= 2
+    bw.write(1, 1)
+    bw.write(4, 3)                           # slot 4 → 10 value bits
+    bw.write(len(seq) - 2, 10)
+    codes = _canonical_codes(cl_len)
+    single_cl = sum(1 for l in cl_len if l) == 1
+    for s, ev, eb in seq:
+        if not single_cl:
+            c, l = codes[s]
+            bw.write_code(c, l)
+        if eb:
+            bw.write(ev, eb)
+
+
 def encode_webp(pix: np.ndarray, subtract_green: bool = False) -> bytes:
     """RGB uint8 (h, w, 3) → lossless WebP (VP8L) bytes.
 
-    Simple-but-valid stream: optional subtract-green transform, no
-    color cache, no meta-Huffman, flat 8-bit literal codes for G/R/B,
-    1-symbol codes for alpha (always 255) and distance (unused).
-    ~32 bpp; the point is real-format round-trip, not ratio.
+    Real entropy coding: per-channel frequency-optimal length-limited
+    Huffman codes (package-merge, 15-bit cap) with RLE-compressed
+    code-length tables; optional subtract-green transform (big win on
+    natural images); 1-symbol codes for alpha (always 255) and
+    distance (LZ77 left to the decoder side — literals only here).
     """
     h, w = pix.shape[:2]
     if w > (1 << 14) or h > (1 << 14):
@@ -533,52 +668,37 @@ def encode_webp(pix: np.ndarray, subtract_green: bool = False) -> bytes:
     bw.write(0, 1)   # no color cache
     bw.write(0, 1)   # no meta-huffman
 
-    def write_flat256(alphabet: int) -> None:
-        """Normal code: symbols 0..255 all 8-bit (Kraft-complete)."""
-        bw.write(0, 1)          # not simple
-        # code-length code: only symbol '8' used, length 1... but a
-        # 1-symbol code-length code needs its own valid lengths; give
-        # symbols 8 and 0 length 1 each (0 used to terminate via
-        # max_symbol so we never emit it).
-        n_codes = 19
-        lens = [0] * 19
-        lens[8] = 1
-        lens[0] = 1
-        bw.write(n_codes - 4, 4)
-        for i in range(n_codes):
-            bw.write(lens[_CLC_ORDER[i]], 3)
-        # use max_symbol to stop after 256 lengths
-        bw.write(1, 1)          # use length
-        # length_nbits = 2 + 2*slot; need to encode 256-2=254 → 8 bits
-        bw.write(3, 3)          # slot 3 → 8 bits
-        bw.write(254, 8)        # max_symbol = 2 + 254 = 256
-        # canonical code for {0:1, 8:1} → 0 -> '0', 8 -> '1'
-        for _ in range(256):
-            bw.write_code(1, 1)  # symbol 8 (code '1')
-
-    def write_single(sym: int, alphabet: int) -> None:
-        bw.write(1, 1)          # simple
-        bw.write(0, 1)          # 1 symbol
-        bw.write(1, 1)          # 8-bit first symbol
-        bw.write(sym, 8)
-
-    write_flat256(256 + 24)     # green
-    write_flat256(256)          # red
-    write_flat256(256)          # blue
-    write_single(255, 256)      # alpha (constant 255)
-    write_single(0, 40)         # distance (never used)
-
     flat = pix.reshape(-1, 3).astype(np.int32)
     if subtract_green:
         flat = flat.copy()
         flat[:, 0] = (flat[:, 0] - flat[:, 1]) & 0xFF   # r -= g
         flat[:, 2] = (flat[:, 2] - flat[:, 1]) & 0xFF   # b -= g
+
+    g_len = _pm_lengths(np.bincount(flat[:, 1], minlength=256 + 24), 15)
+    r_len = _pm_lengths(np.bincount(flat[:, 0], minlength=256), 15)
+    b_len = _pm_lengths(np.bincount(flat[:, 2], minlength=256), 15)
+    a_len = [0] * 256
+    a_len[255] = 1
+    d_len = [0] * 40
+    d_len[0] = 1
+    for lens in (g_len, r_len, b_len, a_len, d_len):
+        _emit_huffman_code(bw, lens)
+    g_c, r_c, b_c = (_canonical_codes(l) for l in (g_len, r_len, b_len))
+
+    g_single = sum(1 for l in g_len if l) == 1
+    r_single = sum(1 for l in r_len if l) == 1
+    b_single = sum(1 for l in b_len if l) == 1
     for r, g, b in flat:
-        # flat 8-bit canonical code ⇒ code(sym) == sym, MSB-first
-        bw.write_code(int(g), 8)
-        bw.write_code(int(r), 8)
-        bw.write_code(int(b), 8)
-        # alpha: single-symbol code → zero bits
+        if not g_single:
+            c, l = g_c[g]
+            bw.write_code(c, l)
+        if not r_single:
+            c, l = r_c[r]
+            bw.write_code(c, l)
+        if not b_single:
+            c, l = b_c[b]
+            bw.write_code(c, l)
+        # alpha + distance: single-symbol codes → zero bits
 
     body = b"\x2f" + bw.tobytes()
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body

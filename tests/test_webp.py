@@ -481,3 +481,70 @@ def test_meta_huffman_two_groups():
     pix = decode_webp(_wrap_vp8l(bw))
     assert [tuple(int(v) for v in p) for p in pix[0, :4]] == first
     assert (pix[0, 4:] == np.array([200, 77, 10])).all()
+
+
+# ------------------------------------------------------- entropy encoder --
+
+
+def test_encoder_compresses_skewed_data():
+    """frequency-based Huffman beats flat 8-bit on skewed channels."""
+    const = np.full((32, 32, 3), 77, dtype=np.uint8)
+    assert len(encode_webp(const)) < 100           # ≈ header + tables
+    grad = np.zeros((64, 64, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.arange(64, dtype=np.uint8)[None, :] * 4
+    grad[:, :, 1] = grad[:, :, 0] + 3
+    grad[:, :, 2] = np.arange(64, dtype=np.uint8)[:, None] * 2
+    plain = encode_webp(grad)
+    sg = encode_webp(grad, subtract_green=True)
+    assert len(sg) < len(plain) < 64 * 64 * 3      # < 24 bpp raw
+    assert (decode_webp(plain) == grad).all()
+    assert (decode_webp(sg) == grad).all()
+
+
+def test_encoder_two_color_simple_codes():
+    two = np.zeros((16, 16, 3), dtype=np.uint8)
+    two[::2] = 255
+    blob = encode_webp(two)
+    assert (decode_webp(blob) == two).all()
+    assert len(blob) < 200
+
+
+def test_pm_lengths_kraft_and_limit():
+    from gigaspark.functions.webp import _pm_lengths
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        freqs = rng.integers(0, 1000, 300)
+        freqs[rng.integers(0, 300, 100)] = 0
+        L = int(rng.integers(9, 16))
+        lens = _pm_lengths(freqs, L)
+        used = [(s, l) for s, l in enumerate(lens) if l]
+        assert all(l <= L for _, l in used)
+        assert all(freqs[s] > 0 for s, _ in used)
+        assert all(lens[s] > 0 for s in range(300) if freqs[s] > 0)
+        assert sum(2 ** -l for _, l in used) <= 1.0 + 1e-12   # Kraft
+
+
+def test_rle_roundtrip_against_decoder_rules():
+    """encoder RLE of code lengths decodes back via the spec rules."""
+    from gigaspark.functions.webp import _rle_code_lengths
+    rng = np.random.default_rng(11)
+    for _ in range(30):
+        lens = rng.integers(0, 9, 280)
+        lens[rng.integers(0, 280, 200)] = 0
+        seq = _rle_code_lengths(list(lens))
+        out, i, prev = [0] * 280, 0, 8
+        for s, ev, _eb in seq:
+            if s < 16:
+                out[i] = s
+                i += 1
+                if s:
+                    prev = s
+            elif s == 16:
+                for _ in range(3 + ev):
+                    out[i] = prev
+                    i += 1
+            elif s == 17:
+                i += 3 + ev
+            else:
+                i += 11 + ev
+        assert out == list(lens)
