@@ -1066,6 +1066,55 @@ WHERE rank <= 5
 """
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """ANN scale path with multi-probe: each query probes its own RP
+    signature bucket plus all hamming-1 buckets (recall of 1+n_planes
+    hash tables for the memory of one; corpus side untouched)."""
+    from gigaspark.operators.similarity import lsh_topk_multiprobe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return lsh_topk_multiprobe(emb, queries, k=5, n_planes=8, dim=64,
+                               probe_hamming=1)
+
+
+def _ann_lsh_mp_sql(n_planes: int = 8, dim: int = 64) -> str:
+    from gigaspark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(n_planes, dim)
+    plane_rows = ", ".join(
+        f"({p}, [{', '.join(str(x) for x in w)}]::BIGINT[])"
+        for p, w in enumerate(planes))
+    masks = ", ".join(["(0::BIGINT)"]
+                      + [f"({1 << p}::BIGINT)" for p in range(n_planes)])
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+  FROM embeddings),
+planes(p, w) AS (VALUES {plane_rows}),
+masks(m) AS (VALUES {masks}),
+sigs AS (
+  SELECT vec_id, sum(CASE WHEN
+      list_sum(list_transform(list_zip(v, w), z -> z[1] * z[2])) > 0
+      THEN (1::BIGINT << p) ELSE 0 END) AS sig
+  FROM vecs CROSS JOIN planes GROUP BY vec_id),
+qv AS (SELECT v.vec_id AS q_id, v.v, xor(s.sig, m.m) AS sig
+       FROM vecs v JOIN sigs s USING (vec_id) CROSS JOIN masks m
+       WHERE v.vec_id % 25 = 0),
+cv AS (SELECT v.vec_id AS n_id, v.v, s.sig FROM vecs v JOIN sigs s USING (vec_id)),
+scored AS (
+  SELECT q_id, n_id,
+    round(list_sum(list_transform(list_zip(qv.v, cv.v), z -> z[1] * z[2]))
+      / sqrt(list_sum(list_transform(qv.v, x -> x * x))::DOUBLE
+           * list_sum(list_transform(cv.v, x -> x * x))::DOUBLE), 4) AS cos
+  FROM qv JOIN cv ON qv.sig = cv.sig AND q_id <> n_id)
+SELECT q_id, n_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+WHERE rank <= 5
+"""
+
+
 def q_ann_ivf(spark, sf_dir):
     """ANN scale path #2 — IVF-Flat: deterministic md5-seeded coarse
     quantizer (16 centroids), single-list corpus assignment by exact
@@ -1888,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucketed": q_ann_lsh,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
         "fetch_validate": q_fetch_validate,
@@ -1949,6 +1999,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "ann_cosine_topk": SQL_ANN,
         "ann_lsh_bucketed": _ann_lsh_sql(8, 64),
+        "ann_lsh_multiprobe": _ann_lsh_mp_sql(8, 64),
         "ann_ivf_topk": SQL_ANN_IVF,
         "dedup_embedding": _dedup_embedding_sql(8, 64),
         "fetch_validate": SQL_FETCH_VALIDATE,

@@ -224,3 +224,44 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
     )
+
+
+def lsh_topk_multiprobe(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                        n_planes: int = 8, dim: int = 64,
+                        probe_hamming: int = 1) -> DataFrame:
+    """Multi-probe RP-LSH ANN: each query probes its own signature
+    bucket PLUS every bucket within ``probe_hamming`` bit flips
+    (classic multi-probe LSH — recall of many more hash tables for the
+    memory of one).  probe_hamming=1 → 1+n_planes probes per query.
+
+    Scale: probes are generated by exploding a small literal array of
+    XOR masks over the (tiny, broadcast) query side — the corpus side
+    is untouched (still one signature per vector, one shuffle-free
+    bucketed join).  Returns (q_id, n_id, cos, rank)."""
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming supported up to 1 (mask explosion "
+                         "grows as C(n_planes, h))")
+    masks = [0] + ([1 << p for p in range(n_planes)] if probe_hamming else [])
+    csig = rp_signatures(corpus, n_planes, dim)
+    qsig = rp_signatures(queries, n_planes, dim)
+    c = (corpus.join(csig, "vec_id")
+         .select(F.col("vec_id").alias("n_id"), "sig",
+                 quantize(F.col("embedding")).alias("cv")))
+    q = (queries.join(qsig, "vec_id")
+         .select(F.col("vec_id").alias("q_id"), "sig",
+                 quantize(F.col("embedding")).alias("qv"))
+         .withColumn("m", F.explode(F.array(
+             *[F.lit(m).cast("long") for m in masks])))
+         .select("q_id", "qv",
+                 F.col("sig").bitwiseXOR(F.col("m")).alias("sig")))
+    scored = (
+        c.join(F.broadcast(q), "sig")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )

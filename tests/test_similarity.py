@@ -103,3 +103,29 @@ def test_ivf_deterministic(vecs):
     a = sorted(map(tuple, ivf_topk(vecs, qs, k=3, n_centroids=4).collect()))
     b = sorted(map(tuple, ivf_topk(vecs, qs, k=3, n_centroids=4).collect()))
     assert a == b
+
+
+def test_multiprobe_superset_of_single_probe(vecs):
+    """hamming-1 probing can only ADD candidates: every single-probe
+    hit appears in the multi-probe result with the same cosine, and
+    each (q, n) pair appears exactly once (one sig per corpus vector)."""
+    from gigaspark.operators.similarity import lsh_topk_multiprobe
+
+    qs = vecs.where(F.col("vec_id") == 0)
+    single = lsh_topk(vecs, qs, k=41, n_planes=8, dim=DIM).collect()
+    multi = lsh_topk_multiprobe(vecs, qs, k=41, n_planes=8, dim=DIM,
+                                probe_hamming=1).collect()
+    s_pairs = {(r["q_id"], r["n_id"]): r["cos"] for r in single}
+    m_pairs = {}
+    for r in multi:
+        key = (r["q_id"], r["n_id"])
+        assert key not in m_pairs          # no duplicate pairs
+        m_pairs[key] = r["cos"]
+    assert set(s_pairs) <= set(m_pairs)
+    for p, c in s_pairs.items():
+        assert m_pairs[p] == c
+    assert len(m_pairs) >= len(s_pairs)
+    # probe_hamming=0 must equal the single-probe path exactly
+    zero = lsh_topk_multiprobe(vecs, qs, k=41, n_planes=8, dim=DIM,
+                               probe_hamming=0).collect()
+    assert sorted(map(tuple, zero)) == sorted(map(tuple, single))
