@@ -1575,6 +1575,56 @@ ORDER BY score DESC, pd.doc_id ASC LIMIT 10
 """
 
 
+def q_search_fullrank(spark, sf_dir):
+    """The COMPLETE Posdb rank-mix — all four bitfields (wordSpam,
+    diversity, density, siteRank) in one score
+    (``PosdbTable::intersectLists`` [U][M], integer-pinned)."""
+    from gigaspark.operators.search import search_ranked_full, site_ranks
+
+    postings, terms = _query_terms(spark, sf_dir, 3, 4)
+    docs = _t(spark, sf_dir, "documents")
+    doc_sites = docs.select("doc_id", F.col("source").alias("site"))
+    return search_ranked_full(postings, terms, doc_sites, site_ranks(docs), k=10)
+
+
+SQL_SEARCH_FULLRANK = f"""
+WITH {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r BETWEEN 3 AND 4),
+nw AS (SELECT doc_id, count(*) AS n_words FROM p GROUP BY doc_id),
+tf AS (SELECT p.term, doc_id, count(*) AS tf FROM p JOIN q USING (term)
+       GROUP BY p.term, doc_id),
+wtf AS (SELECT term, tf.doc_id,
+               (tf * (10 - least((100 * tf) // n_words, 9)))::BIGINT AS wtf
+        FROM tf JOIN nw ON nw.doc_id = tf.doc_id),
+nbr AS (SELECT po.term, po.doc_id, p2.term AS nterm
+        FROM p po JOIN q ON po.term = q.term
+        JOIN p p2 ON p2.doc_id = po.doc_id
+                 AND abs(p2.pos - po.pos) = 1 AND p2.term <> po.term),
+div AS (SELECT term, doc_id,
+               least(floor(log2(count(DISTINCT nterm) + 1)), 10)::INT AS dr
+        FROM nbr GROUP BY term, doc_id),
+pt AS (SELECT wtf.term, wtf.doc_id,
+              (wtf * (1 + coalesce(div.dr, 0)))::BIGINT AS w
+       FROM wtf LEFT JOIN div ON div.term = wtf.term
+                             AND div.doc_id = wtf.doc_id),
+dens AS (SELECT doc_id,
+                greatest(0, 10 - floor(log2(count(*) + 1)))::INT AS density_rank
+         FROM p GROUP BY doc_id),
+sites AS (SELECT source AS site, floor(log2(count(*) + 1))::INT AS site_rank
+          FROM documents GROUP BY source),
+pd AS (SELECT doc_id, count(*) AS nm, sum(w)::BIGINT AS w_sum
+       FROM pt GROUP BY doc_id)
+SELECT pd.doc_id, s.site, pd.w_sum, dens.density_rank, s.site_rank,
+       (pd.w_sum * (1 + s.site_rank) * (1 + dens.density_rank))::BIGINT AS score
+FROM pd
+JOIN dens USING (doc_id)
+JOIN documents d ON d.doc_id = pd.doc_id
+JOIN sites s ON s.site = d.source
+WHERE pd.nm = (SELECT count(*) FROM q)
+ORDER BY score DESC, pd.doc_id ASC LIMIT 10
+"""
+
+
 def q_postings_tf(spark, sf_dir):
     """Posdb posting-list parity: (term, doc_id, tf) rows for the
     df-rank-3..5 terms (Msg39 partial-agg shape)."""
@@ -1950,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase_topk": q_search_phrase,
         "search_ranked_topk": q_search_ranked,
         "search_wordspam_topk": q_search_wordspam,
+        "search_fullrank_topk": q_search_fullrank,
         "postings_tf": q_postings_tf,
         "siterank_inlinks": q_siterank_inlinks,
         "snippet_extract": q_snippet_extract,
@@ -2012,6 +2063,7 @@ def oracle_sql() -> dict[str, str]:
         "search_phrase_topk": SQL_SEARCH_PHRASE,
         "search_ranked_topk": SQL_SEARCH_RANKED,
         "search_wordspam_topk": SQL_SEARCH_WORDSPAM,
+        "search_fullrank_topk": SQL_SEARCH_FULLRANK,
         "postings_tf": SQL_POSTINGS_TF,
         "siterank_inlinks": SQL_SITERANK,
         "snippet_extract": SQL_SNIPPET,

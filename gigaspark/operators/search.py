@@ -304,3 +304,72 @@ def search_phrase(postings: DataFrame, term_a: Column | str,
         .orderBy(F.col("n_occurrences").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def diversity_ranks(postings: DataFrame, terms: DataFrame) -> DataFrame:
+    """Per-(term, doc) diversityRank (the last Posdb rank bitfield
+    [U][M]: occurrences surrounded by varied context score higher than
+    keyword-stuffed runs).  Pinned integer rule: count DISTINCT other
+    terms immediately adjacent (pos±1) to any occurrence, bucket
+    ``least(floor(log2(n+1)), 10)``.
+
+    Plan: only the (few, broadcast) query terms' occurrences explode
+    into their two neighbour positions; ONE equi-join on (doc_id, pos)
+    against the postings scan — uniform shuffle key, no theta join —
+    then a (term, doc) distinct-count.  Postings volume joined is
+    O(query-term occurrences), not the corpus."""
+    occ = postings.join(F.broadcast(terms), "term", "semi")
+    nbr_pos = occ.select(
+        "term", "doc_id",
+        F.explode(F.array(F.col("pos") - 1, F.col("pos") + 1)).alias("pos"))
+    nbr = (nbr_pos.join(postings.select("doc_id", "pos",
+                                        F.col("term").alias("nterm")),
+                        ["doc_id", "pos"])
+           .where(F.col("nterm") != F.col("term")))
+    return (
+        nbr.groupBy("term", "doc_id")
+        .agg(F.count_distinct("nterm").alias("ndiv"))
+        .select("term", "doc_id",
+                F.least(F.floor(F.log2(F.col("ndiv") + 1)),
+                        F.lit(10)).cast("int").alias("diversity_rank"))
+    )
+
+
+def search_ranked_full(postings: DataFrame, terms: DataFrame,
+                       doc_sites: DataFrame, sites: DataFrame,
+                       k: int = 10) -> DataFrame:
+    """The COMPLETE Posdb rank-mix (``PosdbTable::intersectLists``
+    score shape [U][M]) — all four bitfields:
+        per-term weight = tf · spamMul · (1 + diversityRank)
+        doc score       = Σ weights · (1 + siteRank) · (1 + densityRank)
+    pinned as exact integer arithmetic for oracle parity."""
+    n_terms = terms.distinct().count()
+    wtf = wordspam_weighted_tf(postings, terms)
+    div = diversity_ranks(postings, terms)
+    per_term = (
+        wtf.join(div, ["term", "doc_id"], "left")
+        .withColumn("dr", F.coalesce(F.col("diversity_rank"), F.lit(0)))
+        .withColumn("w", (F.col("wtf")
+                          * (F.lit(1) + F.col("dr"))).cast("long"))
+    )
+    dens = density_ranks(postings).select("doc_id", "density_rank")
+    per_doc = (
+        per_term.groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"), F.sum("w").alias("w_sum"))
+        .where(F.col("n_matched") == F.lit(n_terms))
+    )
+    return (
+        per_doc
+        .join(F.broadcast(dens), "doc_id")
+        .join(doc_sites, "doc_id")
+        .join(F.broadcast(sites), "site", "left")
+        .withColumn(
+            "score",
+            (F.col("w_sum")
+             * (F.lit(1) + F.coalesce(F.col("site_rank"), F.lit(0)))
+             * (F.lit(1) + F.col("density_rank"))).cast("long"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "site", F.col("w_sum").cast("long").alias("w_sum"),
+                "density_rank", "site_rank", "score")
+    )

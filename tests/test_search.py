@@ -75,3 +75,48 @@ def test_topk_bounded(spark):
     terms = p.sparkSession.createDataFrame([("the",), ("fox",), ("quick",)],
                                            "term string")
     assert search_or(p, terms, k=2).count() == 2
+
+
+def test_diversity_ranks(spark):
+    """hand-computed adjacency diversity: 'cat' in doc 1 neighbours
+    {the, sat, a, mat} → 4 distinct → rank floor(log2(5)) = 2; in doc 2
+    the stuffed run 'cat cat cat' self-neighbours don't count."""
+    from gigaspark.operators.search import build_postings, diversity_ranks
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat a cat mat"),     # cat @1,4: nbrs the,sat,a,mat → 4
+         (2, "cat cat cat dog"),           # cat @0,1,2: only 'dog' → 1
+         (3, "cat")],                      # no neighbours → no row
+        "doc_id long, text string")
+    p = build_postings(docs)
+    terms = spark.createDataFrame([("cat",)], "term string")
+    ranks = {r["doc_id"]: r["diversity_rank"]
+             for r in diversity_ranks(p, terms).collect()}
+    assert ranks[1] == 2      # floor(log2(4+1)) = 2
+    assert ranks[2] == 1      # floor(log2(1+1)) = 1
+    assert 3 not in ranks
+
+
+def test_search_ranked_full_score_shape(spark):
+    """full rank-mix is deterministic and monotone: stuffing a term
+    (high spam share) must not outrank a diverse natural doc from the
+    same site with equal tf."""
+    from gigaspark.operators.search import (
+        build_postings, search_ranked_full, site_ranks,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple pie with apple sauce and apple cake on the table", "s1"),
+         (2, "apple apple apple", "s1"),
+         (3, "no match here", "s1")],
+        "doc_id long, text string, source string")
+    p = build_postings(docs)
+    terms = spark.createDataFrame([("apple",)], "term string")
+    doc_sites = docs.select("doc_id", F.col("source").alias("site"))
+    res = search_ranked_full(p, terms, doc_sites,
+                             site_ranks(docs), k=10).collect()
+    ids = [r["doc_id"] for r in res]
+    assert set(ids) == {1, 2}
+    assert ids[0] == 1                      # diverse doc wins
+    scores = {r["doc_id"]: r["score"] for r in res}
+    assert scores[1] > scores[2] > 0

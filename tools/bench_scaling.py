@@ -151,17 +151,37 @@ def median_level(cores: int, sf_dir: str, repl: int, reps: int) -> dict:
 
 
 def scaling_pair(ncores: int, sf_dir: str, repl: int, reps: int) -> dict:
-    """INTERLEAVED protocol: run (N, 4N) back-to-back per repetition.
+    """INTERLEAVED + ORDER-ALTERNATED protocol.
 
     This sandbox VM shows slow host-level noise drift (±20-30% over tens
-    of minutes, invisible to guest metrics).  Running all N reps then all
-    4N reps lets the drift bias the ratio; interleaving means every
-    repetition's pair sees ~the same host conditions, so the MEDIAN OF
-    PER-REP EFFICIENCIES is drift-robust (the ratio within a rep cancels
-    the common noise factor).
+    of minutes, invisible to guest metrics).  Two measured effects and
+    their countermeasures:
+
+    * DRIFT: running all N reps then all 4N reps lets the drift bias the
+      ratio → run (N, 4N) back-to-back per repetition so each pair sees
+      ~the same host conditions (the within-rep ratio cancels the common
+      factor).
+    * FIRST-RUNNER PENALTY: the first job after a JVM teardown runs up
+      to ~40% slower (page reclaim / frequency ramp on the shared host;
+      measured by an A/B that flipped sign when the in-pair order
+      flipped) → ALTERNATE which level runs first in each rep so the
+      penalty is shared evenly instead of always taxing one level.
+
+    Reported: median of per-rep efficiencies (drift-robust) AND the
+    min-based efficiency (sandbox noise is strictly additive — it only
+    ever makes a run slower — so min-wall per level across reps is the
+    best estimate of true machine capability; standard benchmarking
+    practice for noisy hosts).
     """
-    runs = [(run_level(ncores, sf_dir, repl),
-             run_level(4 * ncores, sf_dir, repl)) for _ in range(reps)]
+    runs = []
+    for rep in range(reps):
+        if rep % 2 == 0:
+            rn = run_level(ncores, sf_dir, repl)
+            r4 = run_level(4 * ncores, sf_dir, repl)
+        else:
+            r4 = run_level(4 * ncores, sf_dir, repl)
+            rn = run_level(ncores, sf_dir, repl)
+        runs.append((rn, r4))
     effs = sorted((r4["urls_per_sec"] / rn["urls_per_sec"]) / 4
                   for rn, r4 in runs)
     n_runs = sorted((r for r, _ in runs), key=lambda r: r["crawl_s"])
@@ -170,10 +190,12 @@ def scaling_pair(ncores: int, sf_dir: str, repl: int, reps: int) -> dict:
     n4 = dict(n4_runs[len(n4_runs) // 2]); n4["all_crawl_s"] = [r["crawl_s"] for r in n4_runs]
     hashes = {r["order_hash"] for r, _ in runs} | {r["order_hash"] for _, r in runs}
     assert len(hashes) == 1, "nondeterministic!"
+    min_eff = (n_runs[0]["crawl_s"] / n4_runs[0]["crawl_s"]) / 4
     return {
         "N": n, "4N": n4,
         "per_rep_efficiencies": [round(e, 3) for e in effs],
         "scaling_efficiency": round(effs[len(effs) // 2], 3),
+        "min_based_efficiency": round(min_eff, 3),
         "deterministic_across_parallelism": True,
     }
 
