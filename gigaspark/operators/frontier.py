@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions 
 from pyspark.sql import types as T
 
 from gigaspark.io.tableio import StateStore
-from gigaspark.session import stable_checkpoint
+from gigaspark.session import CKPT_SERIALIZED_MIN_ROWS, stable_checkpoint
 from gigaspark.operators import robots as robots_op
 from gigaspark.operators import urlseen
 from gigaspark.operators.url_filters import ASSIGN_FIELDS, Rule, apply_url_filters, rules_from_rows
@@ -143,6 +143,14 @@ class CrawlScheduler:
         self.clock_ms = 0
         self.round = 0
 
+    def _ckpt(self, df: DataFrame) -> DataFrame:
+        """Size-adaptive stable checkpoint: serialized+lz4 once tracked
+        state (pending frontier + seen set) is past the DRAM-bound
+        crossover, plain deserialized while it is cache-resident (30%
+        faster there — see session.stable_checkpoint)."""
+        big = (self.pending_count + self.n_seen) >= CKPT_SERIALIZED_MIN_ROWS
+        return stable_checkpoint(df, serialized=big)
+
     # ------------------------------------------------------------------ #
     # LSM views                                                           #
     # ------------------------------------------------------------------ #
@@ -176,17 +184,17 @@ class CrawlScheduler:
         """Bound view depth: fold parts⊖tombstones into one materialized
         part (the RdbMerge compaction analogue)."""
         if len(self.removed_parts) >= 4 or len(self.frontier_parts) >= 6:
-            self.frontier_parts = [self.frontier.transform(stable_checkpoint)]
+            self.frontier_parts = [self.frontier.transform(self._ckpt)]
             self.removed_parts = []
         if len(self.seen_parts) >= 8:
-            self.seen_parts = [self.seen.transform(stable_checkpoint)]
+            self.seen_parts = [self.seen.transform(self._ckpt)]
         if len(self.hp_parts) >= 8:
             hp = self.hp_parts[0]
             for p in self.hp_parts[1:]:
                 hp = hp.unionByName(p)
             self.hp_parts = [
                 hp.groupBy("firstip").agg(F.sum("d").alias("d"))
-                .where(F.col("d") != 0).transform(stable_checkpoint)]
+                .where(F.col("d") != 0).transform(self._ckpt)]
         # emitted/fetched logs are append-only (one lazy projection per
         # round over an already-checkpointed winners DF) but the union
         # view still grows one plan leaf per round — a 10^4-round crawl
@@ -197,7 +205,7 @@ class CrawlScheduler:
                 acc = parts[0]
                 for p in parts[1:]:
                     acc = acc.unionByName(p)
-                setattr(self, attr, [acc.transform(stable_checkpoint)])
+                setattr(self, attr, [acc.transform(self._ckpt)])
 
     @staticmethod
     def _frontier_schema() -> T.StructType:
@@ -281,7 +289,7 @@ class CrawlScheduler:
             F.sum((F.col("_disposition") == "pass").cast("long")).alias("n_pass"),
         )
         t = time.time()
-        annotated = df.transform(stable_checkpoint)
+        annotated = df.transform(self._ckpt)
         c = obs.get
         n_pass = int(c["n_pass"] or 0)
         t = _tlog("enq:annotated", t)
@@ -298,7 +306,7 @@ class CrawlScheduler:
                 passing, self.seen.select("firstip", "urlhash48"),
                 self.segments if self.cfg.use_bloom else None, self.seen_params,
             ).observe(obs_new, F.count(F.lit(1)).alias("n")
-                      ).transform(stable_checkpoint)
+                      ).transform(self._ckpt)
             n_new = int(obs_new.get["n"] or 0)
         t = _tlog("enq:filter_new", t)
 
@@ -325,7 +333,7 @@ class CrawlScheduler:
                 add if self.segments is None
                 else self.seen_mod.merge_segments(self.segments, add,
                                                   self.seen_params)
-            ).transform(stable_checkpoint)
+            ).transform(self._ckpt)
         t = _tlog("enq:segments", t)
         return m
 
@@ -356,7 +364,7 @@ class CrawlScheduler:
             doomed = (self.frontier.join(F.broadcast(full), "firstip", "semi")
                       .select("firstip", "urlhash48", "gen")
                       .observe(obs_q, F.count(F.lit(1)).alias("n"))
-                      .transform(stable_checkpoint))
+                      .transform(self._ckpt))
             n_quota = int(obs_q.get["n"] or 0)
             if n_quota:
                 self.removed_parts.append(doomed)
@@ -407,7 +415,7 @@ class CrawlScheduler:
                      F.sum((F.col("harvest_links") & ~err_cond).cast("long"))
                      .alias("n_harvest"),
                      F.sum(err_cond.cast("long")).alias("n_err"))
-            .transform(stable_checkpoint)
+            .transform(self._ckpt)
         )
         wc = obs_w.get
         t = _tlog("winners", t)
@@ -419,7 +427,7 @@ class CrawlScheduler:
             from gigaspark.operators.fetch import validate_fetch
             self.fetched_parts.append(
                 validate_fetch(emitted, self.page_image, self.images,
-                               self.images_golden).transform(stable_checkpoint))
+                               self.images_golden).transform(self._ckpt))
 
         # host_state merge: fetched hosts get next_ok = last slot end and
         # accumulate their SUCCESSFUL-fetch count (site-quota input —
@@ -441,7 +449,7 @@ class CrawlScheduler:
         self.host_state = (
             self.host_state.join(upd.select("firstip"), "firstip", "left_anti")
             .unionByName(upd)
-            .transform(stable_checkpoint)
+            .transform(self._ckpt)
         )
         t = _tlog("host_state", t)
         # tombstone the emitted keys (winners is checkpointed → this part
@@ -484,7 +492,7 @@ class CrawlScheduler:
                                   + F.lit(self.cfg.retry_wait_ms))
                       .withColumn("gen", (F.col("gen") + 1).cast("int"))
                       .observe(obs_e, F.count(F.lit(1)).alias("n"))
-                      .transform(stable_checkpoint))
+                      .transform(self._ckpt))
                 n_retried = int(obs_e.get["n"] or 0)
                 if n_retried:
                     self.frontier_parts.append(
@@ -523,7 +531,7 @@ class CrawlScheduler:
                                   * F.lit(float(MS_PER_DAY))).cast("long"))
                    .withColumn("gen", (F.col("gen") + 1).cast("int"))
                    .observe(obs_r, F.count(F.lit(1)).alias("n"))
-                   .transform(stable_checkpoint))
+                   .transform(self._ckpt))
             n_re = int(obs_r.get["n"] or 0)
             if n_re:
                 self.frontier_parts.append(
@@ -667,22 +675,23 @@ class CrawlScheduler:
         if manifest is None:
             raise FileNotFoundError(f"no MANIFEST.json under {state_dir}")
         tbl = sched.store.load_tables(spark, manifest)
-        sched.frontier_parts = [tbl["frontier"].transform(stable_checkpoint)]
-        sched.removed_parts = []
-        sched.seen_parts = [tbl["seen"].transform(stable_checkpoint)]
-        sched.host_state = tbl["host_state"].transform(stable_checkpoint)
-        if "bloom_segments" in tbl:
-            sched.segments = tbl["bloom_segments"].transform(stable_checkpoint)
-        emitted = tbl["emitted"]
-        if emitted.columns and not emitted.rdd.isEmpty():
-            sched.emitted_parts = [emitted.select(*EMIT_COLS).transform(stable_checkpoint)]
+        # restore driver-side counters FIRST so _ckpt's size-adaptive
+        # storage choice sees the real state size from the manifest
         sched.round = manifest["meta"]["round"]
         sched.clock_ms = manifest["meta"]["clock_ms"]
         sched.metrics = list(manifest["meta"]["metrics"])
-        sched.n_seen = manifest["meta"].get(
-            "n_seen", sched.seen_parts[0].count())
+        sched.n_seen = manifest["meta"].get("n_seen", tbl["seen"].count())
+        sched.pending_count = tbl["frontier"].count()
+        sched.frontier_parts = [tbl["frontier"].transform(sched._ckpt)]
+        sched.removed_parts = []
+        sched.seen_parts = [tbl["seen"].transform(sched._ckpt)]
+        sched.host_state = tbl["host_state"].transform(sched._ckpt)
+        if "bloom_segments" in tbl:
+            sched.segments = tbl["bloom_segments"].transform(sched._ckpt)
+        emitted = tbl["emitted"]
+        if emitted.columns and not emitted.rdd.isEmpty():
+            sched.emitted_parts = [emitted.select(*EMIT_COLS).transform(sched._ckpt)]
         sched.hp_parts = [
             sched.frontier_parts[0].groupBy("firstip")
-            .agg(F.count("*").alias("d")).transform(stable_checkpoint)]
-        sched.pending_count = sched.frontier_parts[0].count()
+            .agg(F.count("*").alias("d")).transform(sched._ckpt)]
         return sched

@@ -13,7 +13,7 @@ import os
 from pyspark.sql import SparkSession
 
 
-def stable_checkpoint(df):
+def stable_checkpoint(df, serialized: bool | None = None):
     """``localCheckpoint(eager=True)`` + rewrap as a stats-clean leaf.
 
     ``Dataset.localCheckpoint`` preserves the origin plan's estimated
@@ -33,18 +33,23 @@ def stable_checkpoint(df):
     from pyspark.sql import DataFrame as _DF
 
     spark = df.sparkSession
-    # Serialized storage (MEMORY_AND_DISK, not the _DESER default) +
-    # spark.rdd.compress=true (get_spark) cuts checkpoint memory traffic
-    # ~3x: UnsafeRows pack into contiguous lz4 blocks instead of
-    # object-per-row pages.  On this box the iterative crawl loop is
-    # DRAM-bandwidth-bound above ~4 active cores, and on a real cluster
-    # the same bytes are what spill/network replication move — measured
-    # 29% faster at 8 pinned cores AND 20% faster at 2 (lz4 ~GB/s per
-    # core; decompress cost < saved bus traffic in every regime tested).
-    # Override with $GIGASPARK_CKPT_LEVEL for experiments.
+    # Storage level is a bandwidth/CPU trade with a measured crossover:
+    # serialized MEMORY_AND_DISK + spark.rdd.compress=true (get_spark)
+    # packs UnsafeRows into contiguous lz4 blocks — ~3x less memory
+    # traffic, 20-29% faster on the 9.6M-URL scaling job where the
+    # iterative loop is DRAM-bandwidth-bound; but on small state that
+    # fits in LLC (the 150k-URL headline bench) the per-row
+    # serialize/compress CPU is pure overhead — ~30% SLOWER (12.9s vs
+    # 9.8s drain, measured 2026-08-18).  So the caller picks:
+    # serialized=True for big state (CrawlScheduler flips it once its
+    # tracked state rows cross CKPT_SERIALIZED_MIN_ROWS), False/None
+    # for cache-resident state.  $GIGASPARK_CKPT_LEVEL overrides both
+    # for experiments.
     from pyspark.storagelevel import StorageLevel
 
-    level = os.environ.get("GIGASPARK_CKPT_LEVEL", "MEMORY_AND_DISK")
+    level = os.environ.get("GIGASPARK_CKPT_LEVEL")
+    if level is None:
+        level = "MEMORY_AND_DISK" if serialized else "MEMORY_AND_DISK_DESER"
     ck = df.localCheckpoint(eager=True,
                             storageLevel=getattr(StorageLevel, level))
     try:
@@ -67,6 +72,12 @@ def stable_checkpoint(df):
 
 
 _WARNED_FALLBACK = False
+
+# State-row crossover above which serialized+lz4 checkpoints beat the
+# deserialized default (measured: 0.3M rows → deser 30% faster; 19M rows
+# → serialized 20-29% faster; the knee is where state leaves LLC and the
+# loop goes DRAM-bandwidth-bound).  Per-box/per-cluster knob.
+CKPT_SERIALIZED_MIN_ROWS = 2_000_000
 
 
 def get_spark(
