@@ -1216,22 +1216,29 @@ def q_fetch_validate(spark, sf_dir):
     """S4/J8/C8 — simulated fetch + the per-row payload invariant
     (BASELINE.json input_hint): schedule rows join their image payload,
     decoded pixels vs golden (exact for lossless ppm/png/gif/webp;
-    PSNR≥40dB for lossy qnt AND real baseline JPEG via the pure-numpy
-    T.81 codec).  All six real codecs exercised end-to-end.  The oracle
-    states the expected outcome (all pass) over the same deterministic
-    id/format lattice."""
+    PSNR≥40dB for lossy qnt, real baseline JPEG via the pure-numpy
+    T.81 codec, AND lossy-VP8 webp via the pure-numpy RFC 6386-shaped
+    codec).  All seven real codecs exercised end-to-end.  webpv rows
+    use grey pixels: 4:2:0 chroma decimation on per-pixel random
+    chroma is an inherent ~21dB floor for ANY spec VP8 encoder, not a
+    codec property.  The oracle states the expected outcome (all pass)
+    over the same deterministic id/format lattice."""
     import numpy as np
 
     from gigaspark.functions.images import encode_image
     from gigaspark.functions.phash import dhash64
     from gigaspark.operators.fetch import validate_fetch
 
-    fmts = ("ppm", "png", "qnt", "jpg", "gif", "webp")
+    fmts = ("ppm", "png", "qnt", "jpg", "gif", "webp", "webpv")
     img_rows, pi_rows = [], []
-    for i in range(90):
+    for i in range(105):
         rng = np.random.default_rng(2000 + i)
-        pix = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
         fmt = fmts[i % len(fmts)]
+        if fmt == "webpv":
+            g = rng.integers(0, 256, (12, 12), dtype=np.uint8)
+            pix = np.stack([g, g, g], axis=-1)
+        else:
+            pix = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
         img_rows.append((f"img{i:04d}", bytearray(encode_image(fmt, pix)),
                          12, 12, fmt, f"caption {i}", dhash64(pix),
                          bytearray(pix.tobytes())))
@@ -1258,9 +1265,9 @@ def q_fetch_validate(spark, sf_dir):
 SQL_FETCH_VALIDATE = """
 SELECT 'http://h' || (i % 9)::VARCHAR || '.example/p/' || i::VARCHAR AS url,
        'img' || lpad(i::VARCHAR, 4, '0') AS image_id,
-       (['ppm', 'png', 'qnt', 'jpg', 'gif', 'webp'])[i % 6 + 1] AS fmt,
+       (['ppm', 'png', 'qnt', 'jpg', 'gif', 'webp', 'webpv'])[i % 7 + 1] AS fmt,
        true AS pixels_ok, true AS caption_ok, true AS phash_ok
-FROM generate_series(0, 89) AS g(i)
+FROM generate_series(0, 104) AS g(i)
 """
 
 

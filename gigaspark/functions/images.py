@@ -148,12 +148,19 @@ def _decode_webp(data: bytes) -> np.ndarray:
     return decode_webp(data)
 
 
+def _encode_webp_lossy(pix: np.ndarray) -> bytes:
+    from gigaspark.functions.vp8 import encode_webp_lossy
+    return encode_webp_lossy(pix, qi=0)
+
+
+# "webpv" = lossy VP8 flavor on the ENCODE side only; both flavors
+# decode under fmt "webp" (the RIFF chunk id dispatches)
 _ENC = {"ppm": encode_ppm, "png": encode_png, "qnt": encode_qnt,
         "jpg": _encode_jpg, "jpeg": _encode_jpg, "gif": _encode_gif,
-        "webp": _encode_webp}
+        "webp": _encode_webp, "webpv": _encode_webp_lossy}
 _DEC = {"ppm": decode_ppm, "png": decode_png, "qnt": decode_qnt,
         "jpg": _decode_jpg, "jpeg": _decode_jpg, "gif": _decode_gif,
-        "webp": _decode_webp}
+        "webp": _decode_webp, "webpv": _decode_webp}
 
 
 def encode_image(fmt: str, pix: np.ndarray) -> bytes:

@@ -423,8 +423,10 @@ def _inverse_palette(out: np.ndarray, w: int, h: int, pal: np.ndarray,
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """WebP bytes → RGB uint8 (h, w, 3).  Lossless (VP8L) only; all
-    four spec transforms and meta-Huffman supported, lossy VP8 not."""
+    """WebP bytes → RGB uint8 (h, w, 3).  Lossless (VP8L: all four spec
+    transforms + meta-Huffman) and lossy VP8 keyframes (functions/vp8.py
+    — intra modes, Y2/WHT, token trees; probability tables repo-pinned,
+    see that module's header).  VP8X extended container unsupported."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP file")
     pos = 12
@@ -435,9 +437,12 @@ def decode_webp(data: bytes) -> np.ndarray:
         if cid == b"VP8L":
             vp8l = data[pos + 8:pos + 8 + size]
             break
-        if cid == b"VP8 " or cid == b"VP8X":
+        if cid == b"VP8 ":
+            from gigaspark.functions.vp8 import decode_vp8_frame
+            return decode_vp8_frame(data[pos + 8:pos + 8 + size])
+        if cid == b"VP8X":
             raise ValueError(f"webp: unsupported chunk {cid!r} "
-                             "(lossy/extended needs libwebp)")
+                             "(extended container)")
         pos += 8 + size + (size & 1)
     if vp8l is None or len(vp8l) < 5:
         raise ValueError("webp: no VP8L chunk")

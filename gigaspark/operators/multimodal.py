@@ -12,12 +12,13 @@ baseline JPEG (the pure-numpy ITU T.81 codec in functions/jpeg.py),
 GIF87a/89a (the pure-numpy LZW codec in functions/gif.py), WAV PCM
 audio (functions/wav.py → :func:`audio_features`), AVI/MJPEG video
 (functions/avi.py → :func:`frame_sample`), pixel statistics,
-perceptual hashes, nearest-neighbour resize, and lossless WebP/VP8L
-(functions/webp.py — canonical-Huffman + LZ77 + color-cache).  What is
-STUBBED (no ffmpeg/libwebp in this container): lossy-VP8 webp and
-compressed audio/video codecs (mp3/h264/vp9) surface as decode_ok=false
-rows, clearly marked, with the dispatch and schema ready for a vendored
-codec.
+perceptual hashes, nearest-neighbour resize, lossless WebP/VP8L
+(functions/webp.py — canonical-Huffman + LZ77 + color-cache), and
+lossy-VP8 webp keyframes (functions/vp8.py — bool coder, token trees,
+WHT+DCT, intra prediction; probability tables repo-pinned).  What is
+STUBBED (no ffmpeg in this container): compressed audio/video codecs
+(mp3/h264/vp9) surface as decode_ok=false rows, clearly marked, with
+the dispatch and schema ready for a vendored codec.
 
 Scale notes: blob batches dominate memory — ``mapInPandas`` streams
 Arrow batches so an executor never holds a partition of blobs at once;
@@ -62,18 +63,18 @@ RESIZE_SCHEMA = T.StructType([
 
 
 def decode_stub(fmt: str, data: bytes) -> np.ndarray:
-    """Dispatch decode; ppm/png/qnt/jpg/gif/webp(lossless) are real.
+    """Dispatch decode; ALL web image formats here are real codecs.
 
     jpg/jpeg route through the pure-numpy baseline codec
     (functions/jpeg.py); gif through the pure-numpy LZW codec
     (functions/gif.py — GIF87a/89a incl. interlace); webp through the
-    pure-numpy VP8L lossless codec (functions/webp.py).  Lossy-VP8 webp
-    raises inside decode_webp (``ValueError('webp: unsupported ...')``)
-    — a vendored VP8 codec would be needed (none in this container,
-    SURVEY §7.4.3); the Spark-side plumbing (schema, batching, error
-    channel) is identical either way.
+    pure-numpy VP8L lossless codec (functions/webp.py) OR the
+    pure-numpy lossy-VP8 keyframe codec (functions/vp8.py — the RIFF
+    chunk id dispatches; probability tables repo-pinned, see that
+    module's header).  "webpv" selects the lossy flavor on the encode
+    side only.
     """
-    if fmt in FORMATS or fmt in ("jpeg", "gif", "webp"):
+    if fmt in FORMATS or fmt in ("jpeg", "gif", "webp", "webpv"):
         return decode_image(fmt, data)
     raise ValueError(f"unknown image format {fmt!r}")
 

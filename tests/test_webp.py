@@ -63,9 +63,16 @@ def test_rejects_garbage():
         decode_webp(b"\x89PNG\r\n\x1a\n")     # not RIFF
 
 
-def test_rejects_lossy_chunk():
+def test_lossy_chunk_dispatches_to_vp8():
+    """'VP8 ' chunks now route to functions/vp8.py (garbage payload
+    still raises there); VP8X remains unsupported."""
     body = b"\x00" * 10
     chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    riff = b"WEBP" + chunk
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(ValueError, match="vp8"):
+        decode_webp(blob)
+    chunk = b"VP8X" + struct.pack("<I", len(body)) + body
     riff = b"WEBP" + chunk
     blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
     with pytest.raises(ValueError, match="unsupported chunk"):
