@@ -86,7 +86,14 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
 
+    # headline drain: warm-up pass (JIT/codegen/python workers), then
+    # min of 2 measured reps — the same protocol as tools/bench_scaling
+    # (this host has multi-minute noise epochs; noise is strictly
+    # additive, so min is the capability estimate)
+    bench_crawl(spark, sf_dir)
     crawl_s, n_urls = bench_crawl(spark, sf_dir)
+    crawl_s2, _ = bench_crawl(spark, sf_dir)
+    crawl_s = min(crawl_s, crawl_s2)
     times["crawl_drain"] = round(crawl_s, 3)
     urls_per_sec = round(n_urls / crawl_s, 1)
 
