@@ -91,6 +91,12 @@ class CrawlConfig:
     err_mod: int = 0                 # >0 → fetch fails iff urlhash48 % err_mod == 0
     retry_wait_ms: int = 60_000      # error retry backoff (oracle step 9)
     site_quota: int = 0              # >0 → per-firstip successful-fetch cap (step 10)
+    ckpt_serialized: "bool | None" = None
+    # checkpoint storage: None = size-adaptive (serialized+lz4 once
+    # tracked state rows cross session.CKPT_SERIALIZED_MIN_ROWS);
+    # True/False force it — set True when the FIRST batch is already
+    # known to be huge (the auto rule only sees sizes after the seed
+    # enqueue has materialized once)
 
 
 class CrawlScheduler:
@@ -148,6 +154,8 @@ class CrawlScheduler:
         state (pending frontier + seen set) is past the DRAM-bound
         crossover, plain deserialized while it is cache-resident (30%
         faster there — see session.stable_checkpoint)."""
+        if self.cfg.ckpt_serialized is not None:
+            return stable_checkpoint(df, serialized=self.cfg.ckpt_serialized)
         big = (self.pending_count + self.n_seen) >= CKPT_SERIALIZED_MIN_ROWS
         return stable_checkpoint(df, serialized=big)
 
