@@ -1216,9 +1216,10 @@ def q_fetch_validate(spark, sf_dir):
     """S4/J8/C8 — simulated fetch + the per-row payload invariant
     (BASELINE.json input_hint): schedule rows join their image payload,
     decoded pixels vs golden (exact for lossless ppm/png/gif/webp;
-    PSNR≥40dB for lossy qnt, real baseline JPEG via the pure-numpy
-    T.81 codec, AND lossy-VP8 webp via the pure-numpy RFC 6386-shaped
-    codec).  All seven real codecs exercised end-to-end.  webpv rows
+    PSNR≥40dB for lossy qnt, real baseline AND progressive-SOF2 JPEG
+    via the pure-numpy T.81 codec, AND lossy-VP8 webp via the
+    pure-numpy RFC 6386-shaped codec).  All eight format flavors
+    exercised end-to-end through real codecs.  webpv rows
     use grey pixels: 4:2:0 chroma decimation on per-pixel random
     chroma is an inherent ~21dB floor for ANY spec VP8 encoder, not a
     codec property.  The oracle states the expected outcome (all pass)
@@ -1229,9 +1230,9 @@ def q_fetch_validate(spark, sf_dir):
     from gigaspark.functions.phash import dhash64
     from gigaspark.operators.fetch import validate_fetch
 
-    fmts = ("ppm", "png", "qnt", "jpg", "gif", "webp", "webpv")
+    fmts = ("ppm", "png", "qnt", "jpg", "gif", "webp", "webpv", "jpgp")
     img_rows, pi_rows = [], []
-    for i in range(105):
+    for i in range(120):
         rng = np.random.default_rng(2000 + i)
         fmt = fmts[i % len(fmts)]
         if fmt == "webpv":
@@ -1265,9 +1266,9 @@ def q_fetch_validate(spark, sf_dir):
 SQL_FETCH_VALIDATE = """
 SELECT 'http://h' || (i % 9)::VARCHAR || '.example/p/' || i::VARCHAR AS url,
        'img' || lpad(i::VARCHAR, 4, '0') AS image_id,
-       (['ppm', 'png', 'qnt', 'jpg', 'gif', 'webp', 'webpv'])[i % 7 + 1] AS fmt,
+       (['ppm', 'png', 'qnt', 'jpg', 'gif', 'webp', 'webpv', 'jpgp'])[i % 8 + 1] AS fmt,
        true AS pixels_ok, true AS caption_ok, true AS phash_ok
-FROM generate_series(0, 104) AS g(i)
+FROM generate_series(0, 119) AS g(i)
 """
 
 

@@ -153,14 +153,21 @@ def _encode_webp_lossy(pix: np.ndarray) -> bytes:
     return encode_webp_lossy(pix, qi=0)
 
 
-# "webpv" = lossy VP8 flavor on the ENCODE side only; both flavors
-# decode under fmt "webp" (the RIFF chunk id dispatches)
+def _encode_jpg_progressive(pix: np.ndarray) -> bytes:
+    from gigaspark.functions.jpeg import encode_jpeg_progressive
+    return encode_jpeg_progressive(pix, quality=98)  # match _encode_jpg
+
+
+# "webpv" = lossy VP8 flavor, "jpgp" = progressive SOF2 flavor — both
+# on the ENCODE side only; decode dispatches on the container itself
+# (RIFF chunk id / SOF marker)
 _ENC = {"ppm": encode_ppm, "png": encode_png, "qnt": encode_qnt,
         "jpg": _encode_jpg, "jpeg": _encode_jpg, "gif": _encode_gif,
-        "webp": _encode_webp, "webpv": _encode_webp_lossy}
+        "webp": _encode_webp, "webpv": _encode_webp_lossy,
+        "jpgp": _encode_jpg_progressive}
 _DEC = {"ppm": decode_ppm, "png": decode_png, "qnt": decode_qnt,
         "jpg": _decode_jpg, "jpeg": _decode_jpg, "gif": _decode_gif,
-        "webp": _decode_webp, "webpv": _decode_webp}
+        "webp": _decode_webp, "webpv": _decode_webp, "jpgp": _decode_jpg}
 
 
 def encode_image(fmt: str, pix: np.ndarray) -> bytes:

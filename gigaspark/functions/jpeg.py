@@ -9,10 +9,16 @@ Annex K examples (the universal "standard tables").
 Subset (encoder emits exactly this; decoder accepts exactly this and
 rejects the rest with ValueError rather than mis-decoding):
 
-  * baseline sequential DCT (SOF0), 8-bit, 3 components, YCbCr (JFIF)
+  * baseline sequential DCT (SOF0) AND progressive DCT (SOF2) with the
+    full T.81 G.1.2 successive-approximation machinery: spectral
+    selection, DC/AC point transforms, AC refinement correction bits,
+    new-coefficient insertion, ZRL-with-corrections, and cross-block
+    EOBn runs (progressive decode is tested bit-identical to baseline
+    decode of the same quantized coefficients)
+  * 8-bit, 3 components, YCbCr (JFIF)
   * 4:4:4 (no chroma subsampling — keeps the PSNR≥40dB invariant honest
     on noise fixtures and the MCU loop simple)
-  * one interleaved scan, no restart markers, no progressive/arithmetic
+  * no restart markers, no arithmetic coding, no 12-bit
 
 All pixel/DCT/quant math is whole-array numpy; only the entropy coder
 walks symbols in Python (bounded: one iteration per nonzero coefficient,
@@ -276,6 +282,218 @@ def encode_jpeg(pix: np.ndarray, quality: int = 95) -> bytes:
     return bytes(out)
 
 
+def _flush_eobrun(pairs, ac_codes, n):
+    """Emit an EOBn symbol covering n end-of-band blocks (T.81 G.1.2.2:
+    rs=(r<<4)|0 plus r extra bits encoding n = 2^r + extra)."""
+    while n > 0:
+        r = min(n.bit_length() - 1, 14)
+        chunk = min(n, (1 << r) * 2 - 1)    # what r extra bits can carry
+        pairs.append(ac_codes[r << 4])
+        if r:
+            pairs.append((chunk - (1 << r), r))
+        n -= chunk
+
+
+def _enc_ac_first(writer, vecs, ac_codes, ss, se, al):
+    """Progressive AC first pass at point transform Al over ALL blocks,
+    with cross-block EOB-run accumulation (EOBn)."""
+    pairs: list[tuple[int, int]] = []
+    eobrun = 0
+    for vec in vecs:
+        block_pairs = []
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(vec[k])
+            t = abs(v) >> al
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                block_pairs.append(ac_codes[0xF0])
+                run -= 16
+            size, bits = _magnitude(t if v > 0 else -t)
+            block_pairs.append(ac_codes[(run << 4) | size])
+            block_pairs.append((bits, size))
+            run = 0
+        if not block_pairs:            # whole band zero → join the run
+            eobrun += 1
+            continue
+        _flush_eobrun(pairs, ac_codes, eobrun)
+        eobrun = 0
+        pairs.extend(block_pairs)
+        if run:
+            eobrun = 1                 # this block's trailing EOB
+    _flush_eobrun(pairs, ac_codes, eobrun)
+    writer.write_pairs(pairs)
+
+
+def _enc_ac_refine(writer, vecs, ac_codes, ss, se, al):
+    """Progressive AC refinement over ALL blocks: correction bits for
+    history-nonzero coefficients + new +-1<<Al values, with EOB-run
+    accumulation.  Correction bits of run-member blocks ride inside the
+    run in block order — exactly where the decoder's eobrun>0 path
+    reads them; a run longer than one EOBn symbol can carry is split
+    with each chunk's corrections after its own symbol."""
+    pairs: list[tuple[int, int]] = []
+    run_blocks: list[list[int]] = []   # per-block corrections in the run
+
+    def flush():
+        nonlocal run_blocks
+        i = 0
+        n = len(run_blocks)
+        while n > 0:
+            r = min(n.bit_length() - 1, 14)
+            chunk = min(n, (1 << (r + 1)) - 1)
+            pairs.append(ac_codes[r << 4])
+            if r:
+                pairs.append((chunk - (1 << r), r))
+            for bl in run_blocks[i:i + chunk]:
+                pairs.extend((b, 1) for b in bl)
+            i += chunk
+            n -= chunk
+        run_blocks = []
+
+    for vec in vecs:
+        events = []                    # ('C', bit) | ('Z',) | ('N', sign)
+        for k in range(ss, se + 1):
+            v = int(vec[k])
+            t = abs(v) >> al
+            if (abs(v) >> (al + 1)) != 0:
+                events.append(("C", t & 1))
+            elif t == 0:
+                events.append(("Z", 0))
+            else:
+                events.append(("N", 1 if v > 0 else 0))
+        n_pos = [i for i, e in enumerate(events) if e[0] == "N"]
+        if not n_pos:                  # end-of-band at k=Ss → join run
+            run_blocks.append([b for kind, b in events if kind == "C"])
+            continue
+        flush()
+        last_n = n_pos[-1]
+        run = 0
+        corr: list[int] = []
+        for i, (kind, b) in enumerate(events[:last_n + 1]):
+            if kind == "C":
+                corr.append(b)
+            elif kind == "Z":
+                run += 1
+                if run == 16:
+                    pairs.append(ac_codes[0xF0])
+                    pairs.extend((bb, 1) for bb in corr)
+                    corr = []
+                    run = 0
+            else:
+                pairs.append(ac_codes[(run << 4) | 1])
+                pairs.append((b, 1))
+                pairs.extend((bb, 1) for bb in corr)
+                corr = []
+                run = 0
+        if last_n < len(events) - 1:   # tail → this block joins a new run
+            run_blocks.append(
+                [bb for kk, bb in events[last_n + 1:] if kk == "C"])
+    flush()
+    writer.write_pairs(pairs)
+
+
+# progressive AC Huffman table: Annex K's AC tables carry only the
+# baseline alphabet ((run<<4)|size, EOB, ZRL) — progressive scans also
+# need the EOBn symbols (r<<4 for r=1..14).  One flat canonical table
+# (every symbol 9 bits; 176 * 2^-9 < 1 satisfies Kraft, the all-ones
+# code stays unused) keeps the encoder simple; the decoder learns it
+# from the DHT segment like any other table.
+_PROG_AC_VALUES = sorted(
+    {r << 4 for r in range(15)} | {0xF0}
+    | {(run << 4) | size for run in range(16) for size in range(1, 11)})
+_PROG_AC_TABLE = ([0] * 8 + [len(_PROG_AC_VALUES)] + [0] * 7, _PROG_AC_VALUES)
+
+# progressive scan script (libjpeg-style: DC approximation first, then
+# spectral bands per component, then the refinement passes)
+_PROG_SCRIPT = (
+    ("dc_first", None, 0, 0, 0, 1),
+    ("ac_first", 0, 1, 5, 0, 1),
+    ("ac_first", 0, 6, 63, 0, 1),
+    ("ac_first", 1, 1, 63, 0, 1),
+    ("ac_first", 2, 1, 63, 0, 1),
+    ("dc_refine", None, 0, 0, 1, 0),
+    ("ac_refine", 0, 1, 5, 1, 0),
+    ("ac_refine", 0, 6, 63, 1, 0),
+    ("ac_refine", 1, 1, 63, 1, 0),
+    ("ac_refine", 2, 1, 63, 1, 0),
+)
+
+
+def encode_jpeg_progressive(pix: np.ndarray, quality: int = 95) -> bytes:
+    """RGB uint8 (h, w, 3) → progressive (SOF2) JFIF bytes.
+
+    Same 4:4:4 / Annex K subset as the baseline encoder; successive
+    approximation with one refinement pass for DC and every AC band —
+    so a decoder must implement the full T.81 G.1.2 machinery (point
+    transforms, correction bits, new-coefficient insertion) to read it.
+    """
+    h, w, _ = pix.shape
+    qy = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    ycc = _rgb_to_ycbcr(pix)
+    comp_vecs = []
+    for ci in range(3):
+        blocks, _, _ = _blockify(ycc[..., ci] - 128.0)
+        coef = _DCT_C @ blocks @ _DCT_C.T
+        q = qy if ci == 0 else qc
+        quant = np.round(coef / q[None, :, :]).astype(np.int32)
+        comp_vecs.append(quant.reshape(-1, 64)[:, ZIGZAG])
+    n_blocks = comp_vecs[0].shape[0]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(q.reshape(64)[ZIGZAG].astype(np.uint8).tolist())
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)   # SOF2
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += struct.pack("BBB", cid, 0x11, tq)
+    for tc_th, (bits, values) in ((0x00, DC_LUMA), (0x01, DC_CHROMA),
+                                  (0x10, _PROG_AC_TABLE),
+                                  (0x11, _PROG_AC_TABLE)):
+        body = bytes([tc_th]) + bytes(bits) + bytes(values)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    dc_codes = (_build_codes(*DC_LUMA), _build_codes(*DC_CHROMA),
+                _build_codes(*DC_CHROMA))
+    prog_ac = _build_codes(*_PROG_AC_TABLE)
+    ac_codes = (prog_ac, prog_ac, prog_ac)
+    tbl_ids = ((1, 0x00), (2, 0x11), (3, 0x11))
+
+    for kind, comp, ss, se, ah, al in _PROG_SCRIPT:
+        sel = tbl_ids if comp is None else (tbl_ids[comp],)
+        body = bytes([len(sel)])
+        for cid, tables in sel:
+            body += bytes([cid, tables])
+        body += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+        writer = _BitWriter()
+        if kind == "dc_first":
+            preds = [0, 0, 0]
+            for b in range(n_blocks):
+                for ci in range(3):
+                    t = int(comp_vecs[ci][b, 0]) >> al
+                    size, bits = _magnitude(t - preds[ci])
+                    writer.write_pairs([dc_codes[ci][size]]
+                                       + ([(bits, size)] if size else []))
+                    preds[ci] = t
+        elif kind == "dc_refine":
+            for b in range(n_blocks):
+                for ci in range(3):
+                    writer.write_pairs(
+                        [((int(comp_vecs[ci][b, 0]) >> al) & 1, 1)])
+        elif kind == "ac_first":
+            _enc_ac_first(writer, comp_vecs[comp], ac_codes[comp], ss, se, al)
+        else:
+            _enc_ac_refine(writer, comp_vecs[comp], ac_codes[comp], ss, se, al)
+        out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """Reads the entropy-coded scan as a pre-unpacked bit list.
 
@@ -332,6 +550,133 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError(f"jpeg: truncated/corrupt ({e})") from e
 
 
+def _decode_baseline_scan(stabs, scan_bytes, coefs, n_blocks):
+    """One interleaved full-band scan (SOF0)."""
+    reader = _BitReader(scan_bytes)
+    preds = [0, 0, 0]
+    for ci, dc_t, ac_t in stabs:
+        if dc_t is None or ac_t is None:
+            raise ValueError("missing huffman table")
+    for b in range(n_blocks):
+        for ci, dc_t, ac_t in stabs:
+            vec = coefs[ci][b]
+            size = reader.read_symbol(dc_t)
+            diff = _extend(reader.read_bits(size), size)
+            preds[ci] += diff
+            vec[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = reader.read_symbol(ac_t)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflow")
+                vec[k] = _extend(reader.read_bits(size), size)
+                k += 1
+
+
+def _decode_progressive_scan(scan, coefs, n_blocks):
+    """One SOF2 scan: DC first/refine (interleaved) or AC first/refine
+    (single component, T.81 G.1.2 / the libjpeg-compatible successive
+    approximation algorithm incl. EOB runs and correction bits)."""
+    stabs, ss, se, ah, al, scan_bytes = scan
+    reader = _BitReader(scan_bytes)
+    if ss == 0:                                  # ---- DC scan ----
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ah == 0:                              # first pass
+            preds = [0, 0, 0]
+            for b in range(n_blocks):
+                for ci, dc_t, _ in stabs:
+                    if dc_t is None:
+                        raise ValueError("missing DC huffman table")
+                    size = reader.read_symbol(dc_t)
+                    preds[ci] += _extend(reader.read_bits(size), size)
+                    coefs[ci][b, 0] = preds[ci] << al
+        else:                                    # refinement: 1 bit/block
+            for b in range(n_blocks):
+                for ci, _, _ in stabs:
+                    if reader.read_bits(1):
+                        coefs[ci][b, 0] |= 1 << al
+        return
+    # ---- AC scan: single component, coefficients in ZIGZAG order ----
+    if len(stabs) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    ci, _, ac_t = stabs[0]
+    if ac_t is None:
+        raise ValueError("missing AC huffman table")
+    vecs = coefs[ci]          # zigzag-ordered, same as the scan index k
+    eobrun = 0
+    if ah == 0:                                  # first pass at this Al
+        for b in range(n_blocks):
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.read_symbol(ac_t)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:
+                        k += 16                  # ZRL
+                        continue
+                    eobrun = (1 << run) - 1      # EOBn: this block done
+                    if run:
+                        eobrun += reader.read_bits(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("AC run overflow")
+                vecs[b, k] = _extend(reader.read_bits(size), size) << al
+                k += 1
+        return
+    # refinement pass (Ah = Al+1): correction bits + new +-1<<Al values
+    p1, m1 = 1 << al, -1 << al
+    for b in range(n_blocks):
+        vec = vecs[b]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.read_symbol(ac_t)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run != 15:
+                        eobrun = 1 << run        # includes THIS block
+                        if run:
+                            eobrun += reader.read_bits(run)
+                        break
+                    val = 0                      # ZRL: 16 zero-history
+                else:
+                    if size != 1:
+                        raise ValueError("bad refinement magnitude")
+                    val = p1 if reader.read_bits(1) else m1
+                while k <= se:
+                    c = int(vec[k])
+                    if c != 0:
+                        if reader.read_bits(1) and (c & p1) == 0:
+                            vec[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        run -= 1
+                        if run < 0:
+                            break
+                    k += 1
+                if val and k <= se:
+                    vec[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                c = int(vec[k])
+                if c != 0 and reader.read_bits(1) and (c & p1) == 0:
+                    vec[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+
 def _decode_jpeg(data: bytes) -> np.ndarray:
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a jpeg (no SOI)")
@@ -339,7 +684,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, dict] = {}
     sof = None
-    scan_comps = None
+    progressive = False
+    scans: list[tuple] = []
     while i < len(data):
         if data[i] != 0xFF:
             raise ValueError("marker sync lost")
@@ -370,7 +716,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 values = list(body[j + 17:j + 17 + n])
                 htables[tc_th] = _build_decode(bits, values)
                 j += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             depth, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if depth != 8 or nc != 3:
                 raise ValueError("unsupported jpeg (need 8-bit, 3 components)")
@@ -381,67 +728,59 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("unsupported jpeg subset (need 4:4:4)")
                 comps.append((cid, tq))
             sof = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("unsupported jpeg coding process (baseline only)")
+            raise ValueError(
+                "unsupported jpeg coding process (baseline/progressive only)")
         elif marker == 0xDD:  # DRI
             if struct.unpack(">H", body[:2])[0] != 0:
                 raise ValueError("restart markers unsupported")
         elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            scan_comps = [(body[1 + 2 * c], body[2 + 2 * c]) for c in range(ns)]
-            scan_start = i
+            sel = [(body[1 + 2 * c], body[2 + 2 * c]) for c in range(ns)]
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            # resolve tables NOW (they may be redefined between scans)
+            cid_to_idx = {cid: idx for idx, (cid, _) in enumerate(sof[2])}
+            stabs = []
+            for scid, tables in sel:
+                if scid not in cid_to_idx:
+                    raise ValueError("scan references unknown component")
+                stabs.append((cid_to_idx[scid],
+                              htables.get(tables >> 4),
+                              htables.get(0x10 | (tables & 0x0F))))
             # scan runs until next non-stuffed, non-RST marker
             j = i
             while j < len(data) - 1:
                 if data[j] == 0xFF and data[j + 1] not in (0x00,) and not (0xD0 <= data[j + 1] <= 0xD7):
                     break
                 j += 1
-            scan_bytes = data[scan_start:j]
+            scans.append((stabs, ss, se, ahal >> 4, ahal & 0x0F, data[i:j]))
             i = j
         # APPn/COM and anything else: skipped via seglen
 
-    if sof is None or scan_comps is None:
-        raise ValueError("missing SOF0/SOS")
+    if sof is None or not scans:
+        raise ValueError("missing SOF/SOS")
     h, w, comps = sof
     bh, bw = -(-h // 8), -(-w // 8)
     n_blocks = bh * bw
-
-    reader = _BitReader(scan_bytes)
-    preds = [0, 0, 0]
     coefs = [np.zeros((n_blocks, 64), dtype=np.int32) for _ in range(3)]
-    tabs = []
-    for (cid, tq), (scid, tables) in zip(comps, scan_comps):
-        if cid != scid:
-            raise ValueError("scan/frame component order mismatch")
-        dc_t = htables.get(tables >> 4)
-        ac_t = htables.get(0x10 | (tables & 0x0F))
-        if dc_t is None or ac_t is None or tq not in qtables:
-            raise ValueError("missing huffman/quant table")
-        tabs.append((dc_t, ac_t, qtables[tq]))
 
-    for b in range(n_blocks):
-        for ci in range(3):
-            dc_t, ac_t, _ = tabs[ci]
-            vec = coefs[ci][b]
-            size = reader.read_symbol(dc_t)
-            diff = _extend(reader.read_bits(size), size)
-            preds[ci] += diff
-            vec[0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = reader.read_symbol(ac_t)
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflow")
-                vec[k] = _extend(reader.read_bits(size), size)
-                k += 1
+    if progressive:
+        for scan in scans:
+            _decode_progressive_scan(scan, coefs, n_blocks)
+    else:
+        stabs, ss, se, ah, al, scan_bytes = scans[0]
+        if (ss, se, ah, al) != (0, 63, 0, 0) or len(stabs) != 3:
+            raise ValueError("bad baseline scan header")
+        _decode_baseline_scan(stabs, scan_bytes, coefs, n_blocks)
+
+    tabs = []
+    for ci, (cid, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError("missing quant table")
+        tabs.append((None, None, qtables[tq]))
 
     chans = []
     for ci in range(3):

@@ -46,12 +46,57 @@ def test_rejects_non_jpeg():
         decode_jpeg(b"P6\n1 1\n255\nabc")
 
 
-def test_rejects_progressive_sof2():
+def test_rejects_lossless_sof3():
     blob = bytearray(encode_jpeg(_noise(16, 16)))
     i = blob.find(b"\xff\xc0")
-    blob[i + 1] = 0xC2  # masquerade as progressive
-    with pytest.raises(ValueError, match="baseline"):
+    blob[i + 1] = 0xC3  # masquerade as lossless sequential
+    with pytest.raises(ValueError, match="baseline/progressive"):
         decode_jpeg(bytes(blob))
+
+
+# ------------------------------------------------------- progressive ------
+
+
+def _prog_equal(pix, quality=95):
+    from gigaspark.functions.jpeg import encode_jpeg_progressive
+    base = decode_jpeg(encode_jpeg(pix, quality))
+    prog = decode_jpeg(encode_jpeg_progressive(pix, quality))
+    return np.array_equal(base, prog)
+
+
+@pytest.mark.parametrize("shape,quality", [((8, 8), 95), ((16, 24), 95),
+                                           ((33, 41), 90), ((64, 64), 95),
+                                           ((24, 24), 50)])
+def test_progressive_decodes_identical_to_baseline(shape, quality):
+    """SOF2 successive approximation reconstructs the SAME quantized
+    coefficient array as the baseline scan — decode equality is a
+    whole-machinery gate (point transforms, refinement correction bits,
+    new-coefficient insertion, EOBn runs)."""
+    rng = np.random.default_rng(sum(shape) + quality)
+    assert _prog_equal(rng.integers(0, 256, (*shape, 3), dtype=np.uint8),
+                       quality)
+
+
+def test_progressive_long_eob_runs():
+    assert _prog_equal(np.full((80, 80, 3), 130, dtype=np.uint8))
+
+
+def test_progressive_sparse_detail():
+    """Mostly-flat with sparse detail: EOBn runs interleaved with
+    refinement correction bits — the trickiest decode path."""
+    sp = np.full((96, 64, 3), 100, dtype=np.uint8)
+    rng = np.random.default_rng(9)
+    for _ in range(25):
+        y0, x0 = rng.integers(0, 90), rng.integers(0, 60)
+        sp[y0:y0 + 3, x0:x0 + 3] = rng.integers(0, 256, 3)
+    assert _prog_equal(sp, 92)
+
+
+def test_progressive_via_images_dispatch():
+    from gigaspark.functions.images import decode_image, encode_image, psnr_db
+    pix = _noise(24, 32)
+    out = decode_image("jpgp", encode_image("jpgp", pix))
+    assert psnr_db(out, pix) >= 40.0
 
 
 def test_rejects_truncated_scan():
