@@ -1230,12 +1230,13 @@ def q_fetch_validate(spark, sf_dir):
     from gigaspark.functions.phash import dhash64
     from gigaspark.operators.fetch import validate_fetch
 
-    fmts = ("ppm", "png", "qnt", "jpg", "gif", "webp", "webpv", "jpgp")
+    fmts = ("ppm", "png", "qnt", "jpg", "gif", "webp", "webpv", "jpgp",
+            "jpg420")
     img_rows, pi_rows = [], []
-    for i in range(120):
+    for i in range(135):
         rng = np.random.default_rng(2000 + i)
         fmt = fmts[i % len(fmts)]
-        if fmt == "webpv":
+        if fmt in ("webpv", "jpg420"):   # 4:2:0 formats: grey fixtures
             g = rng.integers(0, 256, (12, 12), dtype=np.uint8)
             pix = np.stack([g, g, g], axis=-1)
         else:
@@ -1266,9 +1267,10 @@ def q_fetch_validate(spark, sf_dir):
 SQL_FETCH_VALIDATE = """
 SELECT 'http://h' || (i % 9)::VARCHAR || '.example/p/' || i::VARCHAR AS url,
        'img' || lpad(i::VARCHAR, 4, '0') AS image_id,
-       (['ppm', 'png', 'qnt', 'jpg', 'gif', 'webp', 'webpv', 'jpgp'])[i % 8 + 1] AS fmt,
+       (['ppm', 'png', 'qnt', 'jpg', 'gif', 'webp', 'webpv', 'jpgp',
+         'jpg420'])[i % 9 + 1] AS fmt,
        true AS pixels_ok, true AS caption_ok, true AS phash_ok
-FROM generate_series(0, 119) AS g(i)
+FROM generate_series(0, 134) AS g(i)
 """
 
 

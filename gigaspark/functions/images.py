@@ -158,16 +158,23 @@ def _encode_jpg_progressive(pix: np.ndarray) -> bytes:
     return encode_jpeg_progressive(pix, quality=98)  # match _encode_jpg
 
 
-# "webpv" = lossy VP8 flavor, "jpgp" = progressive SOF2 flavor — both
-# on the ENCODE side only; decode dispatches on the container itself
-# (RIFF chunk id / SOF marker)
+def _encode_jpg_420(pix: np.ndarray) -> bytes:
+    from gigaspark.functions.jpeg import encode_jpeg
+    return encode_jpeg(pix, quality=98, subsample="420")
+
+
+# "webpv" = lossy VP8 flavor, "jpgp" = progressive SOF2 flavor,
+# "jpg420" = baseline with 4:2:0 chroma — all on the ENCODE side only;
+# decode dispatches on the container itself (RIFF chunk id / SOF
+# marker / SOF sampling bytes)
 _ENC = {"ppm": encode_ppm, "png": encode_png, "qnt": encode_qnt,
         "jpg": _encode_jpg, "jpeg": _encode_jpg, "gif": _encode_gif,
         "webp": _encode_webp, "webpv": _encode_webp_lossy,
-        "jpgp": _encode_jpg_progressive}
+        "jpgp": _encode_jpg_progressive, "jpg420": _encode_jpg_420}
 _DEC = {"ppm": decode_ppm, "png": decode_png, "qnt": decode_qnt,
         "jpg": _decode_jpg, "jpeg": _decode_jpg, "gif": _decode_gif,
-        "webp": _decode_webp, "webpv": _decode_webp, "jpgp": _decode_jpg}
+        "webp": _decode_webp, "webpv": _decode_webp, "jpgp": _decode_jpg,
+        "jpg420": _decode_jpg}
 
 
 def encode_image(fmt: str, pix: np.ndarray) -> bytes:

@@ -16,8 +16,10 @@ rejects the rest with ValueError rather than mis-decoding):
     EOBn runs (progressive decode is tested bit-identical to baseline
     decode of the same quantized coefficients)
   * 8-bit, 3 components, YCbCr (JFIF)
-  * 4:4:4 (no chroma subsampling — keeps the PSNR≥40dB invariant honest
-    on noise fixtures and the MCU loop simple)
+  * 4:4:4, 4:2:2, AND 4:2:0 chroma (sampling factors 1-2: MCU
+    interleave order, per-component MCU-padded coefficient grids,
+    non-interleaved progressive scans over the subsampled grids,
+    box-average downsample / nearest upsample)
   * no restart markers, no arithmetic coding, no 12-bit
 
 All pixel/DCT/quant math is whole-array numpy; only the entropy coder
@@ -156,6 +158,39 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+def _geometry(h: int, w: int, samp) -> dict:
+    """Sampling-factor geometry (T.81 A.1.1/A.2.4).
+
+    For each component (h_i, v_i): its scaled dims (cw, ch), its
+    non-padded block grid (bw, bh) used by non-interleaved scans, and
+    its MCU-padded grid (bwp, bhp) that the coefficient arrays use.
+    """
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    comps = []
+    for hi, vi in samp:
+        cw, ch = -(-(w * hi) // hmax), -(-(h * vi) // vmax)
+        comps.append({"hi": hi, "vi": vi, "cw": cw, "ch": ch,
+                      "bw": -(-cw // 8), "bh": -(-ch // 8),
+                      "bwp": mcux * hi, "bhp": mcuy * vi})
+    return {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+            "comps": comps}
+
+
+def _subsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """Box-average downsample by integer factors (edge-replicated)."""
+    if fh == 1 and fv == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = -(-h // fv) * fv, -(-w // fh) * fh
+    p = np.empty((ph, pw), dtype=np.float64)
+    p[:h, :w] = plane
+    p[h:, :w] = plane[h - 1:h, :]
+    p[:, w:] = p[:, w - 1:w]
+    return p.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
+
+
 def _blockify(chan: np.ndarray) -> tuple[np.ndarray, int, int]:
     """Edge-pad to multiples of 8 and return (n_blocks, 8, 8) row-major."""
     h, w = chan.shape
@@ -163,6 +198,61 @@ def _blockify(chan: np.ndarray) -> tuple[np.ndarray, int, int]:
     padded = np.pad(chan, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
     blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     return blocks, bh, bw
+
+
+def _blockify_grid(chan: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-pad to a GIVEN block grid (the MCU-padded one) and return
+    (bh*bw, 8, 8) row-major."""
+    h, w = chan.shape
+    padded = np.pad(chan, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    return padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+
+
+_SAMP = {"444": ((1, 1), (1, 1), (1, 1)),
+         "422": ((2, 1), (1, 1), (1, 1)),
+         "420": ((2, 2), (1, 1), (1, 1))}
+
+
+def _quantized_comp_vecs(pix: np.ndarray, quality: int, samp):
+    """RGB → per-component zigzag quantized coefficient arrays over the
+    MCU-padded block grids, plus the geometry and quant tables."""
+    h, w, _ = pix.shape
+    geom = _geometry(h, w, samp)
+    qy = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    ycc = _rgb_to_ycbcr(pix)
+    vecs = []
+    for ci, g in enumerate(geom["comps"]):
+        plane = _subsample(ycc[..., ci], geom["hmax"] // g["hi"],
+                           geom["vmax"] // g["vi"]) - 128.0
+        blocks = _blockify_grid(plane, g["bhp"], g["bwp"])
+        coef = _DCT_C @ blocks @ _DCT_C.T
+        q = qy if ci == 0 else qc
+        vecs.append(np.round(coef / q[None, :, :]).astype(np.int32)
+                    .reshape(-1, 64)[:, ZIGZAG])
+    return vecs, geom, qy, qc
+
+
+def _mcu_block_order(geom):
+    """Interleaved-scan block indices: per MCU, per component, its
+    v_i x h_i blocks (T.81 A.2.3)."""
+    order = []
+    for my in range(geom["mcuy"]):
+        for mx in range(geom["mcux"]):
+            for ci, g in enumerate(geom["comps"]):
+                for v in range(g["vi"]):
+                    for hh in range(g["hi"]):
+                        order.append(
+                            (ci, (my * g["vi"] + v) * g["bwp"]
+                             + mx * g["hi"] + hh))
+    return order
+
+
+def _raster_block_order(g):
+    """Non-interleaved scan block indices: the component's NON-padded
+    grid in raster order, indexed into its padded array."""
+    return [by * g["bwp"] + bx
+            for by in range(g["bh"]) for bx in range(g["bw"])]
 
 
 class _BitWriter:
@@ -235,29 +325,28 @@ def _encode_block(writer, vec, dc_codes, ac_codes, pred):
     return dc
 
 
-def encode_jpeg(pix: np.ndarray, quality: int = 95) -> bytes:
-    """RGB uint8 (h, w, 3) → baseline JFIF bytes (4:4:4, Annex K tables)."""
-    h, w, _ = pix.shape
-    qy = _scaled_quant(QUANT_LUMA, quality)
-    qc = _scaled_quant(QUANT_CHROMA, quality)
-    ycc = _rgb_to_ycbcr(pix)
-
-    comp_vecs = []
-    for ci in range(3):
-        blocks, _, _ = _blockify(ycc[..., ci] - 128.0)
-        coef = _DCT_C @ blocks @ _DCT_C.T
-        q = qy if ci == 0 else qc
-        quant = np.round(coef / q[None, :, :]).astype(np.int32)
-        comp_vecs.append(quant.reshape(-1, 64)[:, ZIGZAG])
-
+def _jfif_header(h, w, qy, qc, samp, sof_marker: bytes) -> bytearray:
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tid, q in ((0, qy), (1, qc)):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(q.reshape(64)[ZIGZAG].astype(np.uint8).tolist())
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += struct.pack("BBB", cid, 0x11, tq)  # 1x1 sampling
+    out += sof_marker + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for ci, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        hi, vi = samp[ci]
+        out += struct.pack("BBB", cid, (hi << 4) | vi, tq)
+    return out
+
+
+def encode_jpeg(pix: np.ndarray, quality: int = 95,
+                subsample: str = "444") -> bytes:
+    """RGB uint8 (h, w, 3) → baseline JFIF bytes (Annex K tables;
+    subsample: '444', '422', or '420' chroma)."""
+    h, w, _ = pix.shape
+    samp = _SAMP[subsample]
+    comp_vecs, geom, qy, qc = _quantized_comp_vecs(pix, quality, samp)
+
+    out = _jfif_header(h, w, qy, qc, samp, b"\xff\xc0")
     for tc_th, (bits, values) in ((0x00, DC_LUMA), (0x01, DC_CHROMA),
                                   (0x10, AC_LUMA), (0x11, AC_CHROMA)):
         body = bytes([tc_th]) + bytes(bits) + bytes(values)
@@ -271,12 +360,10 @@ def encode_jpeg(pix: np.ndarray, quality: int = 95) -> bytes:
     dc_c, ac_c = _build_codes(*DC_CHROMA), _build_codes(*AC_CHROMA)
     writer = _BitWriter()
     preds = [0, 0, 0]
-    n_blocks = comp_vecs[0].shape[0]
-    for b in range(n_blocks):  # interleaved MCU = 1 block per component
-        for ci in range(3):
-            dc_t, ac_t = (dc_y, ac_y) if ci == 0 else (dc_c, ac_c)
-            preds[ci] = _encode_block(
-                writer, comp_vecs[ci][b], dc_t, ac_t, preds[ci])
+    for ci, b in _mcu_block_order(geom):
+        dc_t, ac_t = (dc_y, ac_y) if ci == 0 else (dc_c, ac_c)
+        preds[ci] = _encode_block(
+            writer, comp_vecs[ci][b], dc_t, ac_t, preds[ci])
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -422,35 +509,22 @@ _PROG_SCRIPT = (
 )
 
 
-def encode_jpeg_progressive(pix: np.ndarray, quality: int = 95) -> bytes:
+def encode_jpeg_progressive(pix: np.ndarray, quality: int = 95,
+                            subsample: str = "444") -> bytes:
     """RGB uint8 (h, w, 3) → progressive (SOF2) JFIF bytes.
 
-    Same 4:4:4 / Annex K subset as the baseline encoder; successive
-    approximation with one refinement pass for DC and every AC band —
-    so a decoder must implement the full T.81 G.1.2 machinery (point
-    transforms, correction bits, new-coefficient insertion) to read it.
+    Same Annex K subset as the baseline encoder (subsample '444'/'422'/
+    '420'); successive approximation with one refinement pass for DC
+    and every AC band — so a decoder must implement the full T.81 G.1.2
+    machinery (point transforms, correction bits, new-coefficient
+    insertion, EOBn runs) to read it.
     """
     h, w, _ = pix.shape
-    qy = _scaled_quant(QUANT_LUMA, quality)
-    qc = _scaled_quant(QUANT_CHROMA, quality)
-    ycc = _rgb_to_ycbcr(pix)
-    comp_vecs = []
-    for ci in range(3):
-        blocks, _, _ = _blockify(ycc[..., ci] - 128.0)
-        coef = _DCT_C @ blocks @ _DCT_C.T
-        q = qy if ci == 0 else qc
-        quant = np.round(coef / q[None, :, :]).astype(np.int32)
-        comp_vecs.append(quant.reshape(-1, 64)[:, ZIGZAG])
-    n_blocks = comp_vecs[0].shape[0]
+    samp = _SAMP[subsample]
+    comp_vecs, geom, qy, qc = _quantized_comp_vecs(pix, quality, samp)
+    mcu_order = _mcu_block_order(geom)
 
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for tid, q in ((0, qy), (1, qc)):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
-        out += bytes(q.reshape(64)[ZIGZAG].astype(np.uint8).tolist())
-    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)   # SOF2
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += struct.pack("BBB", cid, 0x11, tq)
+    out = _jfif_header(h, w, qy, qc, samp, b"\xff\xc2")   # SOF2
     for tc_th, (bits, values) in ((0x00, DC_LUMA), (0x01, DC_CHROMA),
                                   (0x10, _PROG_AC_TABLE),
                                   (0x11, _PROG_AC_TABLE)):
@@ -473,22 +547,26 @@ def encode_jpeg_progressive(pix: np.ndarray, quality: int = 95) -> bytes:
         writer = _BitWriter()
         if kind == "dc_first":
             preds = [0, 0, 0]
-            for b in range(n_blocks):
-                for ci in range(3):
-                    t = int(comp_vecs[ci][b, 0]) >> al
-                    size, bits = _magnitude(t - preds[ci])
-                    writer.write_pairs([dc_codes[ci][size]]
-                                       + ([(bits, size)] if size else []))
-                    preds[ci] = t
+            for ci, b in mcu_order:
+                t = int(comp_vecs[ci][b, 0]) >> al
+                size, bits = _magnitude(t - preds[ci])
+                writer.write_pairs([dc_codes[ci][size]]
+                                   + ([(bits, size)] if size else []))
+                preds[ci] = t
         elif kind == "dc_refine":
-            for b in range(n_blocks):
-                for ci in range(3):
-                    writer.write_pairs(
-                        [((int(comp_vecs[ci][b, 0]) >> al) & 1, 1)])
-        elif kind == "ac_first":
-            _enc_ac_first(writer, comp_vecs[comp], ac_codes[comp], ss, se, al)
+            writer.write_pairs(
+                [((int(comp_vecs[ci][b, 0]) >> al) & 1, 1)
+                 for ci, b in mcu_order])
         else:
-            _enc_ac_refine(writer, comp_vecs[comp], ac_codes[comp], ss, se, al)
+            # AC scans are non-interleaved: the component's non-padded
+            # grid in raster order (padded blocks keep zero AC — they
+            # are cropped away after the IDCT)
+            idx = _raster_block_order(geom["comps"][comp])
+            vecs = comp_vecs[comp][idx]
+            if kind == "ac_first":
+                _enc_ac_first(writer, vecs, ac_codes[comp], ss, se, al)
+            else:
+                _enc_ac_refine(writer, vecs, ac_codes[comp], ss, se, al)
         out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
@@ -550,59 +628,74 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError(f"jpeg: truncated/corrupt ({e})") from e
 
 
-def _decode_baseline_scan(stabs, scan_bytes, coefs, n_blocks):
-    """One interleaved full-band scan (SOF0)."""
+def _decode_baseline_scan(stabs, scan_bytes, coefs, geom):
+    """One interleaved full-band scan (SOF0), MCU order per sampling
+    factors (T.81 A.2.3)."""
     reader = _BitReader(scan_bytes)
     preds = [0, 0, 0]
-    for ci, dc_t, ac_t in stabs:
+    tabs = {}
+    for pos, (ci, dc_t, ac_t) in enumerate(stabs):
         if dc_t is None or ac_t is None:
             raise ValueError("missing huffman table")
-    for b in range(n_blocks):
-        for ci, dc_t, ac_t in stabs:
-            vec = coefs[ci][b]
-            size = reader.read_symbol(dc_t)
-            diff = _extend(reader.read_bits(size), size)
-            preds[ci] += diff
-            vec[0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = reader.read_symbol(ac_t)
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflow")
-                vec[k] = _extend(reader.read_bits(size), size)
-                k += 1
+        if ci != pos:
+            raise ValueError("scan/frame component order mismatch")
+        tabs[ci] = (dc_t, ac_t)
+    for ci, b in _mcu_block_order(geom):
+        dc_t, ac_t = tabs[ci]
+        vec = coefs[ci][b]
+        size = reader.read_symbol(dc_t)
+        diff = _extend(reader.read_bits(size), size)
+        preds[ci] += diff
+        vec[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = reader.read_symbol(ac_t)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run overflow")
+            vec[k] = _extend(reader.read_bits(size), size)
+            k += 1
 
 
-def _decode_progressive_scan(scan, coefs, n_blocks):
-    """One SOF2 scan: DC first/refine (interleaved) or AC first/refine
-    (single component, T.81 G.1.2 / the libjpeg-compatible successive
-    approximation algorithm incl. EOB runs and correction bits)."""
+def _decode_progressive_scan(scan, coefs, geom):
+    """One SOF2 scan: DC first/refine (interleaved MCU order, or raster
+    when non-interleaved) or AC first/refine (single component, T.81
+    G.1.2 / the libjpeg-compatible successive approximation algorithm
+    incl. EOB runs and correction bits)."""
     stabs, ss, se, ah, al, scan_bytes = scan
     reader = _BitReader(scan_bytes)
     if ss == 0:                                  # ---- DC scan ----
         if se != 0:
             raise ValueError("progressive DC scan must have Se=0")
+        if len(stabs) > 1:                       # interleaved MCU order
+            pos = {ci: n for n, (ci, _, _) in enumerate(stabs)}
+            order = [(ci, b) for ci, b in _mcu_block_order(geom)
+                     if ci in pos]
+            dcts = {ci: dc_t for ci, dc_t, _ in stabs}
+        else:                                    # non-interleaved raster
+            ci0, dc_t0, _ = stabs[0]
+            order = [(ci0, b)
+                     for b in _raster_block_order(geom["comps"][ci0])]
+            dcts = {ci0: dc_t0}
         if ah == 0:                              # first pass
             preds = [0, 0, 0]
-            for b in range(n_blocks):
-                for ci, dc_t, _ in stabs:
-                    if dc_t is None:
-                        raise ValueError("missing DC huffman table")
-                    size = reader.read_symbol(dc_t)
-                    preds[ci] += _extend(reader.read_bits(size), size)
-                    coefs[ci][b, 0] = preds[ci] << al
+            for ci, b in order:
+                dc_t = dcts[ci]
+                if dc_t is None:
+                    raise ValueError("missing DC huffman table")
+                size = reader.read_symbol(dc_t)
+                preds[ci] += _extend(reader.read_bits(size), size)
+                coefs[ci][b, 0] = preds[ci] << al
         else:                                    # refinement: 1 bit/block
-            for b in range(n_blocks):
-                for ci, _, _ in stabs:
-                    if reader.read_bits(1):
-                        coefs[ci][b, 0] |= 1 << al
+            for ci, b in order:
+                if reader.read_bits(1):
+                    coefs[ci][b, 0] |= 1 << al
         return
     # ---- AC scan: single component, coefficients in ZIGZAG order ----
     if len(stabs) != 1:
@@ -611,9 +704,10 @@ def _decode_progressive_scan(scan, coefs, n_blocks):
     if ac_t is None:
         raise ValueError("missing AC huffman table")
     vecs = coefs[ci]          # zigzag-ordered, same as the scan index k
+    block_order = _raster_block_order(geom["comps"][ci])
     eobrun = 0
     if ah == 0:                                  # first pass at this Al
-        for b in range(n_blocks):
+        for b in block_order:
             if eobrun > 0:
                 eobrun -= 1
                 continue
@@ -637,7 +731,7 @@ def _decode_progressive_scan(scan, coefs, n_blocks):
         return
     # refinement pass (Ah = Al+1): correction bits + new +-1<<Al values
     p1, m1 = 1 << al, -1 << al
-    for b in range(n_blocks):
+    for b in block_order:
         vec = vecs[b]
         k = ss
         if eobrun == 0:
@@ -724,9 +818,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                if hv != 0x11:
-                    raise ValueError("unsupported jpeg subset (need 4:4:4)")
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(
+                        "unsupported sampling factors (1-2 only)")
+                comps.append((cid, hi, vi, tq))
             sof = (h, w, comps)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -742,7 +838,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             sel = [(body[1 + 2 * c], body[2 + 2 * c]) for c in range(ns)]
             ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
             # resolve tables NOW (they may be redefined between scans)
-            cid_to_idx = {cid: idx for idx, (cid, _) in enumerate(sof[2])}
+            cid_to_idx = {c[0]: idx for idx, c in enumerate(sof[2])}
             stabs = []
             for scid, tables in sel:
                 if scid not in cid_to_idx:
@@ -763,31 +859,33 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     if sof is None or not scans:
         raise ValueError("missing SOF/SOS")
     h, w, comps = sof
-    bh, bw = -(-h // 8), -(-w // 8)
-    n_blocks = bh * bw
-    coefs = [np.zeros((n_blocks, 64), dtype=np.int32) for _ in range(3)]
+    geom = _geometry(h, w, [(hi, vi) for _, hi, vi, _ in comps])
+    coefs = [np.zeros((g["bhp"] * g["bwp"], 64), dtype=np.int32)
+             for g in geom["comps"]]
 
     if progressive:
         for scan in scans:
-            _decode_progressive_scan(scan, coefs, n_blocks)
+            _decode_progressive_scan(scan, coefs, geom)
     else:
         stabs, ss, se, ah, al, scan_bytes = scans[0]
         if (ss, se, ah, al) != (0, 63, 0, 0) or len(stabs) != 3:
             raise ValueError("bad baseline scan header")
-        _decode_baseline_scan(stabs, scan_bytes, coefs, n_blocks)
-
-    tabs = []
-    for ci, (cid, tq) in enumerate(comps):
-        if tq not in qtables:
-            raise ValueError("missing quant table")
-        tabs.append((None, None, qtables[tq]))
+        _decode_baseline_scan(stabs, scan_bytes, coefs, geom)
 
     chans = []
-    for ci in range(3):
-        _, _, q = tabs[ci]
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError("missing quant table")
+        q = qtables[tq]
+        g = geom["comps"][ci]
         blocks = coefs[ci][:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
         blocks *= q[None, :, :]
         spat = _DCT_C.T @ blocks @ _DCT_C + 128.0
-        grid = spat.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        grid = (spat.reshape(g["bhp"], g["bwp"], 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(g["bhp"] * 8, g["bwp"] * 8))[:g["ch"], :g["cw"]]
+        fy, fx = geom["vmax"] // vi, geom["hmax"] // hi
+        if fy > 1 or fx > 1:
+            grid = np.repeat(np.repeat(grid, fy, axis=0), fx, axis=1)
         chans.append(grid[:h, :w])
     return _ycbcr_to_rgb(np.stack(chans, axis=-1))

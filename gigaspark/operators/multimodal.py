@@ -74,7 +74,7 @@ def decode_stub(fmt: str, data: bytes) -> np.ndarray:
     module's header).  "webpv" selects the lossy flavor on the encode
     side only.
     """
-    if fmt in FORMATS or fmt in ("jpeg", "jpgp", "gif", "webp", "webpv"):
+    if fmt in FORMATS or fmt in ("jpeg", "jpgp", "jpg420", "gif", "webp", "webpv"):
         return decode_image(fmt, data)
     raise ValueError(f"unknown image format {fmt!r}")
 

@@ -92,6 +92,35 @@ def test_progressive_sparse_detail():
     assert _prog_equal(sp, 92)
 
 
+@pytest.mark.parametrize("sub", ["420", "422"])
+@pytest.mark.parametrize("shape", [(16, 16), (24, 40), (33, 41), (17, 15),
+                                   (8, 8)])
+def test_subsampled_prog_equals_baseline(sub, shape):
+    """4:2:0 / 4:2:2: MCU interleave order, per-component padded grids,
+    and non-interleaved progressive scans over the subsampled grids all
+    agree — progressive decode == baseline decode, and grey fixtures
+    (chroma flat → subsampling lossless) clear the PSNR gate."""
+    from gigaspark.functions.jpeg import encode_jpeg_progressive
+    rng = np.random.default_rng(sum(shape))
+    g = rng.integers(0, 256, shape, dtype=np.uint8)
+    pix = np.stack([g, g, g], axis=-1)
+    base = decode_jpeg(encode_jpeg(pix, 95, subsample=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(pix, 95, subsample=sub))
+    assert np.array_equal(base, prog)
+    assert psnr_db(base, pix) >= 38.0
+
+
+def test_420_colorful_gradient():
+    from gigaspark.functions.jpeg import encode_jpeg_progressive
+    yy, xx = np.mgrid[0:48, 0:56]
+    img = np.stack([xx * 255 / 55, yy * 255 / 47,
+                    (xx + yy) * 255 / 102], axis=-1).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, 95, subsample="420"))
+    prog = decode_jpeg(encode_jpeg_progressive(img, 95, subsample="420"))
+    assert np.array_equal(base, prog)
+    assert psnr_db(base, img) >= 40.0
+
+
 def test_progressive_via_images_dispatch():
     from gigaspark.functions.images import decode_image, encode_image, psnr_db
     pix = _noise(24, 32)
@@ -105,15 +134,16 @@ def test_rejects_truncated_scan():
         decode_jpeg(blob[: len(blob) // 2])
 
 
-def test_rejects_subsampled_sof():
-    # hand-patch the SOF0 sampling byte of component 1 to 2x2 (4:2:0)
+def test_rejects_oversized_sampling_factor():
+    # sampling factors 1-2 are supported; 4 is not — must raise, not
+    # mis-decode
     blob = bytearray(encode_jpeg(_noise(16, 16)))
     i = blob.find(b"\xff\xc0")
     # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) then [cid, hv, tq]*3
     hv_off = i + 2 + 2 + 1 + 2 + 2 + 1 + 1
     assert blob[hv_off] == 0x11
-    blob[hv_off] = 0x22
-    with pytest.raises(ValueError, match="4:4:4"):
+    blob[hv_off] = 0x44
+    with pytest.raises(ValueError, match="sampling"):
         decode_jpeg(bytes(blob))
 
 
