@@ -1827,10 +1827,12 @@ def q_image_neardup(spark, sf_dir):
 
 def q_audio_features(spark, sf_dir):
     """Audio feature extraction over deterministically synthesized WAV
-    clips (pure-python RIFF/PCM codec) — duration/rms/peak/zcr via one
-    mapInPandas pass; rows-only driver check (PCM decode isn't SQL)."""
+    AND FLAC clips (pure-python RIFF/PCM + spec-exact FLAC codecs) —
+    duration/rms/peak/zcr via one mapInPandas pass; rows-only driver
+    check (PCM decode isn't SQL)."""
     import numpy as np
 
+    from gigaspark.functions.flac import encode_flac
     from gigaspark.functions.wav import encode_wav
     from gigaspark.operators.multimodal import audio_features
 
@@ -1841,9 +1843,15 @@ def q_audio_features(spark, sf_dir):
         sig = 0.5 * np.sin(2 * np.pi * (110 * (1 + i % 8)) * t)
         if i % 5 == 0:  # stereo variant
             sig = np.stack([sig, sig * 0.25], axis=1)
+        if i % 4 == 0:  # lossless-compressed variant (mid/side when stereo)
+            stereo = "mid_side" if sig.ndim == 2 else "independent"
+            blob = encode_flac(sig, rate, stereo=stereo)
+            rows.append((f"clip{i:03d}", bytearray(blob), "flac"))
+            continue
         blob = encode_wav(sig, rate, bits=8 if i % 7 == 0 else 16)
         rows.append((f"clip{i:03d}", bytearray(blob), "wav"))
     rows.append(("badclip", bytearray(b"RIFFxxxxWAVE"), "wav"))
+    rows.append(("badflac", bytearray(b"fLaCxxxx"), "flac"))
     rows.append(("mp3clip", bytearray(b"ID3\x03"), "mp3"))
     audio = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
     return audio_features(audio).orderBy("audio_id")

@@ -201,11 +201,14 @@ def audio_features(audio: DataFrame) -> DataFrame:
     """(audio_id, bytes, fmt) → per-clip audio statistics.
 
     REAL for fmt='wav' (the pure-python RIFF/WAVE PCM codec in
-    functions/wav.py); compressed codecs (mp3/ogg/aac — no codec libs
-    in this container) surface as decode_ok=false, same error channel
-    as image decode.  zcr = zero-crossing rate per sample on the
-    channel-mean signal; rms/peak over all channels.
+    functions/wav.py) AND fmt='flac' (the spec-exact lossless codec in
+    functions/flac.py — fixed/LPC prediction, Rice coding, mid/side);
+    lossy codecs (mp3/ogg/aac — no codec libs in this container)
+    surface as decode_ok=false, same error channel as image decode.
+    zcr = zero-crossing rate per sample on the channel-mean signal;
+    rms/peak over all channels.
     """
+    from gigaspark.functions.flac import decode_flac
     from gigaspark.functions.wav import decode_wav
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -215,9 +218,12 @@ def audio_features(audio: DataFrame) -> DataFrame:
                 row = dict.fromkeys(out, None)
                 row["audio_id"], row["fmt"], row["decode_ok"] = aid, fmt, False
                 try:
-                    if fmt != "wav":
+                    if fmt == "wav":
+                        samples, rate = decode_wav(bytes(blob))
+                    elif fmt == "flac":
+                        samples, rate = decode_flac(bytes(blob))
+                    else:
                         raise NotImplementedError(f"no {fmt!r} codec in sandbox")
-                    samples, rate = decode_wav(bytes(blob))
                     mono = samples.mean(axis=1)
                     row.update(
                         decode_ok=True, sample_rate=rate,
