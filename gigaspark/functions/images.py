@@ -67,39 +67,16 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
 
 
 def encode_png(pix: np.ndarray) -> bytes:
-    h, w, _ = pix.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, truecolor RGB
-    rows = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), pix.reshape(h, w * 3)], axis=1
-    )  # filter byte 0 per scanline
-    idat = zlib.compress(rows.tobytes(), 6)
-    return _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
+    """Full PNG codec lives in functions/png.py (all five filters,
+    color types 0/2/3/4/6, depths 1-16, tRNS, Adam7); this wrapper
+    keeps the original adaptive truecolor default."""
+    from gigaspark.functions.png import encode_png as _enc
+    return _enc(pix)
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    if not data.startswith(_PNG_SIG):
-        raise ValueError("not a png")
-    i = 8
-    w = h = None
-    idat = b""
-    while i < len(data):
-        (ln,) = struct.unpack(">I", data[i : i + 4])
-        tag = data[i + 4 : i + 8]
-        body = data[i + 8 : i + 8 + ln]
-        if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
-            if depth != 8 or ctype != 2:
-                raise ValueError("unsupported png subset")
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-        i += 12 + ln
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
-    filters = raw[:, 0]
-    if not (filters == 0).all():
-        raise ValueError("unsupported png filter (encoder subset emits 0 only)")
-    return raw[:, 1:].reshape(h, w, 3).copy()
+    from gigaspark.functions.png import decode_png as _dec
+    return _dec(data)
 
 
 # --- QNT (lossy 6-bit quantized) ---------------------------------------------
