@@ -1859,12 +1859,15 @@ def q_audio_features(spark, sf_dir):
 
 def q_video_frames(spark, sf_dir):
     """Video frame sampling over deterministically synthesized AVI/MJPEG
-    clips (RIFF container + the pure-numpy baseline-JPEG codec): every
-    5th frame re-emitted as a standalone JPEG row that downstream image
-    ops consume unchanged.  Rows-only driver check."""
+    clips (RIFF container + the pure-numpy baseline-JPEG codec) AND
+    animated GIFs (GIF89a animation model — delta rects, transparency,
+    disposal; frames re-emitted as lossless PNG): every 5th frame
+    becomes a standalone image row that downstream image ops consume
+    unchanged.  Rows-only driver check."""
     import numpy as np
 
     from gigaspark.functions.avi import encode_avi_mjpeg
+    from gigaspark.functions.gif import encode_gif_anim
     from gigaspark.operators.multimodal import extract_features, frame_sample
 
     rows = []
@@ -1878,7 +1881,18 @@ def q_video_frames(spark, sf_dir):
             frames.append(pix)
         rows.append((f"vid{v:02d}", bytearray(encode_avi_mjpeg(frames, fps=10)),
                      "avi-mjpg"))
+    for v in range(4):   # animated-GIF clips: moving block on flat bg
+        base = np.full((16, 24, 3), 32 + v, dtype=np.uint8)
+        frames = []
+        for f in range(8):
+            g = base.copy()
+            g[2 + f:8 + f, 2 + 2 * f:8 + 2 * f] = [200, (16 * v) % 256, 99]
+            frames.append(g)
+        rows.append((f"gif{v:02d}",
+                     bytearray(encode_gif_anim(frames, optimize_rects=v % 2 == 1)),
+                     "gif-anim"))
     rows.append(("badvid", bytearray(b"RIFF\x00\x00\x00\x00AVI "), "avi-mjpg"))
+    rows.append(("badgif", bytearray(b"GIF89a\x01"), "gif-anim"))
     rows.append(("mp4vid", bytearray(b"\x00\x00\x00 ftypmp42"), "mp4"))
     videos = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
     sampled = frame_sample(videos, every_n=5)

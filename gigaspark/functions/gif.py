@@ -171,28 +171,53 @@ _DEINTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
 def decode_gif(data: bytes) -> np.ndarray:
-    """First frame of a GIF → (h, w, 3) uint8 RGB."""
+    """First frame of a GIF → (h, w, 3) uint8 RGB (full logical-screen
+    canvas; a sub-rectangle first frame composes over the background)."""
+    return decode_gif_frames(data, max_frames=1)[0]
+
+
+def decode_gif_frames(data: bytes, max_frames: int | None = None
+                      ) -> list[np.ndarray]:
+    """ALL frames of a (possibly animated) GIF, composed per the GIF89a
+    animation model: each frame renders its (ix, iy, iw, ih)
+    sub-rectangle onto the logical-screen canvas; Graphic Control
+    transparency leaves underlying canvas pixels; disposal methods
+    0/1 (leave), 2 (restore to background color), 3 (restore to
+    previous canvas) prepare the canvas for the next frame.  Returns
+    full-canvas RGB snapshots, one per frame."""
     try:
-        return _decode_gif(data)
+        return _decode_gif_frames(data, max_frames)
     except (struct.error, IndexError) as e:  # truncated container
         raise ValueError(f"gif: truncated/corrupt ({e})") from e
 
 
-def _decode_gif(data: bytes) -> np.ndarray:
+def _decode_gif_frames(data: bytes, max_frames: int | None
+                       ) -> list[np.ndarray]:
     if len(data) < 13 or data[:6] not in _GIF_SIGS:
         raise ValueError("not gif")
-    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         gct = np.frombuffer(data[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
+    bgcolor = (gct[bg] if gct is not None and bg < len(gct)
+               else np.array([255, 255, 255], dtype=np.uint8))
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bgcolor
+    frames: list[np.ndarray] = []
+    gce: tuple[int, int | None] | None = None   # (disposal, transparent idx)
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:  # trailer
             break
-        if b == 0x21:  # extension: label + sub-blocks, all skippable
+        if b == 0x21:  # extension: label + sub-blocks
+            if pos + 1 < len(data) and data[pos + 1] == 0xF9 \
+                    and pos + 7 <= len(data) and data[pos + 2] >= 4:
+                packed, _delay, tidx = struct.unpack(
+                    "<BHB", data[pos + 3:pos + 7])
+                gce = ((packed >> 2) & 0x07, tidx if packed & 1 else None)
             pos += 2
             while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
@@ -201,7 +226,9 @@ def _decode_gif(data: bytes) -> np.ndarray:
         if b != 0x2C:
             raise ValueError(f"gif: unexpected block 0x{b:02x}")
         # image descriptor
-        _ix, _iy, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1:pos + 10])
+        ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1:pos + 10])
+        if ix + iw > sw or iy + ih > sh or iw == 0 or ih == 0:
+            raise ValueError("gif: frame rect outside logical screen")
         pos += 10
         ct = gct
         if iflags & 0x80:
@@ -231,8 +258,26 @@ def _decode_gif(data: bytes) -> np.ndarray:
             idx = idx.reshape(ih, iw)[rows]
         else:
             idx = idx.reshape(ih, iw)
-        return ct[idx]
-    raise ValueError("gif: no image frame")
+        disposal, tidx = gce or (0, None)
+        gce = None
+        saved = canvas.copy() if disposal == 3 else None
+        rgb = ct[idx]
+        region = canvas[iy:iy + ih, ix:ix + iw]
+        if tidx is not None:
+            mask = idx != tidx
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[iy:iy + ih, ix:ix + iw] = bgcolor
+        elif disposal == 3:
+            canvas = saved
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+    if not frames:
+        raise ValueError("gif: no image frame")
+    return frames
 
 
 def palette_quantize(pix: np.ndarray) -> np.ndarray:
@@ -245,6 +290,80 @@ def palette_quantize(pix: np.ndarray) -> np.ndarray:
     b = (p[..., 2] >> 6) << 6
     return np.stack([(r + 16).clip(0, 255), (g + 16).clip(0, 255),
                      (b + 32).clip(0, 255)], axis=-1).astype(np.uint8)
+
+
+def _emit_lzw(out: bytearray, indices: np.ndarray,
+              min_code_size: int) -> None:
+    out.append(min_code_size)
+    lzw = _lzw_encode(indices, min_code_size)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+
+
+def encode_gif_anim(frames: list[np.ndarray], delay_cs: int = 10,
+                    optimize_rects: bool = False, loop: int = 0) -> bytes:
+    """Full-canvas RGB frames → animated GIF89a (lossless).
+
+    One global palette over the union of frame colors (<=255 so a
+    transparent slot fits); NETSCAPE2.0 loop extension; per-frame
+    Graphic Control (disposal 1 = leave in place).  With
+    optimize_rects, each frame after the first encodes only the
+    bounding box of changed pixels, and unchanged pixels INSIDE that
+    box use the reserved transparent index — the standard animation
+    delta encoding, exercising the decoder's sub-rectangle +
+    transparency composition."""
+    if not frames:
+        raise ValueError("gif: no frames")
+    h, w, _ = frames[0].shape
+    allpix = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors, inv = np.unique(allpix, axis=0, return_inverse=True)
+    if len(colors) > 255:
+        raise ValueError(f"gif: {len(colors)} colors > 255 — quantize first")
+    tidx = len(colors)                 # reserved transparent slot
+    bits = max(1, int(np.ceil(np.log2(max(tidx + 1, 2)))))
+    n = 1 << bits
+    table = np.zeros((n, 3), dtype=np.uint8)
+    table[:len(colors)] = colors
+    min_code_size = max(2, bits)
+    per_frame = [inv[i * h * w:(i + 1) * h * w].reshape(h, w).astype(np.uint8)
+                 for i in range(len(frames))]
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += table.tobytes()
+    out += (b"\x21\xFF\x0bNETSCAPE2.0\x03\x01"
+            + struct.pack("<H", loop) + b"\x00")
+    prev = None
+    for fi, idx in enumerate(per_frame):
+        use_rect = optimize_rects and prev is not None
+        if use_rect:
+            diff = idx != prev
+            if diff.any():
+                ys, xs = np.nonzero(diff)
+                iy, ix = int(ys.min()), int(xs.min())
+                ih, iw = int(ys.max()) - iy + 1, int(xs.max()) - ix + 1
+            else:
+                iy = ix = 0
+                ih = iw = 1
+            sub = idx[iy:iy + ih, ix:ix + iw].copy()
+            sub[~diff[iy:iy + ih, ix:ix + iw]] = tidx
+            transparent = True
+        else:
+            iy = ix = 0
+            ih, iw = h, w
+            sub = idx
+            transparent = False
+        packed = (1 << 2) | (1 if transparent else 0)   # disposal 1
+        out += b"\x21\xF9\x04" + struct.pack(
+            "<BHB", packed, delay_cs, tidx if transparent else 0) + b"\x00"
+        out += b"\x2C" + struct.pack("<HHHHB", ix, iy, iw, ih, 0)
+        _emit_lzw(out, sub.reshape(-1), min_code_size)
+        prev = idx
+    out += b"\x3B"
+    return bytes(out)
 
 
 def encode_gif(pix: np.ndarray) -> bytes:

@@ -254,32 +254,43 @@ FRAME_SCHEMA = T.StructType([
 
 def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling — REAL for fmt='avi-mjpg' (RIFF/AVI parse in
-    functions/avi.py; each sampled frame is a standalone baseline JPEG
-    that flows straight into the image ops above).
+    functions/avi.py; each sampled frame is a standalone baseline JPEG)
+    AND fmt='gif-anim' (the GIF89a animation model in functions/gif.py:
+    sub-rectangle composition, transparency, disposal methods; sampled
+    canvas frames re-emitted as lossless PNG).  Either way the emitted
+    rows flow straight into the image ops above.
 
     Input (video_id, bytes, fmt); output one row per sampled frame
-    (every ``every_n``-th, always including frame 0) with fmt='jpg'.
-    Codecs this container can't decode (mp4/h264/vp9 — no ffmpeg) and
-    corrupt blobs emit ONE decode_ok=false row instead of failing the
-    task.  One blob never amplifies memory: frames are sliced views of
-    the container bytes, emitted per Arrow batch.
+    (every ``every_n``-th, always including frame 0).  Codecs this
+    container can't decode (mp4/h264/vp9 — no ffmpeg) and corrupt
+    blobs emit ONE decode_ok=false row instead of failing the task.
+    One blob never amplifies memory: frames are sliced views of the
+    container bytes (or composed canvases), emitted per Arrow batch.
     """
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from gigaspark.functions.avi import decode_avi_frames
+        from gigaspark.functions.gif import decode_gif_frames
+        from gigaspark.functions.png import encode_png
 
         for pdf in batches:
             out = {k: [] for k in FRAME_SCHEMA.fieldNames()}
             for vid, blob, fmt in zip(pdf["video_id"], pdf["bytes"], pdf["fmt"]):
                 try:
-                    if fmt != "avi-mjpg":
+                    if fmt == "avi-mjpg":
+                        frames = decode_avi_frames(bytes(blob))
+                        out_fmt = "jpg"
+                    elif fmt == "gif-anim":
+                        frames = [encode_png(f)
+                                  for f in decode_gif_frames(bytes(blob))]
+                        out_fmt = "png"
+                    else:
                         raise NotImplementedError(f"no {fmt!r} codec in sandbox")
-                    jpgs = decode_avi_frames(bytes(blob))
-                    for idx in range(0, len(jpgs), max(1, every_n)):
+                    for idx in range(0, len(frames), max(1, every_n)):
                         out["video_id"].append(vid)
                         out["frame_idx"].append(idx)
-                        out["bytes"].append(jpgs[idx])
-                        out["fmt"].append("jpg")
+                        out["bytes"].append(frames[idx])
+                        out["fmt"].append(out_fmt)
                         out["decode_ok"].append(True)
                 except (NotImplementedError, ValueError, struct.error):
                     out["video_id"].append(vid)

@@ -127,3 +127,89 @@ def test_multimodal_gif_rows(spark):
     assert feats["g1"]["decode_ok"] and feats["g1"]["h"] == 8
     assert feats["wp"]["decode_ok"] is False
     assert feats["gbad"]["decode_ok"] is False
+
+
+# ------------------------------------------------------------ animation ---
+
+
+def test_anim_roundtrip_plain_and_delta():
+    from gigaspark.functions.gif import decode_gif_frames, encode_gif_anim
+    base = np.full((24, 32, 3), 40, dtype=np.uint8)
+    frames = []
+    for i in range(6):
+        f = base.copy()
+        f[4 + i * 2:10 + i * 2, 3 + i * 4:9 + i * 4] = [200, 16 + i * 8, 100]
+        frames.append(f)
+    for opt in (False, True):
+        dec = decode_gif_frames(encode_gif_anim(frames, optimize_rects=opt))
+        assert len(dec) == 6
+        assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+    # delta encoding is smaller
+    assert len(encode_gif_anim(frames, optimize_rects=True)) \
+        < len(encode_gif_anim(frames))
+
+
+def test_anim_max_frames_and_first_frame():
+    from gigaspark.functions.gif import (decode_gif, decode_gif_frames,
+                                         encode_gif_anim)
+    frames = [np.full((8, 8, 3), v * 30, dtype=np.uint8) for v in range(5)]
+    blob = encode_gif_anim(frames)
+    assert len(decode_gif_frames(blob, max_frames=2)) == 2
+    assert np.array_equal(decode_gif(blob), frames[0])
+
+
+def _gce(disposal, tidx=None):
+    packed = (disposal << 2) | (1 if tidx is not None else 0)
+    return b"\x21\xF9\x04" + struct.pack(
+        "<BHB", packed, 5, tidx or 0) + b"\x00"
+
+
+def test_disposal_background_and_previous():
+    """Hand-crafted stream: disposal 2 restores the painted rect to the
+    background color; disposal 3 restores the pre-frame canvas."""
+    from gigaspark.functions.gif import _lzw_encode, decode_gif_frames
+    # palette: 0=white bg, 1=red, 2=blue
+    table = bytes([255, 255, 255, 255, 0, 0, 0, 0, 255, 0, 0, 0])
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0) + table
+
+    def img(ix, iy, iw, ih, fill):
+        body = bytearray(b"\x2C" + struct.pack("<HHHHB", ix, iy, iw, ih, 0))
+        body.append(2)  # min code size
+        lzw = _lzw_encode(np.full(iw * ih, fill, dtype=np.uint8), 2)
+        body.append(len(lzw))
+        body += lzw + b"\x00"
+        return bytes(body)
+
+    out += _gce(1) + img(0, 0, 4, 4, 1)        # frame 1: all red, keep
+    out += _gce(2) + img(1, 1, 2, 2, 2)        # frame 2: blue patch, to-bg
+    out += _gce(3) + img(0, 0, 2, 2, 2)        # frame 3: blue corner, to-prev
+    out += _gce(1) + img(3, 3, 1, 1, 2)        # frame 4: one blue px, keep
+    out += b"\x3B"
+    f = decode_gif_frames(bytes(out))
+    assert len(f) == 4
+    assert (f[0] == [255, 0, 0]).all()                      # all red
+    assert tuple(f[1][1, 1]) == (0, 0, 255)                 # blue patch shown
+    # frame 3 canvas: patch region was restored to BACKGROUND (white)
+    assert tuple(f[2][2, 2]) == (255, 255, 255)
+    assert tuple(f[2][0, 0]) == (0, 0, 255)                 # frame-3 paint
+    # frame 4: frame-3's paint was restored to PREVIOUS (red underneath)
+    assert tuple(f[3][0, 0]) == (255, 0, 0)
+    assert tuple(f[3][3, 3]) == (0, 0, 255)
+
+
+def test_frame_sample_gif_anim(spark):
+    from gigaspark.functions.gif import encode_gif_anim
+    from gigaspark.functions.png import decode_png
+    from gigaspark.operators.multimodal import frame_sample
+    frames = [np.full((10, 12, 3), v * 20, dtype=np.uint8) for v in range(7)]
+    rows = [("clip", bytearray(encode_gif_anim(frames)), "gif-anim"),
+            ("bad", bytearray(b"GIF89a\x00"), "gif-anim")]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
+    got = frame_sample(df, every_n=3).collect()
+    good = sorted([r for r in got if r["decode_ok"]],
+                  key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in good] == [0, 3, 6]
+    assert all(r["fmt"] == "png" for r in good)
+    assert np.array_equal(decode_png(bytes(good[1]["bytes"])), frames[3])
+    assert any(not r["decode_ok"] for r in got)
