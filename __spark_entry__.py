@@ -1546,6 +1546,92 @@ ORDER BY score DESC, pd.doc_id ASC LIMIT 10
 """
 
 
+def q_sitemap_extract(spark, sf_dir):
+    """Sitemap-XML URL discovery (the reference's sitemap injection
+    source, ``SiteGetter``/sitemap handling [U]): a deterministic
+    lattice of sitemap.xml documents is parsed with regexp extraction
+    (JVM-side ``regexp_extract_all``, positional zip of <loc>/<lastmod>
+    pairs, host derivation) — the oracle builds the SAME XML strings in
+    SQL and parses them with DuckDB's regexp machinery, so BOTH engines
+    actually parse."""
+    rows = []
+    for s in range(40):
+        entries = "".join(
+            f"<url><loc>https://site{s}.example/p/{i * 7}</loc>"
+            f"<lastmod>2026-0{1 + (s + i) % 9}-15</lastmod></url>"
+            for i in range(3 + s % 4))
+        rows.append((f"sm{s:02d}",
+                     f'<?xml version="1.0"?><urlset>{entries}</urlset>'))
+    sm = spark.createDataFrame(rows, "sitemap_id string, xml string")
+    locs = F.expr(r"regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)")
+    mods = F.expr(r"regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1)")
+    return (
+        sm.select("sitemap_id", F.explode(F.arrays_zip(
+            locs.alias("loc"), mods.alias("lastmod"))).alias("e"))
+        .select("sitemap_id", F.col("e.loc").alias("loc"),
+                F.col("e.lastmod").alias("lastmod"))
+        .withColumn("host", F.regexp_extract("loc", r"^https?://([^/]+)", 1))
+        .orderBy("sitemap_id", "loc")
+    )
+
+
+SQL_SITEMAP = """
+WITH sm AS (
+  SELECT 'sm' || lpad(s::VARCHAR, 2, '0') AS sitemap_id,
+         '<?xml version="1.0"?><urlset>' || string_agg(
+             '<url><loc>https://site' || s::VARCHAR || '.example/p/'
+             || (i * 7)::VARCHAR || '</loc><lastmod>2026-0'
+             || (1 + (s + i) % 9)::VARCHAR || '-15</lastmod></url>',
+             '' ORDER BY i) || '</urlset>' AS xml
+  FROM (SELECT s, unnest(generate_series(0, 2 + s % 4)) AS i
+        FROM (SELECT unnest(generate_series(0, 39)) AS s))
+  GROUP BY s),
+parsed AS (
+  SELECT sitemap_id,
+         unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS loc,
+         unnest(regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1)) AS lastmod
+  FROM sm)
+SELECT sitemap_id, loc, lastmod,
+       regexp_extract(loc, '^https?://([^/]+)', 1) AS host
+FROM parsed
+ORDER BY sitemap_id, loc
+"""
+
+
+def q_search_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 over the df-rank-3..4 query terms — the modern
+    analogue of the Posdb rank polynomial, with corpus stats (N, avgdl)
+    carried in-plan as broadcast 1-row aggregates.  Per-term
+    contributions rounded to 4 decimals before summation so both
+    engines add identical addends (ln() ULP discipline)."""
+    from gigaspark.operators.search import search_bm25
+
+    postings, terms = _query_terms(spark, sf_dir, 3, 4)
+    return search_bm25(postings, terms, k=10)
+
+
+SQL_SEARCH_BM25 = f"""
+WITH {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r BETWEEN 3 AND 4),
+dl AS (SELECT doc_id, count(*) AS dl FROM p GROUP BY doc_id),
+stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM p),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+dfq AS (SELECT p.term, count(DISTINCT doc_id) AS df
+        FROM p JOIN q USING (term) GROUP BY p.term),
+tf AS (SELECT p.term, doc_id, count(*) AS tf FROM p JOIN q USING (term)
+       GROUP BY p.term, doc_id),
+contrib AS (
+  SELECT tf.doc_id,
+         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS c
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats, ad)
+SELECT doc_id, round(sum(c), 4) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_search_wordspam(spark, sf_dir):
     """Full Posdb rank-mix: per-term wordSpam demotion (tf share of the
     doc, integer rule) under the site × density multipliers — the last
@@ -2033,6 +2119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_ranked_topk": q_search_ranked,
         "search_wordspam_topk": q_search_wordspam,
         "search_fullrank_topk": q_search_fullrank,
+        "search_bm25_topk": q_search_bm25,
+        "sitemap_extract": q_sitemap_extract,
         "postings_tf": q_postings_tf,
         "siterank_inlinks": q_siterank_inlinks,
         "snippet_extract": q_snippet_extract,
@@ -2096,6 +2184,8 @@ def oracle_sql() -> dict[str, str]:
         "search_ranked_topk": SQL_SEARCH_RANKED,
         "search_wordspam_topk": SQL_SEARCH_WORDSPAM,
         "search_fullrank_topk": SQL_SEARCH_FULLRANK,
+        "search_bm25_topk": SQL_SEARCH_BM25,
+        "sitemap_extract": SQL_SITEMAP,
         "postings_tf": SQL_POSTINGS_TF,
         "siterank_inlinks": SQL_SITERANK,
         "snippet_extract": SQL_SNIPPET,

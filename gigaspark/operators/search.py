@@ -94,6 +94,50 @@ def search_and(postings: DataFrame, terms: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def search_bm25(postings: DataFrame, terms: DataFrame, k: int = 10,
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 top-k over the posting lists (the modern analogue of
+    Posdb's rank polynomial; ``PosdbTable::intersectLists`` scoring
+    shape [U][H] with the textbook idf/tf saturation).
+
+    Cross-engine float discipline: every per-term contribution is
+    rounded to 4 decimals BEFORE the sum (idf's ``ln`` differs in ULPs
+    between engines; rounding makes each addend identical, so the sum
+    and the (score, doc_id) order are identical too).  Corpus stats
+    (N, avgdl) ride in-plan as broadcast 1-row aggregates — no
+    driver-side collect of data rows.
+    """
+    tf = _tf_for_terms(postings, terms)
+    dl = postings.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = postings.agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    dfr = (postings.join(F.broadcast(terms), "term", "semi")
+           .groupBy("term").agg(F.countDistinct("doc_id").alias("df")))
+    contrib = (
+        tf.join(F.broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "c",
+            F.round(
+                F.log((F.col("n_docs") - F.col("df") + 0.5)
+                      / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                       / F.col("avgdl"))),
+                4))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
 def search_or(postings: DataFrame, terms: DataFrame, k: int = 10) -> DataFrame:
     """Docs containing ANY query term, scored by Σtf, top-k."""
     tf = _tf_for_terms(postings, terms)
