@@ -621,10 +621,16 @@ def _extend(bits: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → RGB uint8 (h, w, 3). Subset per module doc."""
+    """JFIF bytes → RGB uint8 (h, w, 3). Subset per module doc.
+
+    OverflowError: a corrupt SOF can declare huge dimensions whose DC
+    prediction chain overflows the int32 coefficient store — that is
+    corrupt DATA, so it must surface as ValueError (the multimodal
+    error channel's contract), not an engine error.
+    """
     try:
         return _decode_jpeg(data)
-    except (IndexError, struct.error) as e:  # truncated/corrupt container
+    except (IndexError, struct.error, OverflowError) as e:
         raise ValueError(f"jpeg: truncated/corrupt ({e})") from e
 
 
