@@ -1546,6 +1546,56 @@ ORDER BY score DESC, pd.doc_id ASC LIMIT 10
 """
 
 
+# pinned BPE training histogram (the merge loop's real input is the
+# word histogram, not the corpus — see operators/bpe.py); both the
+# Spark closure and the DuckDB oracle derive the SAME merge table from
+# it at import time, pure python, no Spark needed
+_BPE_HIST = {
+    "the": 60, "of": 35, "and": 33, "to": 30, "in": 26, "that": 14,
+    "ing": 13, "is": 12, "was": 11, "for": 10, "with": 9, "his": 8,
+    "tion": 8, "her": 7, "this": 7, "ther": 6, "est": 6, "ness": 5,
+    "ment": 5, "able": 4, "over": 4, "under": 3, "standing": 2,
+}
+
+
+def _bpe_merges():
+    from gigaspark.operators.bpe import merges_from_histogram
+    return merges_from_histogram(_BPE_HIST, n_merges=24)
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """BPE subword tokenization stats over `documents` — merges trained
+    from the pinned histogram (operators/bpe.py merge loop), applied
+    per word in an Arrow-batched pandas UDF with a Zipf word cache.
+    The oracle replays the SAME merges in creation order as chained
+    SQL replace() over a comma-delimited unit representation — the
+    standard replay-in-order ≡ iterative-lowest-rank equivalence for
+    training-produced merges, so BOTH engines genuinely tokenize."""
+    from gigaspark.operators.bpe import bpe_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = bpe_token_stats(docs, _bpe_merges(), word_re="[a-z0-9]+")
+    return (stats.where(F.col("n_words") > 0)
+            .select("doc_id", "n_words",
+                    F.col("n_bpe_tokens").alias("n_tokens"))
+            .orderBy("doc_id"))
+
+
+def _bpe_sql() -> str:
+    expr = "',' || regexp_replace(w, '(.)', '\\1,,', 'g') || '▁,'"
+    for a, b in _bpe_merges():
+        expr = f"replace({expr}, ',{a},,{b},', ',{a}{b},')"
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents),
+enc AS (SELECT doc_id, {expr} AS s FROM words)
+SELECT doc_id, count(*)::BIGINT AS n_words,
+       sum(len(string_split(trim(s, ','), ',,')))::BIGINT AS n_tokens
+FROM enc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_sitemap_extract(spark, sf_dir):
     """Sitemap-XML URL discovery (the reference's sitemap injection
     source, ``SiteGetter``/sitemap handling [U]): a deterministic
@@ -2121,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fullrank_topk": q_search_fullrank,
         "search_bm25_topk": q_search_bm25,
         "sitemap_extract": q_sitemap_extract,
+        "bpe_tokens": q_bpe_tokens,
         "postings_tf": q_postings_tf,
         "siterank_inlinks": q_siterank_inlinks,
         "snippet_extract": q_snippet_extract,
@@ -2186,6 +2237,7 @@ def oracle_sql() -> dict[str, str]:
         "search_fullrank_topk": SQL_SEARCH_FULLRANK,
         "search_bm25_topk": SQL_SEARCH_BM25,
         "sitemap_extract": SQL_SITEMAP,
+        "bpe_tokens": _bpe_sql(),
         "postings_tf": SQL_POSTINGS_TF,
         "siterank_inlinks": SQL_SITERANK,
         "snippet_extract": SQL_SNIPPET,
