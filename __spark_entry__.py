@@ -890,6 +890,47 @@ def q_minhash_signatures(spark, sf_dir):
     return minhash_signatures(sh, n_perm=8)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS (the keep-one-per-group step a dedup pipeline
+    actually needs): LSH+Jaccard verified pairs → connected components
+    via iterative min-label propagation (operators/dedup.py) →
+    (doc_id, cluster_id=min member, cluster_size).  The oracle computes
+    the same transitive closure with a recursive CTE."""
+    from gigaspark.operators.dedup import (
+        connected_components, doc_shingles, lsh_candidate_pairs,
+        minhash_signatures, ngram_jaccard_pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = _cache_slot("lsh_shingles", doc_shingles(docs, k=3))
+    pairs = ngram_jaccard_pairs(
+        sh, lsh_candidate_pairs(minhash_signatures(sh, n_perm=8), n_bands=4),
+        threshold=0.5)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (cc.join(sizes, "label")
+            .select(F.col("id").alias("doc_id"),
+                    F.col("label").alias("cluster_id"), "cluster_size")
+            .orderBy("doc_id"))
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+reach(u, v) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+cc AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+sizes AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+          FROM cc GROUP BY cluster_id)
+SELECT doc_id, cluster_id, cluster_size
+FROM cc JOIN sizes USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
 def q_lsh_jaccard_pairs(spark, sf_dir):
     """MinHash-LSH banding → candidate pairs → exact n-gram Jaccard ≥ 0.5
     verification (the full near-dup pipeline)."""
@@ -2151,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash32": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2217,6 +2259,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": _minhash_sql(8),
         "lsh_jaccard_pairs": _lsh_pairs_sql(8, 4, 0.5),
+        "dedup_clusters": _dedup_clusters_sql(),
         "simhash32": SQL_SIMHASH,
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "ann_cosine_topk": SQL_ANN,

@@ -220,3 +220,50 @@ def hamming_neardup_pairs(sigs: DataFrame, id_col: str, sig_col: str,
         .where(F.col("dist") <= max_dist)
         .select("a_id", "b_id", "dist")
     )
+
+
+def connected_components(pairs: DataFrame, a_col: str = "a_id",
+                         b_col: str = "b_id", max_iter: int = 50
+                         ) -> DataFrame:
+    """Connected components over the near-dup pair graph → (id, label)
+    with label = min member id of the component.
+
+    A dedup pipeline needs CLUSTERS, not pairs ("keep one per
+    duplicate group"); this is iterative min-label propagation over
+    DataFrames: each round every vertex takes the min of its own and
+    its neighbors' labels, checkpointed per round (LSM-style, the same
+    stable_checkpoint the crawl loop uses), until a round changes
+    nothing.  Converges in O(component diameter) rounds — near-dup
+    clusters are shallow (dups of a common source), so this is a
+    handful of rounds even at corpus scale; the per-round work is one
+    uniform-key join + groupBy.
+    """
+    from gigaspark.session import stable_checkpoint
+
+    edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+             .unionByName(pairs.select(F.col(b_col).alias("u"),
+                                       F.col(a_col).alias("v"))))
+    edges = stable_checkpoint(edges)
+    labels = (edges.select("u").distinct()
+              .select(F.col("u").alias("id"), F.col("u").alias("label")))
+    labels = stable_checkpoint(labels)
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.withColumnRenamed("id", "v"), "v")
+               .groupBy(F.col("u").alias("id"))
+               .agg(F.min("label").alias("nbr_label")))
+        new = (labels.join(nbr, "id", "left")
+               .select("id", F.least(
+                   F.col("label"),
+                   F.coalesce(F.col("nbr_label"), F.col("label")))
+                   .alias("label")))
+        from pyspark.sql import Observation
+        obs = Observation()
+        joined = (new.alias("n")
+                  .join(labels.alias("o"), "id")
+                  .observe(obs, F.sum((F.col("n.label") != F.col("o.label"))
+                                      .cast("long")).alias("changed"))
+                  .select("id", F.col("n.label").alias("label")))
+        labels = stable_checkpoint(joined)
+        if int(obs.get["changed"] or 0) == 0:
+            break
+    return labels

@@ -81,3 +81,18 @@ def test_simhash_properties(docs):
         return bin(a ^ b).count("1")
 
     assert hamming(sigs[0], sigs[3]) < hamming(sigs[0], sigs[4])
+
+
+def test_connected_components(spark):
+    """Chain A (0-1-2-3-4-5, min label must travel the diameter over
+    several propagation rounds) + triangle B + isolated pair C."""
+    from gigaspark.operators.dedup import connected_components
+    pairs = [(i, i + 1) for i in range(5)]          # chain 0..5
+    pairs += [(10, 11), (11, 12), (10, 12)]          # triangle
+    pairs += [(20, 21)]                              # pair
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    got = {r["id"]: r["label"] for r in connected_components(df).collect()}
+    assert {got[i] for i in range(6)} == {0}
+    assert {got[i] for i in (10, 11, 12)} == {10}
+    assert got[20] == got[21] == 20
+    assert len(got) == 11
