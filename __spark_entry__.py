@@ -1156,6 +1156,59 @@ WHERE rank <= 5
 """
 
 
+def q_ann_pq(spark, sf_dir):
+    """ANN scale path #3 — product quantization with ADC: md5-seeded
+    sub-codebooks (8 subspaces x 16 codes over the 64-dim vectors),
+    corpus compressed to 8 sub-codes/vector, queries score via the
+    asymmetric-distance lookup table.  Pure integer arithmetic end to
+    end; the oracle reproduces codebooks, codes, and ADC exactly.
+    This is the memory story at 10^10 vectors: 8 small ints replace 64
+    floats, and composing with IVF list-pruning bounds the scan."""
+    from gigaspark.operators.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return pq_adc_topk(emb, queries, k=5, m=8, n_codes=16, dim=64)
+
+
+SQL_ANN_PQ = """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+  FROM embeddings),
+sample AS (
+  SELECT row_number() OVER (ORDER BY h) AS cid, v
+  FROM (SELECT md5(vec_id::VARCHAR) AS h, v FROM vecs ORDER BY h LIMIT 16)),
+js AS (SELECT unnest(generate_series(0, 7)) AS j),
+books AS (
+  SELECT j, cid, list_slice(v, j * 8 + 1, j * 8 + 8) AS csub
+  FROM sample CROSS JOIN js),
+sub AS (
+  SELECT vec_id, j, list_slice(v, j * 8 + 1, j * 8 + 8) AS vsub
+  FROM vecs CROSS JOIN js),
+codes AS (
+  SELECT vec_id AS n_id, j, cid AS code FROM (
+    SELECT sub.vec_id, sub.j, b.cid,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.j ORDER BY
+             list_sum(list_transform(list_zip(sub.vsub, b.csub),
+                                     z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC,
+             b.cid ASC) AS rn
+    FROM sub JOIN books b ON b.j = sub.j) WHERE rn = 1),
+adc AS (
+  SELECT sub.vec_id AS q_id, b.j, b.cid AS code,
+         list_sum(list_transform(list_zip(sub.vsub, b.csub),
+                                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS sdist
+  FROM sub JOIN books b ON b.j = sub.j WHERE sub.vec_id % 25 = 0),
+scored AS (
+  SELECT q_id, n_id, sum(sdist)::BIGINT AS adist
+  FROM codes JOIN adc ON adc.j = codes.j AND adc.code = codes.code
+  WHERE n_id <> q_id GROUP BY q_id, n_id HAVING count(*) = 8)
+SELECT q_id, n_id, adist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY adist ASC, n_id ASC) AS rank FROM scored)
+WHERE rank <= 5
+"""
+
+
 def q_ann_ivf(spark, sf_dir):
     """ANN scale path #2 — IVF-Flat: deterministic md5-seeded coarse
     quantizer (16 centroids), single-list corpus assignment by exact
@@ -2193,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "ann_pq_topk": q_ann_pq,
         "simhash32": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2260,6 +2314,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_sql(8),
         "lsh_jaccard_pairs": _lsh_pairs_sql(8, 4, 0.5),
         "dedup_clusters": _dedup_clusters_sql(),
+        "ann_pq_topk": SQL_ANN_PQ,
         "simhash32": SQL_SIMHASH,
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "ann_cosine_topk": SQL_ANN,

@@ -265,3 +265,92 @@ def lsh_topk_multiprobe(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
     )
+
+
+def pq_codebooks(corpus: DataFrame, m: int = 8, n_codes: int = 16,
+                 dim: int = 64) -> DataFrame:
+    """Product-quantization codebooks: per subspace j (dim/m dims), the
+    ``n_codes`` corpus subvectors ranked first by md5(vec_id) — one
+    deterministic whole-vector sample sliced per subspace (uniform
+    pseudo-random, reproducible in any md5-capable engine; at cluster
+    scale swap in k-means sub-codebooks, the search path is
+    unchanged).  Output (j, cid, csub) — m*n_codes rows, broadcast
+    everywhere downstream."""
+    d = dim // m
+    sample = (corpus.select(quantize(F.col("embedding")).alias("v"),
+                            F.md5(F.col("vec_id").cast("string")).alias("_h"))
+              .orderBy("_h").limit(n_codes)
+              .withColumn("cid", F.row_number().over(Window.orderBy("_h"))))
+    return (sample.select("cid", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 F.slice(F.col("v"), j * d + 1, d).alias("csub"))
+        for j in range(m)])).alias("e"))
+        .select(F.col("e.j").alias("j"), "cid", F.col("e.csub").alias("csub")))
+
+
+def pq_encode(vecs: DataFrame, books: DataFrame, id_alias: str,
+              m: int = 8, dim: int = 64) -> DataFrame:
+    """PQ encode: each vector becomes m sub-codes (nearest sub-codebook
+    entry by exact integer squared-L2, ties → lowest cid).  This is the
+    100-TB memory story: m bytes replace dim floats per vector (here
+    kept relational as (id, j, code) rows).  Map-side only — codebooks
+    broadcast, argmin is a window over n_codes rows per subvector."""
+    d = dim // m
+    sub = (vecs.select(F.col("vec_id").alias(id_alias),
+                       quantize(F.col("embedding")).alias("v"))
+           .select(id_alias, F.explode(F.array(*[
+               F.struct(F.lit(j).alias("j"),
+                        F.slice(F.col("v"), j * d + 1, d).alias("vsub"))
+               for j in range(m)])).alias("e"))
+           .select(id_alias, F.col("e.j").alias("j"),
+                   F.col("e.vsub").alias("vsub")))
+    dist = (sub.join(F.broadcast(books), "j")
+            .withColumn("dist", int_l2(F.col("vsub"), F.col("csub"))))
+    w = Window.partitionBy(id_alias, "j").orderBy(F.col("dist").asc(),
+                                                  F.col("cid").asc())
+    return (dist.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(id_alias, "j", F.col("cid").alias("code")))
+
+
+def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                m: int = 8, n_codes: int = 16, dim: int = 64) -> DataFrame:
+    """PQ search with Asymmetric Distance Computation: queries compute
+    exact sub-distances to every codebook entry (the ADC lookup table,
+    nq*m*n_codes rows — broadcast-sized), corpus vectors contribute
+    only their m codes, and the approximate distance is the
+    table-lookup sum.  Returns (q_id, n_id, adist, rank) — pure
+    integer arithmetic end to end (the DuckDB oracle reproduces it
+    exactly).
+
+    Scale: the corpus-side input is the CODES table (m small ints per
+    vector — the compressed representation that fits where raw vectors
+    don't); the scan is one broadcast-join + sum, and composing with
+    the IVF coarse quantizer (ivf_topk's list pruning) bounds it to
+    probed lists."""
+    d = dim // m
+    books = pq_codebooks(corpus, m, n_codes, dim)
+    codes = pq_encode(corpus, books, "n_id", m, dim)
+    qsub = (queries.select(F.col("vec_id").alias("q_id"),
+                           quantize(F.col("embedding")).alias("v"))
+            .select("q_id", F.explode(F.array(*[
+                F.struct(F.lit(j).alias("j"),
+                         F.slice(F.col("v"), j * d + 1, d).alias("qsub"))
+                for j in range(m)])).alias("e"))
+            .select("q_id", F.col("e.j").alias("j"),
+                    F.col("e.qsub").alias("qsub")))
+    adc = (qsub.join(F.broadcast(books), "j")
+           .select("q_id", "j", F.col("cid").alias("code"),
+                   int_l2(F.col("qsub"), F.col("csub")).alias("sdist")))
+    scored = (codes.join(F.broadcast(adc), ["j", "code"])
+              .where(F.col("n_id") != F.col("q_id"))
+              .groupBy("q_id", "n_id")
+              .agg(F.sum("sdist").alias("adist"),
+                   F.count("*").alias("_m"))
+              .where(F.col("_m") == m))     # guard: all m subspaces present
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(),
+                                           F.col("n_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "n_id", F.col("adist").cast("long").alias("adist"),
+                    "rank"))

@@ -129,3 +129,37 @@ def test_multiprobe_superset_of_single_probe(vecs):
     zero = lsh_topk_multiprobe(vecs, qs, k=41, n_planes=8, dim=DIM,
                                probe_hamming=0).collect()
     assert sorted(map(tuple, zero)) == sorted(map(tuple, single))
+
+
+def test_pq_adc_finds_planted_neighbour(vecs):
+    """PQ with 8 subspaces x 1 dim (DIM=8 fixture): a near-copy encodes
+    to the same (or nearest) sub-codes in every subspace, so ADC must
+    rank it #1 for its source; adist is non-negative, monotone with
+    rank, and deterministic across runs."""
+    from gigaspark.operators.similarity import pq_adc_topk
+
+    qs = vecs.where(F.col("vec_id") == 0)
+    res = sorted(pq_adc_topk(vecs, qs, k=5, m=8, n_codes=8, dim=DIM)
+                 .collect(), key=lambda r: r["rank"])
+    assert res[0]["n_id"] == 100                 # the planted near-copy
+    adists = [r["adist"] for r in res]
+    assert adists == sorted(adists) and all(a >= 0 for a in adists)
+    res2 = sorted(pq_adc_topk(vecs, qs, k=5, m=8, n_codes=8, dim=DIM)
+                  .collect(), key=lambda r: r["rank"])
+    assert [(r["n_id"], r["adist"]) for r in res] == \
+        [(r["n_id"], r["adist"]) for r in res2]
+
+
+def test_pq_codes_shape(vecs):
+    """Every vector gets exactly m codes, each within the codebook."""
+    from gigaspark.operators.similarity import pq_codebooks, pq_encode
+
+    books = pq_codebooks(vecs, m=4, n_codes=8, dim=DIM)
+    codes = pq_encode(vecs, books, "n_id", m=4, dim=DIM).collect()
+    n_vec = vecs.count()
+    assert len(codes) == n_vec * 4
+    assert all(1 <= r["code"] <= 8 for r in codes)
+    per = {}
+    for r in codes:
+        per.setdefault(r["n_id"], set()).add(r["j"])
+    assert all(v == {0, 1, 2, 3} for v in per.values())
