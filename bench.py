@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_exact", "minhash_signatures", "lsh_jaccard_pairs",
     "simhash32", "ann_cosine_topk", "text_quality", "dedup_embedding",
     "respider_due", "search_ranked_topk", "c3_domains",
+    "search_bm25_topk", "ann_pq_topk", "bpe_tokens",
 ]
 
 
