@@ -1209,6 +1209,84 @@ WHERE rank <= 5
 """
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """ANN scale path #4 — IVF-PQ: coarse list pruning (nprobe=2) AND
+    residual product quantization in-list (8x16 sub-codebooks over
+    v - centroid) with per-list ADC tables.  The production shape at
+    10^10 vectors: the scan touches ~nprobe/K of the corpus and reads
+    m sub-codes per vector instead of dim floats."""
+    from gigaspark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return ivfpq_topk(emb, queries, k=5, n_centroids=16, nprobe=2,
+                      m=8, n_codes=16, dim=64)
+
+
+SQL_ANN_IVFPQ = """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+  FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY h) AS cid, v AS cvec
+  FROM (SELECT md5(vec_id::VARCHAR) AS h, v FROM vecs ORDER BY h LIMIT 16)),
+cass AS (
+  SELECT n_id, cid, v FROM (
+    SELECT vecs.vec_id AS n_id, vecs.v, cent.cid,
+           row_number() OVER (PARTITION BY vecs.vec_id ORDER BY
+             list_sum(list_transform(list_zip(vecs.v, cent.cvec),
+                                     z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC,
+             cent.cid ASC) AS rn
+    FROM vecs CROSS JOIN cent) WHERE rn = 1),
+res AS (SELECT n_id, cass.cid,
+               list_transform(list_zip(v, cvec), z -> z[1] - z[2]) AS r
+        FROM cass JOIN cent USING (cid)),
+sample AS (
+  SELECT row_number() OVER (ORDER BY h) AS code, r
+  FROM (SELECT md5(n_id::VARCHAR) AS h, r FROM res ORDER BY h LIMIT 16)),
+js AS (SELECT unnest(generate_series(0, 7)) AS j),
+books AS (SELECT j, code, list_slice(r, j * 8 + 1, j * 8 + 8) AS csub
+          FROM sample CROSS JOIN js),
+rsub AS (SELECT n_id, cid, j, list_slice(r, j * 8 + 1, j * 8 + 8) AS vsub
+         FROM res CROSS JOIN js),
+codes AS (
+  SELECT n_id, cid, j, code FROM (
+    SELECT rsub.n_id, rsub.cid, rsub.j, b.code,
+           row_number() OVER (PARTITION BY rsub.n_id, rsub.j ORDER BY
+             list_sum(list_transform(list_zip(rsub.vsub, b.csub),
+                                     z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC,
+             b.code ASC) AS rn
+    FROM rsub JOIN books b ON b.j = rsub.j) WHERE rn = 1),
+qass AS (
+  SELECT q_id, cid, v AS qv FROM (
+    SELECT vecs.vec_id AS q_id, vecs.v, cent.cid,
+           row_number() OVER (PARTITION BY vecs.vec_id ORDER BY
+             list_sum(list_transform(list_zip(vecs.v, cent.cvec),
+                                     z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC,
+             cent.cid ASC) AS rn
+    FROM vecs CROSS JOIN cent WHERE vecs.vec_id % 25 = 0) WHERE rn <= 2),
+qres AS (SELECT q_id, qass.cid,
+                list_transform(list_zip(qv, cvec), z -> z[1] - z[2]) AS qr
+         FROM qass JOIN cent USING (cid)),
+qsub AS (SELECT q_id, cid, j, list_slice(qr, j * 8 + 1, j * 8 + 8) AS qsub
+         FROM qres CROSS JOIN js),
+adc AS (
+  SELECT q_id, cid, b.j, b.code,
+         list_sum(list_transform(list_zip(qsub, b.csub),
+                                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS sdist
+  FROM qsub JOIN books b ON b.j = qsub.j),
+scored AS (
+  SELECT q_id, n_id, sum(sdist)::BIGINT AS adist
+  FROM codes JOIN adc ON adc.cid = codes.cid AND adc.j = codes.j
+                     AND adc.code = codes.code
+  WHERE n_id <> q_id GROUP BY q_id, n_id HAVING count(*) = 8)
+SELECT q_id, n_id, adist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY adist ASC, n_id ASC) AS rank FROM scored)
+WHERE rank <= 5
+"""
+
+
 def q_ann_ivf(spark, sf_dir):
     """ANN scale path #2 — IVF-Flat: deterministic md5-seeded coarse
     quantizer (16 centroids), single-list corpus assignment by exact
@@ -2247,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "ann_pq_topk": q_ann_pq,
+        "ann_ivfpq_topk": q_ann_ivfpq,
         "simhash32": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2315,6 +2394,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_jaccard_pairs": _lsh_pairs_sql(8, 4, 0.5),
         "dedup_clusters": _dedup_clusters_sql(),
         "ann_pq_topk": SQL_ANN_PQ,
+        "ann_ivfpq_topk": SQL_ANN_IVFPQ,
         "simhash32": SQL_SIMHASH,
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "ann_cosine_topk": SQL_ANN,

@@ -354,3 +354,72 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .where(F.col("rank") <= k)
             .select("q_id", "n_id", F.col("adist").cast("long").alias("adist"),
                     "rank"))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               n_centroids: int = 16, nprobe: int = 2, m: int = 8,
+               n_codes: int = 16, dim: int = 64) -> DataFrame:
+    """IVF-PQ — the production ANN shape at 10^10 vectors: the coarse
+    quantizer prunes the scan to ``nprobe`` inverted lists AND the
+    in-list vectors are PQ codes of their RESIDUAL (v - centroid), so
+    memory holds m sub-codes per vector instead of dim floats.
+    Queries build one ADC table per probed list (the query residual
+    differs per list).  Integer arithmetic end to end; (q_id, n_id,
+    adist, rank) — approximate on two axes (list pruning + PQ), both
+    reproduced exactly by the oracle."""
+    d = dim // m
+    cent = ivf_centroids(corpus, n_centroids)
+    cass = ivf_assign(corpus, cent, "n_id", 1)          # (n_id, cid, v)
+    res = (cass.join(F.broadcast(cent), "cid")
+           .select("n_id", "cid",
+                   F.zip_with("v", "cvec", lambda a, b: a - b).alias("r")))
+    # residual sub-codebooks: md5-ordered sample of residuals
+    sample = (res.join(
+        corpus.select(F.col("vec_id").alias("n_id"),
+                      F.md5(F.col("vec_id").cast("string")).alias("_h")),
+        "n_id")
+        .orderBy("_h").limit(n_codes)
+        .withColumn("code", F.row_number().over(Window.orderBy("_h"))))
+    books = (sample.select("code", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 F.slice(F.col("r"), j * d + 1, d).alias("csub"))
+        for j in range(m)])).alias("e"))
+        .select(F.col("e.j").alias("j"), "code",
+                F.col("e.csub").alias("csub")))
+    rsub = (res.select("n_id", "cid", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 F.slice(F.col("r"), j * d + 1, d).alias("vsub"))
+        for j in range(m)])).alias("e"))
+        .select("n_id", "cid", F.col("e.j").alias("j"),
+                F.col("e.vsub").alias("vsub")))
+    dist = (rsub.join(F.broadcast(books), "j")
+            .withColumn("dist", int_l2(F.col("vsub"), F.col("csub"))))
+    w = Window.partitionBy("n_id", "j").orderBy(F.col("dist").asc(),
+                                                F.col("code").asc())
+    codes = (dist.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1).select("n_id", "cid", "j", "code"))
+    # query side: nprobe lists, residual per list, ADC table per list
+    qass = (ivf_assign(queries, cent, "q_id", nprobe)
+            .join(F.broadcast(cent), "cid")
+            .select("q_id", "cid",
+                    F.zip_with("v", "cvec", lambda a, b: a - b).alias("qr")))
+    qsub = (qass.select("q_id", "cid", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 F.slice(F.col("qr"), j * d + 1, d).alias("qsub"))
+        for j in range(m)])).alias("e"))
+        .select("q_id", "cid", F.col("e.j").alias("j"),
+                F.col("e.qsub").alias("qsub")))
+    adc = (qsub.join(F.broadcast(books), "j")
+           .select("q_id", "cid", "j", "code",
+                   int_l2(F.col("qsub"), F.col("csub")).alias("sdist")))
+    scored = (codes.join(F.broadcast(adc), ["cid", "j", "code"])
+              .where(F.col("n_id") != F.col("q_id"))
+              .groupBy("q_id", "n_id")
+              .agg(F.sum("sdist").alias("adist"), F.count("*").alias("_m"))
+              .where(F.col("_m") == m))
+    w2 = Window.partitionBy("q_id").orderBy(F.col("adist").asc(),
+                                            F.col("n_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("q_id", "n_id", F.col("adist").cast("long").alias("adist"),
+                    "rank"))

@@ -163,3 +163,21 @@ def test_pq_codes_shape(vecs):
     for r in codes:
         per.setdefault(r["n_id"], set()).add(r["j"])
     assert all(v == {0, 1, 2, 3} for v in per.values())
+
+
+def test_ivfpq_finds_planted_neighbour(vecs):
+    """IVF-PQ: the near-copy shares its source's coarse list AND its
+    residual encodes to (near-)identical sub-codes → must rank #1."""
+    from gigaspark.operators.similarity import ivfpq_topk
+
+    qs = vecs.where(F.col("vec_id") == 0)
+    res = sorted(ivfpq_topk(vecs, qs, k=5, n_centroids=4, nprobe=2,
+                            m=4, n_codes=8, dim=DIM).collect(),
+                 key=lambda r: r["rank"])
+    # at this tiny codebook (4x8) other vectors can quantize to the
+    # SAME codes (adist tie, broken by n_id) — the planted copy must
+    # sit at the minimum adist regardless
+    by_id = {r["n_id"]: r["adist"] for r in res}
+    assert 100 in by_id and by_id[100] == min(by_id.values())
+    adists = [r["adist"] for r in res]
+    assert adists == sorted(adists) and all(a >= 0 for a in adists)
