@@ -159,3 +159,16 @@ def test_audio_features_flac(spark):
     assert got["flacclip"]["decode_ok"] and got["flacclip"]["n_channels"] == 2
     assert abs(got["flacclip"]["duration_s"] - 0.25) < 1e-9
     assert not got["badflac"]["decode_ok"]
+
+
+def test_escape_residual_roundtrip():
+    """Rice escape (param 0b1111 → raw 5-bit-width residuals) — forced
+    directly with pathological residual magnitudes."""
+    from gigaspark.functions.flac import _BR, _BW, _read_residual, \
+        _write_residual
+    big = np.array([500000, -500000, 3, -2] * 64, dtype=np.int64)
+    bw = _BW()
+    _write_residual(bw, big, 0, len(big), 0)
+    bw.align()
+    out = _read_residual(_BR(bw.bytes()), 0, len(big))
+    assert np.array_equal(out, big)
