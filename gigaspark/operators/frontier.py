@@ -125,6 +125,13 @@ class CrawlScheduler:
             fixtures["link_graph"]
             .select(F.col("src_url"), F.explode("dst_urls").alias("dst_url"))
         ).persist()
+        # step 11 — optional deterministic redirect map (dimension-like:
+        # broadcast at the winners join; src_url must be canonical, like
+        # link_graph's src keys)
+        r = fixtures.get("redirects")
+        self.redirects = (r.select(F.col("src_url").alias("url"),
+                                   F.col("dst_url").alias("_redir_dst"))
+                          .persist() if r is not None else None)
         self.page_image = fixtures.get("page_image")
         self.images = fixtures.get("images")
         self.images_golden = fixtures.get("images_golden")
@@ -413,6 +420,13 @@ class CrawlScheduler:
         # oracle step 9: a slot's fetch FAILS iff urlhash48 % err_mod == 0
         err_cond = ((F.col("urlhash48") % self.cfg.err_mod) == 0) \
             if self.cfg.err_mod else F.lit(False)
+        # oracle step 11: a SUCCESSFUL fetch of a mapped URL is a redirect
+        # reply — slot consumed, nothing harvested/indexed, target enqueued
+        if self.redirects is not None:
+            winners = winners.join(F.broadcast(self.redirects), "url", "left")
+            redir_cond = F.col("_redir_dst").isNotNull() & ~err_cond
+        else:
+            redir_cond = F.lit(False)
         obs_w = Observation()
         winners = (
             winners.withColumn(
@@ -420,9 +434,10 @@ class CrawlScheduler:
                 F.lit(T_ms) + F.coalesce(F.sum("gap_ms").over(cum), F.lit(0)))
             .withColumn("round", F.lit(self.round))
             .observe(obs_w, F.count(F.lit(1)).alias("n"),
-                     F.sum((F.col("harvest_links") & ~err_cond).cast("long"))
-                     .alias("n_harvest"),
-                     F.sum(err_cond.cast("long")).alias("n_err"))
+                     F.sum((F.col("harvest_links") & ~err_cond
+                            & ~redir_cond).cast("long")).alias("n_harvest"),
+                     F.sum(err_cond.cast("long")).alias("n_err"),
+                     F.sum(redir_cond.cast("long")).alias("n_redir"))
             .transform(self._ckpt)
         )
         wc = obs_w.get
@@ -442,7 +457,7 @@ class CrawlScheduler:
         # error slots consume politeness time but not quota)
         upd = winners.groupBy("firstip").agg(
             F.max(F.col("scheduled_time_ms") + F.col("gap_ms")).alias("next_ok_ms"),
-            F.sum((~err_cond).cast("long")).alias("c"))
+            F.sum((~err_cond & ~redir_cond).cast("long")).alias("c"))
         if self.cfg.site_quota:
             upd = (upd.join(self.host_state.select(
                        "firstip", F.col("n_emitted").alias("prev_n")),
@@ -511,6 +526,10 @@ class CrawlScheduler:
             m["retried"] = n_retried
             t = _tlog("retry", t)
 
+        n_redirected = int(wc["n_redir"] or 0) if self.redirects is not None else 0
+        if self.redirects is not None:
+            m["redirected"] = n_redirected
+
         if self.cfg.respider and n_emitted:
             # J1/W4 respider: every fetch writes an implicit SpiderReply
             # (spidered_ms = slot end) and the URL RE-ENTERS the frontier
@@ -521,7 +540,7 @@ class CrawlScheduler:
             # change signal pinned to urlhash48 % 101 — deterministic,
             # mirrored by the oracle sim).  Robots are NOT re-checked
             # (pinned: robots gate at discovery only).
-            re_ = (winners.where(~err_cond)
+            re_ = (winners.where(~err_cond & ~redir_cond)
                    .withColumn("spidered_ms",
                                F.col("scheduled_time_ms") + F.lit(self.cfg.fetch_ms))
                    .withColumn("is_indexed", F.lit(True))
@@ -554,19 +573,31 @@ class CrawlScheduler:
         # (saves ~8 empty-DF jobs per round — most rounds in a drain);
         # harvest enqueues BEFORE the round counter advances so
         # round_enqueued matches the oracle spec (discovery round)
-        if wc["n_harvest"]:
-            outlinks = (
-                winners.where(F.col("harvest_links") & ~err_cond)
-                .join(self.links, winners["url"] == self.links["src_url"])
-                .select(
-                    F.col("dst_url").alias("url"),
-                    (F.col("scheduled_time_ms") + F.lit(self.cfg.fetch_ms)).alias("added_ms"),
-                    (F.col("hopcount") + 1).alias("hopcount"),
-                    F.lit(False).alias("is_seed"),
+        if wc["n_harvest"] or n_redirected:
+            batch = None
+            if wc["n_harvest"]:
+                batch = (
+                    winners.where(F.col("harvest_links") & ~err_cond & ~redir_cond)
+                    .join(self.links, winners["url"] == self.links["src_url"])
+                    .select(
+                        F.col("dst_url").alias("url"),
+                        (F.col("scheduled_time_ms") + F.lit(self.cfg.fetch_ms)).alias("added_ms"),
+                        (F.col("hopcount") + 1).alias("hopcount"),
+                        F.lit(False).alias("is_seed"),
+                    )
                 )
-            )
+            if n_redirected:
+                # step 11 — redirect targets enqueue with hopcount UNCHANGED
+                # (same doc), added_ms = slot end, is_seed inherited
+                redirs = winners.where(redir_cond).select(
+                    F.col("_redir_dst").alias("url"),
+                    (F.col("scheduled_time_ms") + F.lit(self.cfg.fetch_ms)).alias("added_ms"),
+                    F.col("hopcount"),
+                    F.col("is_seed"),
+                )
+                batch = redirs if batch is None else batch.unionByName(redirs)
             t = _tlog("outlink-plan", t)
-            m.update(self.enqueue(outlinks))
+            m.update(self.enqueue(batch))
             t = _tlog("enqueue", t)
         self.round += 1
         self.metrics.append(m)

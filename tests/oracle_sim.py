@@ -62,6 +62,22 @@ rules; what THIS file independently defines is the scheduling semantics:
     10. at round START, every pending row of a host whose SUCCESSFUL
         emission count has reached the quota is retired (metric
         quota_dropped).  Error emissions do not count toward quota.
+
+  redirect mode (``redirects.parquet`` fixture present —
+  XmlDoc::getRedirUrl / Msg13 redirect following [U][M]; pinned to a
+  deterministic src_url→dst_url map instead of live HTTP):
+    11. a SUCCESSFUL fetch whose canonical URL appears in the redirect
+        map is a redirect reply: it occupies its slot (the HTTP
+        round-trip happened) but harvests no links, takes no respider
+        path, and does NOT count toward site quota (nothing was
+        indexed).  The TARGET enqueues at round end through the normal
+        pipeline (canonicalize → filters → robots → seen-dedup) with
+        hopcount UNCHANGED (Gigablast treats the target as the same
+        doc), added_ms = spidered_ms, is_seed inherited.  Chains
+        resolve across rounds; loops terminate via the seen set (the
+        target of the closing hop is already seen → dup_seen).  Error
+        precedence: the err_mod failure signal wins — a failed
+        round-trip never observes a redirect.
 """
 
 from __future__ import annotations
@@ -140,6 +156,11 @@ class OracleSim:
         self.link_graph = {r["src_url"]: r["dst_urls"] for r in _load(fix_dir, "link_graph")}
         self.robots = RobotsOracle(_load(fix_dir, "robots"))
         self.rules: list[Rule] = rules_from_rows(_load(fix_dir, "url_filters"))
+        # step 11 — optional deterministic redirect map (src canonical)
+        rpath = os.path.join(fix_dir, "redirects.parquet")
+        self.redirects: dict[str, str] | None = (
+            {r["src_url"]: r["dst_url"] for r in _load(fix_dir, "redirects")}
+            if os.path.exists(rpath) else None)
         self.frontier: dict[tuple[int, int], Req] = {}
         self.seen: dict[tuple[int, int], tuple[int, int]] = {}
         self.next_ok: dict[int, int] = {}
@@ -236,7 +257,7 @@ class OracleSim:
             self.next_ok[ip] = t  # last slot + fetch + wait
         sched.sort(key=lambda s: (s[0], -s[1].priority, s[1].added_ms, s[1].urlhash48))
         outlinks: list[tuple[str, int, int, bool]] = []
-        n_respidered = n_errors = n_retried = 0
+        n_respidered = n_errors = n_retried = n_redirected = 0
         for t, req in sched:
             self.emitted.append(Emit(
                 seq=len(self.emitted), urlhash48=req.urlhash48, url=req.url,
@@ -269,6 +290,12 @@ class OracleSim:
                     self.frontier[(nxt.firstip, nxt.urlhash48)] = nxt
                     n_retried += 1
                 continue  # no harvest, no quota count, no respider path
+            if self.redirects is not None:
+                dst = self.redirects.get(req.url)
+                if dst is not None:  # step 11 — redirect reply
+                    n_redirected += 1
+                    outlinks.append((dst, req.hopcount, spidered, req.is_seed))
+                    continue  # no harvest, no quota count, no respider
             self.site_emitted[req.firstip] = \
                 self.site_emitted.get(req.firstip, 0) + 1
             if req.harvest_links:
@@ -304,6 +331,8 @@ class OracleSim:
             m["retried"] = n_retried
         if self.site_quota:
             m["quota_dropped"] = n_quota_dropped
+        if self.redirects is not None:
+            m["redirected"] = n_redirected
         if outlinks:
             m.update(self.enqueue(outlinks))
         self.metrics.append(m)
