@@ -2286,6 +2286,82 @@ FROM (SELECT url, host, added_ms, ((rn - 1) * gap_ms)::BIGINT AS scheduled_time_
 """
 
 
+def q_crawl_dedup_round(spark, sf_dir):
+    """One frontier round through the REAL CrawlScheduler with the
+    content-dedup reply path active (oracle step 12 — XmlDoc EDOCDUP
+    content-hash check [U][M]): every seed URL carries a pinned
+    content_hash = added_ms % 997, so ~each hash bucket has several
+    URLs and the FIRST fetch per hash in global emission order indexes
+    (indexed=true) while later same-hash fetches are dup replies
+    (indexed=false).  Oracle-compatible like q_crawl_round: added_ms is
+    globally unique so no ordering tie reaches the xxhash64 tie-break,
+    and the within-round dup window is plain SQL (row_number per hash
+    over emission order)."""
+    from gigaspark.operators.frontier import CrawlConfig, CrawlScheduler
+
+    orders = _t(spark, sf_dir, "orders")
+    seeds = orders.select(
+        F.concat(F.lit("http://host"), (F.col("o_custkey") % 211).cast("string"),
+                 F.lit(".example/p/"), F.col("o_orderkey").cast("string")).alias("url"),
+        F.col("o_orderkey").alias("added_time_ms"),
+        F.lit(True).alias("is_seed"))
+    fixtures = {
+        "url_filters": spark.createDataFrame(
+            [(0, "isseed", 80, 30.0, 2, 100, False, False),
+             (1, "default", 50, 30.0, 1, 100, False, False)],
+            "rule_idx int, expression string, priority int, spider_freq_days double,"
+            " max_spiders_per_ip int, same_ip_wait_ms long, harvest_links boolean,"
+            " force_delete boolean"),
+        "robots": spark.createDataFrame(
+            [("host1.example", "*", "disallow", "/private", 500)],
+            "host string, user_agent string, rule_type string, path_prefix string,"
+            " crawl_delay_ms long"),
+        "link_graph": spark.createDataFrame([], "src_url string, dst_urls array<string>"),
+        "content_map": seeds.select(
+            "url", (F.col("added_time_ms") % 997).cast("long").alias("content_hash")),
+    }
+    sched = CrawlScheduler(spark, fixtures, CrawlConfig(use_bloom=True))
+    sched.seed(seeds)
+    sched.run_round()
+    owners = sched.indexed_ch.select(F.col("owner").alias("urlhash48"),
+                                     F.lit(True).alias("_idx"))
+    return (sched.emitted_df()
+            .join(F.broadcast(owners), "urlhash48", "left")
+            .select("seq", "round", "scheduled_time_ms", "added_ms", "url", "host",
+                    (F.col("added_ms") % 997).cast("long").alias("content_hash"),
+                    F.coalesce(F.col("_idx"), F.lit(False)).alias("indexed")))
+
+
+SQL_CRAWL_DEDUP = """
+WITH seeds AS (
+  SELECT 'http://host' || (o_custkey % 211)::VARCHAR || '.example/p/'
+           || o_orderkey::VARCHAR AS url,
+         'host' || (o_custkey % 211)::VARCHAR || '.example' AS host,
+         o_orderkey::BIGINT AS added_ms
+  FROM orders),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY added_ms ASC) AS rn
+  FROM seeds),
+winners AS (
+  SELECT url, host, added_ms,
+         (100 + greatest(100, CASE WHEN host = 'host1.example'
+                                   THEN 500 ELSE 0 END))::BIGINT AS gap_ms,
+         rn
+  FROM ranked WHERE rn <= 2),
+sched AS (
+  SELECT url, host, added_ms, ((rn - 1) * gap_ms)::BIGINT AS scheduled_time_ms
+  FROM winners)
+SELECT (row_number() OVER (ORDER BY scheduled_time_ms ASC, added_ms ASC)
+          - 1)::BIGINT AS seq,
+       0::INT AS round, scheduled_time_ms, added_ms, url, host,
+       (added_ms % 997)::BIGINT AS content_hash,
+       (row_number() OVER (PARTITION BY added_ms % 997
+                           ORDER BY scheduled_time_ms ASC, added_ms ASC)
+          = 1) AS indexed
+FROM sched
+"""
+
+
 # =========================================================================== #
 # registry                                                                    #
 # =========================================================================== #
@@ -2356,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "crawl_round": q_crawl_round,
+        "crawl_dedup_round": q_crawl_dedup_round,
     }
 
 
@@ -2421,5 +2498,6 @@ def oracle_sql() -> dict[str, str]:
         "snippet_extract": SQL_SNIPPET,
         "respider_due": SQL_RESPIDER,
         "crawl_round": SQL_CRAWL_ROUND,
+        "crawl_dedup_round": SQL_CRAWL_DEDUP,
         # multimodal_features: non-SQL-expressible (binary decode) → rows-only
     }

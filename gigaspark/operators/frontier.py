@@ -132,6 +132,14 @@ class CrawlScheduler:
         self.redirects = (r.select(F.col("src_url").alias("url"),
                                    F.col("dst_url").alias("_redir_dst"))
                           .persist() if r is not None else None)
+        # step 12 — optional deterministic content-hash map (EDOCDUP):
+        # URLs absent from the map hash to their own urlhash48 (unique
+        # content); broadcast at the winners join like redirects
+        c = fixtures.get("content_map")
+        self.content_map = (
+            c.select(F.col("url"),
+                     F.col("content_hash").cast("long").alias("_ch_mapped"))
+            .persist() if c is not None else None)
         self.page_image = fixtures.get("page_image")
         self.images = fixtures.get("images")
         self.images_golden = fixtures.get("images_golden")
@@ -152,6 +160,10 @@ class CrawlScheduler:
         self.n_seen = 0       # driver-side seen-count (fast-path guard)
         self.emitted_parts: list[DataFrame] = []
         self.fetched_parts: list[DataFrame] = []
+        # indexed content hashes (step 12): append-only LSM parts of
+        # (content_hash, owner urlhash48); unique by construction — a
+        # hash is appended only by its first (winning) indexer
+        self.indexed_ch_parts: list[DataFrame] = []
         self.metrics: list[dict] = []
         self.clock_ms = 0
         self.round = 0
@@ -185,6 +197,16 @@ class CrawlScheduler:
         return acc
 
     @property
+    def indexed_ch(self) -> DataFrame:
+        """Indexed content-hash registry: (content_hash, owner urlhash48)."""
+        if not self.indexed_ch_parts:
+            return self.spark.createDataFrame([], "content_hash long, owner long")
+        acc = self.indexed_ch_parts[0]
+        for p in self.indexed_ch_parts[1:]:
+            acc = acc.unionByName(p)
+        return acc
+
+    @property
     def seen(self) -> DataFrame:
         if not self.seen_parts:
             return self.spark.createDataFrame(
@@ -203,6 +225,11 @@ class CrawlScheduler:
             self.removed_parts = []
         if len(self.seen_parts) >= 8:
             self.seen_parts = [self.seen.transform(self._ckpt)]
+        if len(self.indexed_ch_parts) >= 8:
+            # at cluster scale this fold would also repartition by
+            # content_hash so the per-round winners⋈indexed_ch probe
+            # shuffles only the (tiny) winners side
+            self.indexed_ch_parts = [self.indexed_ch.transform(self._ckpt)]
         if len(self.hp_parts) >= 8:
             hp = self.hp_parts[0]
             for p in self.hp_parts[1:]:
@@ -427,17 +454,50 @@ class CrawlScheduler:
             redir_cond = F.col("_redir_dst").isNotNull() & ~err_cond
         else:
             redir_cond = F.lit(False)
-        obs_w = Observation()
         winners = (
             winners.withColumn(
                 "scheduled_time_ms",
                 F.lit(T_ms) + F.coalesce(F.sum("gap_ms").over(cum), F.lit(0)))
             .withColumn("round", F.lit(self.round))
-            .observe(obs_w, F.count(F.lit(1)).alias("n"),
-                     F.sum((F.col("harvest_links") & ~err_cond
-                            & ~redir_cond).cast("long")).alias("n_harvest"),
-                     F.sum(err_cond.cast("long")).alias("n_err"),
-                     F.sum(redir_cond.cast("long")).alias("n_redir"))
+        )
+        # oracle step 12: a SUCCESSFUL non-redirect fetch whose content
+        # hash was already indexed by a DIFFERENT url is a dup reply
+        # (EDOCDUP) — slot consumed, nothing harvested/indexed/quota'd.
+        # Cross-round dups probe the indexed_ch registry; within-round
+        # dups are a window over this round's winners in emission order
+        # (first qualifying row per hash indexes, the rest are dups).
+        if self.content_map is not None:
+            winners = (
+                winners.join(F.broadcast(self.content_map), "url", "left")
+                .withColumn("content_hash",
+                            F.coalesce(F.col("_ch_mapped"), F.col("urlhash48")))
+                .join(self.indexed_ch.withColumnRenamed("owner", "_prior_owner"),
+                      "content_hash", "left")
+            )
+            qual = (~err_cond) & (~redir_cond) & F.col("_prior_owner").isNull()
+            w_ch = (Window.partitionBy("content_hash")
+                    .orderBy(F.col("scheduled_time_ms").asc(),
+                             F.col("priority").desc(),
+                             F.col("added_ms").asc(), F.col("urlhash48").asc())
+                    .rowsBetween(Window.unboundedPreceding, -1))
+            winners = winners.withColumn(
+                "_earlier_q",
+                F.coalesce(F.sum(qual.cast("long")).over(w_ch), F.lit(0)))
+            dup_cond = (~err_cond) & (~redir_cond) & (
+                (F.col("_prior_owner").isNotNull()
+                 & (F.col("_prior_owner") != F.col("urlhash48")))
+                | (F.col("_prior_owner").isNull() & (F.col("_earlier_q") > 0)))
+        else:
+            dup_cond = F.lit(False)
+        obs_w = Observation()
+        winners = (
+            winners.observe(obs_w, F.count(F.lit(1)).alias("n"),
+                            F.sum((F.col("harvest_links") & ~err_cond
+                                   & ~redir_cond & ~dup_cond).cast("long")
+                                  ).alias("n_harvest"),
+                            F.sum(err_cond.cast("long")).alias("n_err"),
+                            F.sum(redir_cond.cast("long")).alias("n_redir"),
+                            F.sum(dup_cond.cast("long")).alias("n_dup"))
             .transform(self._ckpt)
         )
         wc = obs_w.get
@@ -457,7 +517,7 @@ class CrawlScheduler:
         # error slots consume politeness time but not quota)
         upd = winners.groupBy("firstip").agg(
             F.max(F.col("scheduled_time_ms") + F.col("gap_ms")).alias("next_ok_ms"),
-            F.sum((~err_cond & ~redir_cond).cast("long")).alias("c"))
+            F.sum((~err_cond & ~redir_cond & ~dup_cond).cast("long")).alias("c"))
         if self.cfg.site_quota:
             upd = (upd.join(self.host_state.select(
                        "firstip", F.col("n_emitted").alias("prev_n")),
@@ -530,6 +590,16 @@ class CrawlScheduler:
         if self.redirects is not None:
             m["redirected"] = n_redirected
 
+        if self.content_map is not None:
+            # step 12 — register this round's first indexer per new hash
+            # (winners is checkpointed → a cheap lazy projection)
+            self.indexed_ch_parts.append(
+                winners.where((~err_cond) & (~redir_cond)
+                              & F.col("_prior_owner").isNull()
+                              & (F.col("_earlier_q") == 0))
+                .select("content_hash", F.col("urlhash48").alias("owner")))
+            m["dups"] = int(wc["n_dup"] or 0)
+
         if self.cfg.respider and n_emitted:
             # J1/W4 respider: every fetch writes an implicit SpiderReply
             # (spidered_ms = slot end) and the URL RE-ENTERS the frontier
@@ -540,7 +610,7 @@ class CrawlScheduler:
             # change signal pinned to urlhash48 % 101 — deterministic,
             # mirrored by the oracle sim).  Robots are NOT re-checked
             # (pinned: robots gate at discovery only).
-            re_ = (winners.where(~err_cond & ~redir_cond)
+            re_ = (winners.where(~err_cond & ~redir_cond & ~dup_cond)
                    .withColumn("spidered_ms",
                                F.col("scheduled_time_ms") + F.lit(self.cfg.fetch_ms))
                    .withColumn("is_indexed", F.lit(True))
@@ -577,7 +647,8 @@ class CrawlScheduler:
             batch = None
             if wc["n_harvest"]:
                 batch = (
-                    winners.where(F.col("harvest_links") & ~err_cond & ~redir_cond)
+                    winners.where(F.col("harvest_links") & ~err_cond
+                                  & ~redir_cond & ~dup_cond)
                     .join(self.links, winners["url"] == self.links["src_url"])
                     .select(
                         F.col("dst_url").alias("url"),
@@ -696,6 +767,8 @@ class CrawlScheduler:
         }
         if self.segments is not None:
             tables["bloom_segments"] = self.segments
+        if self.content_map is not None:
+            tables["indexed_ch"] = self.indexed_ch
         meta = {"round": self.round, "clock_ms": self.clock_ms,
                 "metrics": self.metrics, "n_seen": self.n_seen,
                 "seen_filter": self.cfg.seen_filter,
@@ -727,6 +800,8 @@ class CrawlScheduler:
         sched.host_state = tbl["host_state"].transform(sched._ckpt)
         if "bloom_segments" in tbl:
             sched.segments = tbl["bloom_segments"].transform(sched._ckpt)
+        if "indexed_ch" in tbl:
+            sched.indexed_ch_parts = [tbl["indexed_ch"].transform(sched._ckpt)]
         emitted = tbl["emitted"]
         if emitted.columns and not emitted.rdd.isEmpty():
             sched.emitted_parts = [emitted.select(*EMIT_COLS).transform(sched._ckpt)]

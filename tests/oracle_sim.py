@@ -78,6 +78,21 @@ rules; what THIS file independently defines is the scheduling semantics:
         target of the closing hop is already seen → dup_seen).  Error
         precedence: the err_mod failure signal wins — a failed
         round-trip never observes a redirect.
+
+  content-dedup mode (``content_map.parquet`` fixture present —
+  XmlDoc's EDOCDUP content-hash check at index time, getIsDup /
+  m_contentHash32 dup-docid lookup [U][M]; pinned to a deterministic
+  url→content_hash map, URLs absent from the map hash to their own
+  urlhash48 i.e. unique content):
+    12. a SUCCESSFUL, non-redirect fetch whose content hash was already
+        INDEXED by a DIFFERENT url (hash owner ≠ this urlhash48) is a
+        dup reply: it occupies its slot but harvests no links, takes no
+        respider path, and does not count toward site quota (nothing
+        was indexed).  The FIRST fetch of each content hash — in global
+        emission order — indexes normally and becomes the hash's owner;
+        a respider re-fetch by the owner itself is NOT a dup (Gigablast
+        dups are cross-docid only).  Precedence: error > redirect > dup
+        — a failed or redirected round-trip never observes content.
 """
 
 from __future__ import annotations
@@ -161,6 +176,12 @@ class OracleSim:
         self.redirects: dict[str, str] | None = (
             {r["src_url"]: r["dst_url"] for r in _load(fix_dir, "redirects")}
             if os.path.exists(rpath) else None)
+        # step 12 — optional deterministic content-hash map (url canonical)
+        cpath = os.path.join(fix_dir, "content_map.parquet")
+        self.content_map: dict[str, int] | None = (
+            {r["url"]: int(r["content_hash"]) for r in _load(fix_dir, "content_map")}
+            if os.path.exists(cpath) else None)
+        self.indexed_ch: dict[int, int] = {}  # content_hash → owner urlhash48
         self.frontier: dict[tuple[int, int], Req] = {}
         self.seen: dict[tuple[int, int], tuple[int, int]] = {}
         self.next_ok: dict[int, int] = {}
@@ -257,7 +278,7 @@ class OracleSim:
             self.next_ok[ip] = t  # last slot + fetch + wait
         sched.sort(key=lambda s: (s[0], -s[1].priority, s[1].added_ms, s[1].urlhash48))
         outlinks: list[tuple[str, int, int, bool]] = []
-        n_respidered = n_errors = n_retried = n_redirected = 0
+        n_respidered = n_errors = n_retried = n_redirected = n_dups = 0
         for t, req in sched:
             self.emitted.append(Emit(
                 seq=len(self.emitted), urlhash48=req.urlhash48, url=req.url,
@@ -296,6 +317,13 @@ class OracleSim:
                     n_redirected += 1
                     outlinks.append((dst, req.hopcount, spidered, req.is_seed))
                     continue  # no harvest, no quota count, no respider
+            if self.content_map is not None:  # step 12 — dup reply
+                ch = self.content_map.get(req.url, req.urlhash48)
+                owner = self.indexed_ch.get(ch)
+                if owner is not None and owner != req.urlhash48:
+                    n_dups += 1
+                    continue  # slot consumed, nothing indexed
+                self.indexed_ch[ch] = req.urlhash48
             self.site_emitted[req.firstip] = \
                 self.site_emitted.get(req.firstip, 0) + 1
             if req.harvest_links:
@@ -333,6 +361,8 @@ class OracleSim:
             m["quota_dropped"] = n_quota_dropped
         if self.redirects is not None:
             m["redirected"] = n_redirected
+        if self.content_map is not None:
+            m["dups"] = n_dups
         if outlinks:
             m.update(self.enqueue(outlinks))
         self.metrics.append(m)
