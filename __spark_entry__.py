@@ -1960,6 +1960,42 @@ GROUP BY p.term, doc_id
 """
 
 
+def q_spell_correct(spark, sf_dir):
+    """Speller recommendation (``Speller::getRecommendation`` over the
+    popularity-ranked unigram dictionary [U][M], pinned rule): for each
+    query token — the df-rank-1..8 terms with their last character
+    dropped, a deterministic misspelling both engines derive — the
+    highest-collection-frequency vocab term within edit distance 1
+    (ties term-asc; no candidate → NULL)."""
+    from gigaspark.operators.search import (build_postings, spell_correct,
+                                            vocab_freqs)
+
+    postings = build_postings(_t(spark, sf_dir, "documents"))
+    vocab = vocab_freqs(postings)
+    dfr = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    qs = (dfr.withColumn("r", F.row_number().over(w))
+          .where((F.col("r") <= 8) & (F.length("term") >= 4))
+          .select(F.expr("substring(term, 1, length(term) - 1)").alias("qterm"))
+          .distinct())
+    return spell_correct(vocab, qs, max_dist=1)
+
+
+SQL_SPELL = f"""
+WITH {_POSTINGS_CTE},
+v AS (SELECT term, count(*) AS freq FROM p GROUP BY term),
+qt AS (SELECT DISTINCT substr(rk.term, 1, length(rk.term) - 1) AS qterm
+       FROM ranked rk WHERE rk.r <= 8 AND length(rk.term) >= 4),
+cand AS (SELECT qt.qterm, v.term, v.freq,
+                row_number() OVER (PARTITION BY qt.qterm
+                                   ORDER BY v.freq DESC, v.term ASC) AS rn
+         FROM qt JOIN v ON abs(length(v.term) - length(qt.qterm)) <= 1
+                       AND levenshtein(v.term, qt.qterm) <= 1)
+SELECT qt.qterm, c.term AS corrected, c.freq::BIGINT AS freq
+FROM qt LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (qterm)
+"""
+
+
 def q_siterank_inlinks(spark, sf_dir):
     """J4/Tagdb — siteNumInlinks → siteRank (Tagdb sitenuminlinks tag +
     XmlDoc siterank bucketing [U][M]): link edges derived from lineitem
@@ -2424,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_extract": q_sitemap_extract,
         "bpe_tokens": q_bpe_tokens,
         "postings_tf": q_postings_tf,
+        "spell_correct": q_spell_correct,
         "siterank_inlinks": q_siterank_inlinks,
         "snippet_extract": q_snippet_extract,
         "respider_due": q_respider_due,
@@ -2494,6 +2531,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_extract": SQL_SITEMAP,
         "bpe_tokens": _bpe_sql(),
         "postings_tf": SQL_POSTINGS_TF,
+        "spell_correct": SQL_SPELL,
         "siterank_inlinks": SQL_SITERANK,
         "snippet_extract": SQL_SNIPPET,
         "respider_due": SQL_RESPIDER,

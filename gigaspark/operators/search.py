@@ -44,7 +44,7 @@ to the two phrase terms — bounded by the rarer term's df.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from gigaspark.functions.text import norm_text
 
@@ -417,3 +417,39 @@ def search_ranked_full(postings: DataFrame, terms: DataFrame,
         .select("doc_id", "site", F.col("w_sum").cast("long").alias("w_sum"),
                 "density_rank", "site_rank", "score")
     )
+
+
+def vocab_freqs(postings: DataFrame) -> DataFrame:
+    """(term, freq) — the unigram dictionary with collection frequency
+    (Speller.cpp's popularity-ranked dictionary, ``g_speller`` unigram
+    load [U][M]; popularity pinned to the posting-row count)."""
+    return postings.groupBy("term").agg(F.count("*").alias("freq"))
+
+
+def spell_correct(vocab: DataFrame, queries: DataFrame,
+                  max_dist: int = 1) -> DataFrame:
+    """Speller recommendation (``Speller::getRecommendation`` shape
+    [U][M], pinned rule): for each query token, the highest-popularity
+    dictionary term within levenshtein distance ≤ ``max_dist``; ties
+    break term-asc; tokens with no candidate return NULL.
+
+    ``queries``: single-column ``qterm`` DataFrame (the tokens to fix).
+
+    Plan: the query set is tiny → broadcast it against ONE scan of the
+    vocab (Gigablast keeps the dict RAM-resident per host; here the
+    scan distributes over vocab partitions).  A cheap length-band
+    predicate prunes most pairs before the levenshtein evaluates; the
+    argmax is a window over the (small) candidate set.
+    """
+    cand = vocab.join(
+        F.broadcast(queries),
+        (F.abs(F.length(vocab["term"]) - F.length(queries["qterm"]))
+         <= F.lit(max_dist))
+        & (F.levenshtein(vocab["term"], queries["qterm"]) <= F.lit(max_dist)))
+    w = Window.partitionBy("qterm").orderBy(
+        F.col("freq").desc(), F.col("term").asc())
+    best = (cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("qterm", F.col("term").alias("corrected"), "freq"))
+    return queries.join(F.broadcast(best), "qterm", "left").select(
+        "qterm", "corrected", F.col("freq").cast("long").alias("freq"))

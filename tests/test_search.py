@@ -120,3 +120,38 @@ def test_search_ranked_full_score_shape(spark):
     assert ids[0] == 1                      # diverse doc wins
     scores = {r["doc_id"]: r["score"] for r in res}
     assert scores[1] > scores[2] > 0
+
+
+def test_spell_correct(spark):
+    """Speller pinned rule: highest-popularity term within distance 1,
+    tie term-asc, self-match (distance 0) allowed, no candidate → NULL."""
+    from gigaspark.operators.search import spell_correct, vocab_freqs
+
+    p = build_postings(_docs(spark))
+    vocab = vocab_freqs(p)
+    qs = spark.createDataFrame(
+        [("quik",),     # → quick (dist 1)
+         ("fox",),      # self-match, dist 0; 'fox' freq 5 beats 'fox!' freq 1
+         ("lazi",),     # → lazy
+         ("zzzzzz",)],  # no candidate within dist 1
+        "qterm string")
+    got = {r["qterm"]: (r["corrected"], r["freq"])
+           for r in spell_correct(vocab, qs, max_dist=1).collect()}
+    assert got["quik"] == ("quick", 5)
+    assert got["fox"] == ("fox", 5)
+    assert got["lazi"] == ("lazy", 2)
+    assert got["zzzzzz"] == (None, None)
+
+
+def test_spell_correct_popularity_tiebreak(spark):
+    """equal-distance candidates resolve by freq desc, then term asc."""
+    from gigaspark.operators.search import spell_correct, vocab_freqs
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat cab bat"), (2, "cab bat")], "doc_id long, text string")
+    vocab = vocab_freqs(build_postings(docs))
+    qs = spark.createDataFrame([("caz",), ("bab",)], "qterm string")
+    got = {r["qterm"]: (r["corrected"], r["freq"])
+           for r in spell_correct(vocab, qs, max_dist=1).collect()}
+    assert got["caz"] == ("cab", 2)   # cat(2) vs cab(2): freq tie → 'cab' < 'cat'
+    assert got["bab"] == ("bat", 2)   # bat(2) vs cab(2): freq tie → 'bat' < 'cab'
