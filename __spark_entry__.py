@@ -1574,6 +1574,38 @@ FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id
 """
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 37 != 0)
+    checked for word-3-gram overlap against a deterministic eval set
+    (doc_id % 37 == 0); contaminated when ≥10% of a doc's distinct
+    shingles hit the eval set (integer-threshold pinned rule)."""
+    from gigaspark.operators.dedup import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    tr = docs.where(F.col("doc_id") % 37 != 0)
+    return contamination_overlap(tr, ev, k=3, threshold_pct=10)
+
+
+SQL_CONTAMINATION = f"""
+WITH {_SH_CTE},
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 0),
+tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 37 <> 0),
+tot AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
+hit AS (SELECT tr.doc_id, count(*) AS n_hit FROM tr JOIN ev USING (sh)
+        GROUP BY tr.doc_id)
+SELECT d.doc_id, coalesce(tot.n_sh, 0)::BIGINT AS n_sh,
+       coalesce(hit.n_hit, 0)::BIGINT AS n_hit,
+       (coalesce(hit.n_hit, 0) > 0
+        AND coalesce(hit.n_hit, 0) * 100 >= 10 * coalesce(tot.n_sh, 0))
+         AS contaminated
+FROM documents d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN hit ON hit.doc_id = d.doc_id
+WHERE d.doc_id % 37 <> 0
+"""
+
+
 # =========================================================================== #
 # query tier: posting lists + boolean/phrase retrieval (Posdb/Msg39/TopTree)  #
 # =========================================================================== #
@@ -2450,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "contamination_ngram": q_contamination,
         "search_and_topk": q_search_and,
         "search_or_not_topk": q_search_or_not,
         "search_phrase_topk": q_search_phrase,
@@ -2521,6 +2554,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _sql_langid(),
         "token_counts": SQL_TOKENS,
         "doc_fingerprint": SQL_FINGERPRINT,
+        "contamination_ngram": SQL_CONTAMINATION,
         "search_and_topk": SQL_SEARCH_AND,
         "search_or_not_topk": SQL_SEARCH_OR_NOT,
         "search_phrase_topk": SQL_SEARCH_PHRASE,

@@ -267,3 +267,37 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
         if int(obs.get["changed"] or 0) == 0:
             break
     return labels
+
+
+def contamination_overlap(docs: DataFrame, eval_docs: DataFrame,
+                          k: int = 3, threshold_pct: int = 10) -> DataFrame:
+    """Benchmark decontamination (training-data hygiene): per training
+    document, how many of its distinct word-k-gram shingles also occur
+    anywhere in an evaluation set, and a contaminated flag when the hit
+    share reaches ``threshold_pct`` percent (integer math — no float
+    drift across engines; zero-shingle docs are never contaminated).
+
+    Plan: both sides reduce to DISTINCT shingle hashes.  The eval side
+    (benchmarks are thousands of docs vs billions of training docs)
+    collapses to a distinct-hash set and BROADCASTS into a semi-join
+    probe against the training shingles, so the big side never
+    shuffles for the membership test; per-doc totals and hits are two
+    partial-aggregated groupBys on the uniform md5 shingle space.
+    """
+    tr = doc_shingles(docs, k)
+    ev = doc_shingles(eval_docs, k).select("sh").distinct()
+    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hit = (tr.join(F.broadcast(ev), "sh", "semi")
+           .groupBy("doc_id").agg(F.count("*").alias("n_hit")))
+    return (
+        docs.select("doc_id")
+        .join(tot, "doc_id", "left").join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_sh", F.lit(0)).cast("long").alias("n_sh"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"))
+        .withColumn(
+            "contaminated",
+            (F.col("n_hit") > 0)
+            & (F.col("n_hit") * 100 >= F.lit(threshold_pct) * F.col("n_sh")))
+    )

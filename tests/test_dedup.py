@@ -96,3 +96,26 @@ def test_connected_components(spark):
     assert {got[i] for i in (10, 11, 12)} == {10}
     assert got[20] == got[21] == 20
     assert len(got) == 11
+
+
+def test_contamination_overlap(spark):
+    """Planted leak: train doc 10 contains an eval doc verbatim (full
+    overlap → contaminated); doc 11 shares nothing; doc 12 shares one
+    3-gram out of many (below the 10% threshold... unless it isn't —
+    pin exact counts); zero-shingle doc 13 is never contaminated."""
+    from gigaspark.operators.dedup import contamination_overlap
+
+    ev = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(10, "preamble text the secret benchmark answer is forty two exactly trailer"),
+         (11, "completely different words with no shared trigram at all here"),
+         (13, "too short")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_sh"], r["n_hit"], r["contaminated"])
+           for r in contamination_overlap(tr, ev, k=3, threshold_pct=10).collect()}
+    # doc 10: 11 words → 9 shingles, 6 hit (the verbatim eval span) → 67% ≥ 10%
+    assert got[10] == (9, 6, True)
+    assert got[11][1] == 0 and got[11][2] is False
+    assert got[13] == (0, 0, False)
