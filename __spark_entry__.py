@@ -1574,6 +1574,57 @@ FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id
 """
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (training-data hygiene): deterministic synthetic
+    PII spans (email / IPv4 / phone keyed on doc_id residues) are
+    appended in-plan, counted on the raw text, and redacted with typed
+    tokens — all pure JVM Column regex, parity-pinned vs DuckDB RE2."""
+    from gigaspark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" from 10.0."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".1"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit(" call 555-123-4567")).otherwise(F.lit("")))
+    n_email, n_ipv4, n_phone = pii_counts(t)
+    return docs.select(
+        "doc_id", n_email.alias("n_email"), n_ipv4.alias("n_ipv4"),
+        n_phone.alias("n_phone"), redact_pii(t).alias("redacted"))
+
+
+def _sql_pii() -> str:
+    from gigaspark.functions.text import PII_EMAIL, PII_IPV4, PII_PHONE
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+         ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+         THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+         ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{PII_EMAIL}'))::BIGINT AS n_email,
+  len(regexp_extract_all(t, '{PII_IPV4}'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(t, '{PII_PHONE}'))::BIGINT AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(
+      t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+      '{PII_IPV4}', '<IPV4>', 'g'),
+      '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM t
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: training docs (doc_id % 37 != 0)
     checked for word-3-gram overlap against a deterministic eval set
@@ -2483,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "contamination_ngram": q_contamination,
+        "pii_redact": q_pii_redact,
         "search_and_topk": q_search_and,
         "search_or_not_topk": q_search_or_not,
         "search_phrase_topk": q_search_phrase,
@@ -2555,6 +2607,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": SQL_TOKENS,
         "doc_fingerprint": SQL_FINGERPRINT,
         "contamination_ngram": SQL_CONTAMINATION,
+        "pii_redact": _sql_pii(),
         "search_and_topk": SQL_SEARCH_AND,
         "search_or_not_topk": SQL_SEARCH_OR_NOT,
         "search_phrase_topk": SQL_SEARCH_PHRASE,

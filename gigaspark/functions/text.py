@@ -130,3 +130,30 @@ def shingles(c: Column, k: int = 3) -> Column:
                                          for j in range(k)]),
         )
     )
+
+
+# --- PII scrubbing (training-data hygiene) --------------------------------- #
+# Pinned patterns, parity-tested Java-regex ≡ DuckDB-RE2 (same counts and
+# replacements on adversarial samples): emails, dotted-quad IPv4, and
+# NNN[-. ]NNN[-. ]NNNN phone shapes.  Redaction order is fixed
+# (email → ipv4 → phone) so both engines compose identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def pii_counts(c: Column) -> tuple[Column, Column, Column]:
+    """(n_email, n_ipv4, n_phone) occurrence counts — pure Column exprs
+    (JVM regex, codegen); counts are taken on the RAW text, before any
+    redaction, so categories don't shadow each other."""
+    return (F.regexp_count(c, F.lit(PII_EMAIL)).cast("long"),
+            F.regexp_count(c, F.lit(PII_IPV4)).cast("long"),
+            F.regexp_count(c, F.lit(PII_PHONE)).cast("long"))
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace every PII span with a typed token (<EMAIL>/<IPV4>/<PHONE>),
+    applied in the pinned order email → ipv4 → phone."""
+    out = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IPV4>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")

@@ -113,3 +113,27 @@ def test_multimodal_features_roundtrip(spark):
     assert set(ok) == {f"im{i}" for i in range(len(FORMATS))}
     for r in thumbs:
         assert r["w"] == 4 and r["h"] == 4
+
+
+def test_pii_counts_and_redaction(spark):
+    from gigaspark.functions.text import pii_counts, redact_pii
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b%c@ex-ample.co.uk and root@h.io, ip 10.0.0.1, "
+             "call 555-123-4567 or 555.123.4567"),
+         (2, "nothing sensitive: 1.2 v3.4.5 999-99-9999 12345"),
+         (3, "edge 192.168.001.001 and 555 123 4567")],
+        "doc_id long, text string")
+    ne, ni, np_ = pii_counts(F.col("text"))
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", ne.alias("e"), ni.alias("i"), np_.alias("p"),
+        redact_pii(F.col("text")).alias("r")).collect()}
+    assert (got[1]["e"], got[1]["i"], got[1]["p"]) == (2, 1, 2)
+    assert "<EMAIL>" in got[1]["r"] and "<IPV4>" in got[1]["r"] \
+        and "<PHONE>" in got[1]["r"]
+    assert "@" not in got[1]["r"] and "555" not in got[1]["r"]
+    assert (got[2]["e"], got[2]["i"], got[2]["p"]) == (0, 0, 0)
+    assert got[2]["r"] == "nothing sensitive: 1.2 v3.4.5 999-99-9999 12345"
+    # space-separated phone and zero-padded quad both count
+    assert (got[3]["e"], got[3]["i"], got[3]["p"]) == (0, 1, 1)
