@@ -2043,6 +2043,37 @@ GROUP BY p.term, doc_id
 """
 
 
+def q_search_site(spark, sf_dir):
+    """``site:`` restricted retrieval — AND query over the df-rank-3..4
+    terms, limited to the busiest site (most docs, tie site-asc; the
+    restriction is derived in-plan, no driver collect)."""
+    from gigaspark.operators.search import search_site
+
+    postings, terms = _query_terms(spark, sf_dir, 3, 4)
+    docs = _t(spark, sf_dir, "documents")
+    doc_sites = docs.select("doc_id", F.col("source").alias("site"))
+    w = Window.orderBy(F.col("n").desc(), F.col("site").asc())
+    top_site = (doc_sites.groupBy("site").agg(F.count("*").alias("n"))
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1).select("site"))
+    return search_site(postings, terms, doc_sites, top_site, k=10)
+
+
+SQL_SEARCH_SITE = f"""
+WITH {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r BETWEEN 3 AND 4),
+s AS (SELECT source AS site FROM documents GROUP BY source
+      ORDER BY count(*) DESC, site ASC LIMIT 1),
+din AS (SELECT doc_id FROM documents JOIN s ON documents.source = s.site),
+tf AS (SELECT p.term, p.doc_id, count(*) AS tf FROM p JOIN q USING (term)
+       JOIN din USING (doc_id) GROUP BY p.term, p.doc_id)
+SELECT doc_id, score FROM (
+  SELECT doc_id, count(*) AS nm, sum(tf)::BIGINT AS score FROM tf GROUP BY doc_id)
+WHERE nm = (SELECT count(*) FROM q)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_spell_correct(spark, sf_dir):
     """Speller recommendation (``Speller::getRecommendation`` over the
     popularity-ranked unigram dictionary [U][M], pinned rule): for each
@@ -2546,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "postings_tf": q_postings_tf,
         "spell_correct": q_spell_correct,
+        "search_site_topk": q_search_site,
         "siterank_inlinks": q_siterank_inlinks,
         "snippet_extract": q_snippet_extract,
         "respider_due": q_respider_due,
@@ -2619,6 +2651,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": _bpe_sql(),
         "postings_tf": SQL_POSTINGS_TF,
         "spell_correct": SQL_SPELL,
+        "search_site_topk": SQL_SEARCH_SITE,
         "siterank_inlinks": SQL_SITERANK,
         "snippet_extract": SQL_SNIPPET,
         "respider_due": SQL_RESPIDER,

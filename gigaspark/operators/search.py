@@ -419,6 +419,24 @@ def search_ranked_full(postings: DataFrame, terms: DataFrame,
     )
 
 
+def search_site(postings: DataFrame, terms: DataFrame,
+                doc_sites: DataFrame, sites: DataFrame,
+                k: int = 10) -> DataFrame:
+    """``site:`` query operator (Query.cpp field restriction → Posdb
+    site-hash filter [U][M]): AND retrieval restricted to docs whose
+    site is in ``sites`` (a small site-list DataFrame, e.g. one row).
+
+    Plan: the site list broadcasts into the doc→site dim, producing a
+    doc_id allowlist that SEMI-joins the postings before any scoring —
+    the filter lands below the tf aggregation, so the per-term shuffle
+    carries only the restricted site's postings.
+    """
+    docs_in = (doc_sites.join(F.broadcast(sites), "site", "semi")
+               .select("doc_id"))
+    return search_and(postings.join(F.broadcast(docs_in), "doc_id", "semi"),
+                      terms, k)
+
+
 def vocab_freqs(postings: DataFrame) -> DataFrame:
     """(term, freq) — the unigram dictionary with collection frequency
     (Speller.cpp's popularity-ranked dictionary, ``g_speller`` unigram

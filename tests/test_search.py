@@ -155,3 +155,20 @@ def test_spell_correct_popularity_tiebreak(spark):
            for r in spell_correct(vocab, qs, max_dist=1).collect()}
     assert got["caz"] == ("cab", 2)   # cat(2) vs cab(2): freq tie → 'cab' < 'cat'
     assert got["bab"] == ("bat", 2)   # bat(2) vs cab(2): freq tie → 'bat' < 'cab'
+
+
+def test_search_site_restriction(spark):
+    """site: operator keeps only the named site's docs, scored as AND."""
+    from gigaspark.operators.search import search_site
+
+    docs = spark.createDataFrame(
+        [(1, "quick fox", "a.com"), (2, "quick quick fox", "a.com"),
+         (5, "fox fox fox quick", "b.com")],
+        "doc_id long, text string, source string")
+    p = build_postings(docs)
+    terms = spark.createDataFrame([("quick",), ("fox",)], "term string")
+    doc_sites = docs.select("doc_id", F.col("source").alias("site"))
+    only_a = spark.createDataFrame([("a.com",)], "site string")
+    got = [(r["doc_id"], r["score"])
+           for r in search_site(p, terms, doc_sites, only_a, k=10).collect()]
+    assert got == [(2, 3), (1, 2)]   # doc 5 (b.com) excluded despite top score
