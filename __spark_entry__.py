@@ -1574,6 +1574,49 @@ FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Intra-doc repetition stats (Gopher/C4 quality-filter signal):
+    word-bigram totals, distincts, top-gram share — integer-pct, with
+    the pinned ≥30% dup / ≥20% top-gram repetitive flag."""
+    from gigaspark.operators.dedup import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), k=2)
+
+
+SQL_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+idx2 AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+  FROM toks WHERE len(w) >= 2),
+g AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS s, count(*) AS c
+  FROM idx2 GROUP BY doc_id, s),
+agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_grams, count(*)::BIGINT AS n_distinct,
+         max(c)::BIGINT AS top_c
+  FROM g GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_grams, 0) AS n_grams,
+       coalesce(a.n_distinct, 0) AS n_distinct,
+       coalesce(a.top_c, 0) AS top_c,
+       CASE WHEN coalesce(a.n_grams, 0) > 0
+            THEN (100 * (a.n_grams - a.n_distinct)) // a.n_grams
+            ELSE 0 END::BIGINT AS dup_pct,
+       CASE WHEN coalesce(a.n_grams, 0) > 0
+            THEN (100 * a.top_c) // a.n_grams ELSE 0 END::BIGINT AS top_pct,
+       (CASE WHEN coalesce(a.n_grams, 0) > 0
+             THEN (100 * (a.n_grams - a.n_distinct)) // a.n_grams
+             ELSE 0 END >= 30
+        OR CASE WHEN coalesce(a.n_grams, 0) > 0
+                THEN (100 * a.top_c) // a.n_grams ELSE 0 END >= 20)
+         AS repetitive
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrubbing (training-data hygiene): deterministic synthetic
     PII spans (email / IPv4 / phone keyed on doc_id residues) are
@@ -2566,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "contamination_ngram": q_contamination,
         "pii_redact": q_pii_redact,
+        "repetition_stats": q_repetition,
         "search_and_topk": q_search_and,
         "search_or_not_topk": q_search_or_not,
         "search_phrase_topk": q_search_phrase,
@@ -2640,6 +2684,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_FINGERPRINT,
         "contamination_ngram": SQL_CONTAMINATION,
         "pii_redact": _sql_pii(),
+        "repetition_stats": SQL_REPETITION,
         "search_and_topk": SQL_SEARCH_AND,
         "search_or_not_topk": SQL_SEARCH_OR_NOT,
         "search_phrase_topk": SQL_SEARCH_PHRASE,

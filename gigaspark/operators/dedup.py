@@ -301,3 +301,37 @@ def contamination_overlap(docs: DataFrame, eval_docs: DataFrame,
             (F.col("n_hit") > 0)
             & (F.col("n_hit") * 100 >= F.lit(threshold_pct) * F.col("n_sh")))
     )
+
+
+def repetition_stats(docs: DataFrame, k: int = 2,
+                     text_col: str = "text") -> DataFrame:
+    """Intra-document repetition (Gopher/C4-style quality signal): total
+    vs distinct word-k-grams plus the single most-repeated gram's share,
+    all integer-percent (cross-engine exact).  ``repetitive`` pins the
+    filter rule: ≥30% duplicate grams OR one gram ≥20% of the doc.
+
+    Plan: one explode bounded by token count, then a two-level agg —
+    per-(doc, gram) counts with map-side combine, then per-doc rollup;
+    both shuffles key on doc_id(+gram), uniform by construction.
+    """
+    g = (docs.select("doc_id",
+                     F.explode(shingles(F.col(text_col), k)).alias("s"))
+         .groupBy("doc_id", "s").agg(F.count("*").alias("c")))
+    agg = g.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"))
+    out = (docs.select("doc_id").join(agg, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+                   F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+                   F.coalesce("top_c", F.lit(0)).cast("long").alias("top_c")))
+    has = F.col("n_grams") > 0
+    dup_pct = F.when(has, (100 * (F.col("n_grams") - F.col("n_distinct")))
+                     .cast("long") / F.col("n_grams")).otherwise(F.lit(0))
+    top_pct = F.when(has, (100 * F.col("top_c")).cast("long")
+                     / F.col("n_grams")).otherwise(F.lit(0))
+    return (out.withColumn("dup_pct", F.floor(dup_pct).cast("long"))
+            .withColumn("top_pct", F.floor(top_pct).cast("long"))
+            .withColumn("repetitive",
+                        (F.col("dup_pct") >= 30) | (F.col("top_pct") >= 20)))

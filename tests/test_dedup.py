@@ -119,3 +119,21 @@ def test_contamination_overlap(spark):
     assert got[10] == (9, 6, True)
     assert got[11][1] == 0 and got[11][2] is False
     assert got[13] == (0, 0, False)
+
+
+def test_repetition_stats(spark):
+    """hand-computed bigram repetition: stuffed doc flagged, natural
+    doc clean, sub-k doc zeroed."""
+    from gigaspark.operators.dedup import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "buy now buy now buy now buy now"),  # 7 bigrams, 2 distinct
+         (2, "the quick brown fox jumps high"),    # 5 bigrams all distinct
+         (3, "one")],                              # no bigrams
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_distinct"], r["top_c"],
+                         r["dup_pct"], r["top_pct"], r["repetitive"])
+           for r in repetition_stats(docs, k=2).collect()}
+    assert got[1] == (7, 2, 4, 71, 57, True)   # 'buy now' ×4, 'now buy' ×3
+    assert got[2] == (5, 5, 1, 0, 20, True)    # top_pct 20 edges the flag
+    assert got[3] == (0, 0, 0, 0, 0, False)
