@@ -91,6 +91,8 @@ class CrawlConfig:
     err_mod: int = 0                 # >0 → fetch fails iff urlhash48 % err_mod == 0
     retry_wait_ms: int = 60_000      # error retry backoff (oracle step 9)
     site_quota: int = 0              # >0 → per-firstip successful-fetch cap (step 10)
+    unchanged_backoff: bool = False  # step 13 — EDOCUNCHANGED interval doubling
+    backoff_cap: int = 32            # max interval multiplier (power-of-2 ladder)
     ckpt_serialized: "bool | None" = None
     # checkpoint storage: None = size-adaptive (serialized+lz4 once
     # tracked state rows cross session.CKPT_SERIALIZED_MIN_ROWS);
@@ -281,6 +283,9 @@ class CrawlScheduler:
             # error-retry support: fetch failures (oracle step 9) re-enter
             # with errorcount+1 so hastmperror/errorcount>=N rules apply
             T.StructField("errorcount", T.IntegerType()),
+            # step 13 — EDOCUNCHANGED interval multiplier carried across
+            # generations (1 unless unchanged_backoff doubles it)
+            T.StructField("backoff", T.IntegerType()),
         ])
 
     # ------------------------------------------------------------------ #
@@ -309,7 +314,8 @@ class CrawlScheduler:
               .withColumn("is_indexed", F.lit(False))
               .withColumn("percentchangedperday", F.lit(0))
               .withColumn("gen", F.lit(0))
-              .withColumn("due_ms", F.lit(0).cast("long")))
+              .withColumn("due_ms", F.lit(0).cast("long"))
+              .withColumn("backoff", F.lit(1).cast("int")))
         df = apply_url_filters(df, self.rules)
         df = robots_op.eval_allowed(df, self.robots_rules, self.robots_grouped)
         df = df.withColumn(
@@ -620,12 +626,26 @@ class CrawlScheduler:
                    .withColumn("path", path_col(F.col("url")))
                    .drop(*ASSIGN_FIELDS))
             re_ = apply_url_filters(re_, self.rules)
+            # step 13 — EDOCUNCHANGED backoff: an unchanged re-fetch
+            # (gen>0, pinned signal (urlhash48+gen)%3==0) doubles the
+            # carried interval multiplier (capped); change resets to 1
+            if self.cfg.unchanged_backoff:
+                unchanged = ((F.col("gen") > 0)
+                             & ((F.col("urlhash48") + F.col("gen")) % 3 == 0))
+                new_backoff = F.when(
+                    unchanged,
+                    F.least(F.col("backoff") * 2,
+                            F.lit(self.cfg.backoff_cap))).otherwise(F.lit(1))
+            else:
+                new_backoff = F.lit(1)
             obs_r = Observation()
             re_ = (re_.where((F.col("priority") >= 0) & (~F.col("force_delete")))
+                   .withColumn("backoff", new_backoff.cast("int"))
                    .withColumn("added_ms", F.col("spidered_ms"))
                    .withColumn("due_ms", F.col("spidered_ms")
                                + (F.col("spider_freq_days")
-                                  * F.lit(float(MS_PER_DAY))).cast("long"))
+                                  * F.lit(float(MS_PER_DAY))).cast("long")
+                               * F.col("backoff"))
                    .withColumn("gen", (F.col("gen") + 1).cast("int"))
                    .observe(obs_r, F.count(F.lit(1)).alias("n"))
                    .transform(self._ckpt))

@@ -93,6 +93,19 @@ rules; what THIS file independently defines is the scheduling semantics:
         a respider re-fetch by the owner itself is NOT a dup (Gigablast
         dups are cross-docid only).  Precedence: error > redirect > dup
         — a failed or redirected round-trip never observes content.
+
+  unchanged-backoff mode (``unchanged_backoff=True``, requires respider
+  — XmlDoc EDOCUNCHANGED: a re-download whose content hash matches the
+  stored doc skips reindexing and stretches the next spider time
+  [U][M]; change signal pinned deterministic):
+    13. every successful indexed re-fetch observes a pinned change
+        signal: UNCHANGED iff gen > 0 and (urlhash48 + gen) % 3 == 0
+        (a first fetch, gen 0, is always "changed" — the doc is new).
+        The re-entry carries an interval multiplier ``backoff``:
+        unchanged → backoff = min(prev*2, backoff_cap); changed →
+        backoff = 1.  due_ms = spidered + int(spider_freq_days *
+        MS_PER_DAY) * backoff.  Errors and redirects never touch the
+        carried backoff.
 """
 
 from __future__ import annotations
@@ -129,6 +142,7 @@ class Req:
     gen: int = 0
     due_ms: int = 0
     errorcount: int = 0
+    backoff: int = 1
 
 
 @dataclass
@@ -160,12 +174,15 @@ MS_PER_DAY = 86_400_000
 class OracleSim:
     def __init__(self, fix_dir: str, fetch_ms: int = FETCH_MS,
                  respider: bool = False, err_mod: int = 0,
-                 retry_wait_ms: int = 60_000, site_quota: int = 0):
+                 retry_wait_ms: int = 60_000, site_quota: int = 0,
+                 unchanged_backoff: bool = False, backoff_cap: int = 32):
         self.fetch_ms = fetch_ms
         self.respider = respider
         self.err_mod = err_mod
         self.retry_wait_ms = retry_wait_ms
         self.site_quota = site_quota
+        self.unchanged_backoff = unchanged_backoff
+        self.backoff_cap = backoff_cap
         self.site_emitted: dict[int, int] = {}
         self.seeds = _load(fix_dir, "seeds")
         self.link_graph = {r["src_url"]: r["dst_urls"] for r in _load(fix_dir, "link_graph")}
@@ -307,6 +324,7 @@ class OracleSim:
                         max_spiders_per_ip=a["max_spiders_per_ip"],
                         ufn=a["ufn"], gen=req.gen + 1,
                         due_ms=spidered + self.retry_wait_ms, errorcount=ec,
+                        backoff=req.backoff,  # errors never touch backoff
                     )
                     self.frontier[(nxt.firstip, nxt.urlhash48)] = nxt
                     n_retried += 1
@@ -338,6 +356,15 @@ class OracleSim:
                     "percentchangedperday": pct,
                 })
                 if a["priority"] >= 0 and not a["force_delete"]:
+                    # step 13 — EDOCUNCHANGED backoff: an UNCHANGED
+                    # re-fetch (gen>0, pinned signal (urlhash48+gen)%3==0)
+                    # doubles the carried interval multiplier (capped);
+                    # any observed change resets it to 1
+                    if (self.unchanged_backoff and req.gen > 0
+                            and (req.urlhash48 + req.gen) % 3 == 0):
+                        backoff = min(req.backoff * 2, self.backoff_cap)
+                    else:
+                        backoff = 1
                     nxt = Req(
                         url=req.url, host=req.host, path=req.path,
                         firstip=req.firstip, urlhash48=req.urlhash48,
@@ -347,7 +374,9 @@ class OracleSim:
                         harvest_links=a["harvest_links"],
                         max_spiders_per_ip=a["max_spiders_per_ip"],
                         ufn=a["ufn"], gen=req.gen + 1,
-                        due_ms=spidered + int(a["spider_freq_days"] * float(MS_PER_DAY)),
+                        due_ms=spidered
+                        + int(a["spider_freq_days"] * float(MS_PER_DAY)) * backoff,
+                        backoff=backoff,
                     )
                     self.frontier[(nxt.firstip, nxt.urlhash48)] = nxt
                     n_respidered += 1
