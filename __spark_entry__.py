@@ -2175,6 +2175,37 @@ GROUP BY dst
 """
 
 
+def q_pagerank(spark, sf_dir):
+    """Integer-pinned PageRank (5 power iterations) over the same
+    lineitem-derived link graph as `siterank_inlinks` — the scale-path
+    generalization of Tagdb's inlink-count site ranking."""
+    from gigaspark.operators.linkrank import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(F.col("l_orderkey").alias("src"),
+                      F.col("l_partkey").alias("dst")).distinct()
+    return pagerank(edges, n_iter=5)
+
+
+def _sql_pagerank(n_iter: int = 5, scale: int = 1_000_000_000) -> str:
+    parts = [f"""
+WITH edges AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT id, ({scale} // (SELECT n FROM nn))::BIGINT AS r FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+c{i} AS (SELECT dst, sum(r // outdeg) AS s
+         FROM edges JOIN od USING (src) JOIN r{i-1} ON r{i-1}.id = edges.src
+         GROUP BY dst),
+r{i} AS (SELECT id, ({15 * scale} // (100 * (SELECT n FROM nn))
+                     + (85 * coalesce(s, 0)) // 100)::BIGINT AS r
+         FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.id)""")
+    parts.append(f"\nSELECT id, r AS pagerank FROM r{n_iter}")
+    return "".join(parts)
+
+
 def q_respider_due(spark, sf_dir):
     """Respider eligibility (J1 ⋈ W4 → due decision, Spider.cpp::
     scanSpiderdb re-eval [U][H]): latest reply per URL (events as fetch
@@ -2622,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_tf": q_postings_tf,
         "spell_correct": q_spell_correct,
         "search_site_topk": q_search_site,
+        "pagerank": q_pagerank,
         "siterank_inlinks": q_siterank_inlinks,
         "snippet_extract": q_snippet_extract,
         "respider_due": q_respider_due,
@@ -2697,6 +2729,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_tf": SQL_POSTINGS_TF,
         "spell_correct": SQL_SPELL,
         "search_site_topk": SQL_SEARCH_SITE,
+        "pagerank": _sql_pagerank(),
         "siterank_inlinks": SQL_SITERANK,
         "snippet_extract": SQL_SNIPPET,
         "respider_due": SQL_RESPIDER,
