@@ -2086,6 +2086,38 @@ GROUP BY p.term, doc_id
 """
 
 
+def q_search_synonyms(spark, sf_dir):
+    """Synonym-expanded retrieval: the df-rank-3..4 terms expand to
+    their in-vocab plural/singular variants (weight 1 vs 2 for the
+    exact term), scored as weighted OR, top-10."""
+    from gigaspark.operators.search import (expand_synonyms, search_weighted,
+                                            vocab_freqs)
+
+    postings, terms = _query_terms(spark, sf_dir, 3, 4)
+    wterms = expand_synonyms(vocab_freqs(postings), terms)
+    return search_weighted(postings, wterms, k=10)
+
+
+SQL_SEARCH_SYN = f"""
+WITH {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r BETWEEN 3 AND 4),
+v AS (SELECT term, count(*) AS freq FROM p GROUP BY term),
+ex0 AS (
+  SELECT term, 2 AS w FROM q
+  UNION ALL
+  SELECT v.term, 1 AS w FROM v JOIN q ON v.term = q.term || 's'
+  UNION ALL
+  SELECT v.term, 1 AS w FROM v JOIN q
+    ON q.term = v.term || 's' AND length(q.term) > 1),
+ex AS (SELECT term, max(w) AS w FROM ex0 GROUP BY term),
+tf AS (SELECT p.term, doc_id, count(*) AS tf FROM p JOIN ex USING (term)
+       GROUP BY p.term, doc_id)
+SELECT doc_id, sum(tf * w)::BIGINT AS score
+FROM tf JOIN ex USING (term)
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_search_site(spark, sf_dir):
     """``site:`` restricted retrieval — AND query over the df-rank-3..4
     terms, limited to the busiest site (most docs, tie site-asc; the
@@ -2653,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_tf": q_postings_tf,
         "spell_correct": q_spell_correct,
         "search_site_topk": q_search_site,
+        "search_synonyms_topk": q_search_synonyms,
         "pagerank": q_pagerank,
         "siterank_inlinks": q_siterank_inlinks,
         "snippet_extract": q_snippet_extract,
@@ -2729,6 +2762,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_tf": SQL_POSTINGS_TF,
         "spell_correct": SQL_SPELL,
         "search_site_topk": SQL_SEARCH_SITE,
+        "search_synonyms_topk": SQL_SEARCH_SYN,
         "pagerank": _sql_pagerank(),
         "siterank_inlinks": SQL_SITERANK,
         "snippet_extract": SQL_SNIPPET,

@@ -419,6 +419,49 @@ def search_ranked_full(postings: DataFrame, terms: DataFrame,
     )
 
 
+def expand_synonyms(vocab: DataFrame, terms: DataFrame) -> DataFrame:
+    """Synonym expansion (``Synonyms.cpp`` query-term expansion shape
+    [U][M], pinned to corpus-derived morphology): each query term maps
+    to itself at weight 2 plus its plural/singular ``+s``/``-s``
+    variants at weight 1 — but only variants that EXIST in the vocab
+    (Gigablast expands from a dictionary, not blindly).  Output
+    (term, w) deduped by max weight.
+
+    Plan: ``terms`` is tiny → two broadcast equi-joins against one
+    vocab scan (suffix matching is expressed as term = q||'s' so both
+    joins stay hash-joins, never a regex theta-join).
+    """
+    self_w = terms.select("term", F.lit(2).alias("w"))
+    plural = (vocab.join(
+        F.broadcast(terms.select(F.concat(F.col("term"), F.lit("s"))
+                                 .alias("term"))), "term", "semi")
+        .select("term", F.lit(1).alias("w")))
+    singular = (vocab.join(
+        F.broadcast(terms.select(F.expr(
+            "CASE WHEN term LIKE '%s' AND length(term) > 1 "
+            "THEN substring(term, 1, length(term) - 1) END").alias("term"))
+            .where(F.col("term").isNotNull())), "term", "semi")
+        .select("term", F.lit(1).alias("w")))
+    return (self_w.unionByName(plural).unionByName(singular)
+            .groupBy("term").agg(F.max("w").alias("w")))
+
+
+def search_weighted(postings: DataFrame, wterms: DataFrame,
+                    k: int = 10) -> DataFrame:
+    """Weighted-OR retrieval: docs containing any (term, w) entry,
+    scored by Σ tf·w — the synonym-expanded query shape."""
+    tf = term_freqs(postings.join(F.broadcast(wterms.select("term")),
+                                  "term", "semi"))
+    return (
+        tf.join(F.broadcast(wterms), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).cast("long").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
 def search_site(postings: DataFrame, terms: DataFrame,
                 doc_sites: DataFrame, sites: DataFrame,
                 k: int = 10) -> DataFrame:

@@ -172,3 +172,35 @@ def test_search_site_restriction(spark):
     got = [(r["doc_id"], r["score"])
            for r in search_site(p, terms, doc_sites, only_a, k=10).collect()]
     assert got == [(2, 3), (1, 2)]   # doc 5 (b.com) excluded despite top score
+
+
+def test_synonym_expansion_and_weighted_search(spark):
+    """expansion keeps only in-vocab variants; exact term outweighs them."""
+    from gigaspark.operators.search import (expand_synonyms, search_weighted,
+                                            vocab_freqs)
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat cat"), (2, "cats cats cats cats"), (3, "dog dogs")],
+        "doc_id long, text string")
+    p = build_postings(docs)
+    vocab = vocab_freqs(p)
+    terms = spark.createDataFrame([("cat",)], "term string")
+    exp = {r["term"]: r["w"] for r in expand_synonyms(vocab, terms).collect()}
+    assert exp == {"cat": 2, "cats": 1}       # 'dogs' not reachable from 'cat'
+    wterms = expand_synonyms(vocab, terms)
+    got = [(r["doc_id"], r["score"])
+           for r in search_weighted(p, wterms, k=10).collect()]
+    # doc 1: 3 'cat' ×2 = 6; doc 2: 4 'cats' ×1 = 4; exact term wins
+    assert got == [(1, 6), (2, 4)]
+
+
+def test_synonym_singular_strip(spark):
+    """a plural query term expands DOWN to its singular when in vocab."""
+    from gigaspark.operators.search import expand_synonyms, vocab_freqs
+
+    docs = spark.createDataFrame([(1, "dog dogs s")], "doc_id long, text string")
+    vocab = vocab_freqs(build_postings(docs))
+    terms = spark.createDataFrame([("dogs",), ("s",)], "term string")
+    exp = {r["term"]: r["w"] for r in expand_synonyms(vocab, terms).collect()}
+    # 'dogs'→{dogs:2, dog:1}; bare 's' must NOT strip to empty string
+    assert exp == {"dogs": 2, "dog": 1, "s": 2}
