@@ -2185,6 +2185,69 @@ FROM qt LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (qterm)
 """
 
 
+def q_termlist_stats(spark, sf_dir):
+    """Index statistics (PageStats termlist-size report [U][M]): df
+    histogram in log2 buckets — how many terms have 1, 2-3, 4-7, …
+    postings — plus each bucket's df range."""
+    from gigaspark.operators.search import build_postings
+
+    postings = build_postings(_t(spark, sf_dir, "documents"))
+    dfr = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (dfr.groupBy(F.floor(F.log2("df")).cast("int").alias("bucket"))
+            .agg(F.count("*").alias("n_terms"),
+                 F.min("df").alias("min_df"), F.max("df").alias("max_df")))
+
+
+SQL_TERMLIST_STATS = f"""
+WITH {_POSTINGS_CTE}
+SELECT floor(log2(df))::INT AS bucket, count(*)::BIGINT AS n_terms,
+       min(df)::BIGINT AS min_df, max(df)::BIGINT AS max_df
+FROM dfr GROUP BY bucket
+"""
+
+
+def q_latency_percentiles(spark, sf_dir):
+    """Exact discrete percentiles (Statsdb latency report shape [U][M]):
+    p50/p90/p99 of events.value per event_type, picked at rank
+    ceil(p·n/100) in sorted order (integer rank math, raw stored
+    doubles — no float computation, bit-identical cross-engine).
+
+    Scale note: exact percentiles sort every group — at 100 TB the
+    production path is the built-in `approx_percentile` sketch
+    (partial-aggregable, one pass); this exact variant is the oracle-
+    checkable diagnostic for bounded groups."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.col("value").asc(), F.col("event_id").asc()))
+    wn = Window.partitionBy("event_type")
+    r = (ev.select("event_type", "value", "event_id")
+         .withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count("*").over(wn)))
+
+    def pick(p):
+        return F.min(F.when(F.col("rn") * 100 >= p * F.col("n"),
+                            F.col("value")))
+
+    return (r.groupBy("event_type")
+            .agg(F.max("n").alias("n"), pick(50).alias("p50"),
+                 pick(90).alias("p90"), pick(99).alias("p99")))
+
+
+SQL_LATENCY_PCT = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, max(n)::BIGINT AS n,
+       min(CASE WHEN rn * 100 >= 50 * n THEN value END) AS p50,
+       min(CASE WHEN rn * 100 >= 90 * n THEN value END) AS p90,
+       min(CASE WHEN rn * 100 >= 99 * n THEN value END) AS p99
+FROM r GROUP BY event_type
+"""
+
+
 def q_siterank_inlinks(spark, sf_dir):
     """J4/Tagdb — siteNumInlinks → siteRank (Tagdb sitenuminlinks tag +
     XmlDoc siterank bucketing [U][M]): link edges derived from lineitem
@@ -2687,6 +2750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_site_topk": q_search_site,
         "search_synonyms_topk": q_search_synonyms,
         "pagerank": q_pagerank,
+        "termlist_stats": q_termlist_stats,
+        "latency_percentiles": q_latency_percentiles,
         "siterank_inlinks": q_siterank_inlinks,
         "snippet_extract": q_snippet_extract,
         "respider_due": q_respider_due,
@@ -2764,6 +2829,8 @@ def oracle_sql() -> dict[str, str]:
         "search_site_topk": SQL_SEARCH_SITE,
         "search_synonyms_topk": SQL_SEARCH_SYN,
         "pagerank": _sql_pagerank(),
+        "termlist_stats": SQL_TERMLIST_STATS,
+        "latency_percentiles": SQL_LATENCY_PCT,
         "siterank_inlinks": SQL_SITERANK,
         "snippet_extract": SQL_SNIPPET,
         "respider_due": SQL_RESPIDER,
