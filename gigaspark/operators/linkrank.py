@@ -33,13 +33,22 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     ``edges``: (src, dst) DataFrame; self-loops and duplicates should be
     resolved by the caller (dedup upstream keeps the plan honest about
     what one iteration shuffles).
+
+    The static sides (edges⋈outdeg, nodes) and each iteration's rank
+    vector are stable_checkpoint'ed: a lazily unrolled 5-iteration plan
+    re-scans the source per iteration and compounds Catalyst stats (the
+    same pathology the crawl loop hit) — checkpointing caps plan depth
+    at one iteration and scans the input exactly once.
     """
+    from gigaspark.session import stable_checkpoint
+
     nodes = (edges.select(F.col("src").alias("id"))
              .unionByName(edges.select(F.col("dst").alias("id")))
              .distinct())
+    nodes = stable_checkpoint(nodes)
     ncnt = nodes.agg(F.count("*").alias("n"))          # 1 row, broadcast
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ew = edges.join(outdeg, "src")                     # (src, dst, outdeg)
+    ew = stable_checkpoint(edges.join(outdeg, "src"))  # (src, dst, outdeg)
 
     # `div` is true integer floor-toward-zero division on longs in BOTH
     # engines (Spark `DIV`, DuckDB `//`) — float `/`+cast would round
@@ -50,10 +59,11 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
         contrib = (ew.join(r, ew["src"] == r["id"])
                    .select("dst", F.expr("r DIV outdeg").alias("c"))
                    .groupBy("dst").agg(F.sum("c").alias("s")))
-        r = (nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
-             .join(F.broadcast(ncnt))
-             .select("id", F.expr(
-                 f"CAST({15 * scale} AS BIGINT) DIV (100 * n)"
-                 " + (85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100"
-             ).alias("r")))
+        r = stable_checkpoint(
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .join(F.broadcast(ncnt))
+            .select("id", F.expr(
+                f"CAST({15 * scale} AS BIGINT) DIV (100 * n)"
+                " + (85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100"
+            ).alias("r")))
     return r.select("id", F.col("r").alias("pagerank"))
