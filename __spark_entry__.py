@@ -2118,6 +2118,50 @@ GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_search_anchors(spark, sf_dir):
+    """Anchor-text retrieval: a deterministic link graph (doc at
+    doc_id-rank i links to rank (7i+13) mod n) contributes each source
+    doc's first-3-token "anchor" terms to its target; body tf weighs
+    2×, anchor hits 1× (Links.cpp inlink-text indexing [U][M])."""
+    from gigaspark.operators.search import (anchor_postings,
+                                            search_with_anchors)
+
+    postings, terms = _query_terms(spark, sf_dir, 3, 4)
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id").withColumn(
+        "rk", F.row_number().over(Window.orderBy("doc_id")) - 1)
+    ncnt = d.agg(F.count("*").alias("n"))
+    src = (d.join(F.broadcast(ncnt))
+           .select(F.col("doc_id").alias("src"),
+                   ((F.col("rk") * 7 + 13) % F.col("n")).alias("dst_rk")))
+    edges = src.join(d.select(F.col("doc_id").alias("dst"),
+                              F.col("rk").alias("dst_rk")), "dst_rk") \
+               .select("src", "dst")
+    return search_with_anchors(postings, anchor_postings(postings, edges),
+                               terms, k=10)
+
+
+SQL_SEARCH_ANCHORS = f"""
+WITH {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r BETWEEN 3 AND 4),
+d AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk
+      FROM documents),
+nn AS (SELECT count(*) AS n FROM documents),
+e AS (SELECT s.doc_id AS src, t.doc_id AS dst
+      FROM d s CROSS JOIN nn JOIN d t ON t.rk = (s.rk * 7 + 13) % nn.n),
+anch AS (SELECT e.dst AS doc_id, p.term, count(*) AS atf
+         FROM e JOIN p ON p.doc_id = e.src AND p.pos <= 2
+         GROUP BY e.dst, p.term),
+own AS (SELECT doc_id, p.term, count(*) AS tf FROM p JOIN q USING (term)
+        GROUP BY doc_id, p.term),
+sc AS (SELECT doc_id, 2 * tf AS s FROM own
+       UNION ALL
+       SELECT anch.doc_id, atf AS s FROM anch JOIN q USING (term))
+SELECT doc_id, sum(s)::BIGINT AS score FROM sc
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_search_site(spark, sf_dir):
     """``site:`` restricted retrieval — AND query over the df-rank-3..4
     terms, limited to the busiest site (most docs, tie site-asc; the
@@ -2749,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_correct": q_spell_correct,
         "search_site_topk": q_search_site,
         "search_synonyms_topk": q_search_synonyms,
+        "search_anchors_topk": q_search_anchors,
         "pagerank": q_pagerank,
         "termlist_stats": q_termlist_stats,
         "latency_percentiles": q_latency_percentiles,
@@ -2828,6 +2873,7 @@ def oracle_sql() -> dict[str, str]:
         "spell_correct": SQL_SPELL,
         "search_site_topk": SQL_SEARCH_SITE,
         "search_synonyms_topk": SQL_SEARCH_SYN,
+        "search_anchors_topk": SQL_SEARCH_ANCHORS,
         "pagerank": _sql_pagerank(),
         "termlist_stats": SQL_TERMLIST_STATS,
         "latency_percentiles": SQL_LATENCY_PCT,

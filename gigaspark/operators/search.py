@@ -480,6 +480,41 @@ def search_site(postings: DataFrame, terms: DataFrame,
                       terms, k)
 
 
+def anchor_postings(postings: DataFrame, edges: DataFrame,
+                    max_pos: int = 2) -> DataFrame:
+    """Inlink anchor-text postings (``Links.cpp``/Msg25 inlink-text
+    indexing: terms from linking pages index INTO the target doc
+    [U][M]; anchor pinned to the source doc's first ``max_pos+1``
+    tokens).  Output (doc_id, term, atf) where doc_id is the link
+    TARGET.
+
+    Plan: the pos≤k filter prunes the postings scan to a few rows per
+    source doc before the edge join; the join shuffles |edges|-bounded
+    rows keyed by src, then one partial-agg groupBy on the target.
+    """
+    a = postings.where(F.col("pos") <= max_pos).select(
+        F.col("doc_id").alias("src"), "term")
+    return (a.join(edges, "src")
+            .groupBy(F.col("dst").alias("doc_id"), F.col("term"))
+            .agg(F.count("*").alias("atf")))
+
+
+def search_with_anchors(postings: DataFrame, anchors: DataFrame,
+                        terms: DataFrame, k: int = 10) -> DataFrame:
+    """OR retrieval where own-body tf counts double an inlink anchor
+    hit: score = Σ(2·tf) + Σ(atf) (pinned integer weights — Gigablast
+    weights inlink text below body text [U][M])."""
+    own = term_freqs(postings.join(F.broadcast(terms), "term", "semi")) \
+        .select("doc_id", (2 * F.col("tf")).alias("s"))
+    link = anchors.join(F.broadcast(terms), "term", "semi") \
+        .select("doc_id", F.col("atf").alias("s"))
+    return (own.unionByName(link)
+            .groupBy("doc_id").agg(F.sum("s").cast("long").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .select("doc_id", "score"))
+
+
 def vocab_freqs(postings: DataFrame) -> DataFrame:
     """(term, freq) — the unigram dictionary with collection frequency
     (Speller.cpp's popularity-ranked dictionary, ``g_speller`` unigram

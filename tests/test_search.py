@@ -204,3 +204,26 @@ def test_synonym_singular_strip(spark):
     exp = {r["term"]: r["w"] for r in expand_synonyms(vocab, terms).collect()}
     # 'dogs'→{dogs:2, dog:1}; bare 's' must NOT strip to empty string
     assert exp == {"dogs": 2, "dog": 1, "s": 2}
+
+
+def test_anchor_text_retrieval(spark):
+    """inlink anchor terms (src's first tokens) score into the TARGET
+    doc at half the weight of body hits."""
+    from gigaspark.operators.search import (anchor_postings,
+                                            search_with_anchors)
+
+    docs = spark.createDataFrame(
+        [(1, "fox news daily"), (2, "quick brown dog"), (3, "fox fox")],
+        "doc_id long, text string")
+    p = build_postings(docs)
+    # doc1 links to doc2; doc3 links to doc2
+    edges = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    anch = anchor_postings(p, edges, max_pos=2)
+    got = {(r["doc_id"], r["term"]): r["atf"] for r in anch.collect()}
+    # doc2 receives fox/news/daily from doc1 and fox(x2) from doc3
+    assert got[(2, "fox")] == 3 and got[(2, "news")] == 1
+    terms = spark.createDataFrame([("fox",)], "term string")
+    res = [(r["doc_id"], r["score"]) for r in
+           search_with_anchors(p, anch, terms, k=10).collect()]
+    # doc3 body 2×2=4; doc2 anchors 3×1=3; doc1 body 1×2=2
+    assert res == [(3, 4), (2, 3), (1, 2)]
