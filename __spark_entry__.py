@@ -2725,6 +2725,59 @@ FROM sched
 """
 
 
+def q_pack_blocks(spark, sf_dir):
+    """Sequence packing (training-pipeline mandate): docs concatenated in
+    doc_id order into one token stream, chunked into 512-token context
+    blocks; per-doc block span.  Scale shape: two-level exclusive prefix
+    sum (`ordering.with_global_cumsum`) — range shuffle + broadcast
+    offsets, never a single-task global window."""
+    from gigaspark.operators.packing import pack_blocks
+
+    return pack_blocks(_t(spark, sf_dir, "documents"), ctx=512)
+
+
+SQL_PACK = """
+WITH t AS (SELECT doc_id,
+    (CASE WHEN tn = '' THEN 0
+          ELSE len(regexp_split_to_array(tn, ' ')) END)::BIGINT AS n_tokens
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS tn
+        FROM documents)),
+c AS (SELECT doc_id, n_tokens,
+    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_off
+  FROM t WHERE n_tokens > 0)
+SELECT doc_id, n_tokens, start_off,
+  (start_off // 512)::BIGINT AS first_block,
+  ((start_off + n_tokens - 1) // 512)::BIGINT AS last_block,
+  ((start_off + n_tokens - 1) // 512 - start_off // 512 + 1)::BIGINT AS n_blocks
+FROM c
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (training-pipeline mandate):
+    keep a doc iff md5_int('samp:'+doc_id) % 1000 < permille(language
+    stratum) — pure function of the key, so membership is reproducible
+    at any parallelism and needs no RNG state.  Rates pinned: en 10%,
+    de/fr/es 50%, und 25%."""
+    from gigaspark.operators.sampling import stratified_sample
+
+    rates = spark.createDataFrame(
+        [("en", 100), ("de", 500), ("fr", 500), ("es", 500), ("und", 250)],
+        "stratum string, permille int")
+    return stratified_sample(_t(spark, sf_dir, "documents"), rates)
+
+
+def _sql_sample_stratified() -> str:
+    return f"""
+WITH s AS ({_sql_langid()})
+SELECT doc_id, lang_pred AS stratum FROM s
+WHERE ('0x' || substr(md5('samp:' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000
+      < CASE lang_pred WHEN 'en' THEN 100 WHEN 'de' THEN 500
+             WHEN 'fr' THEN 500 WHEN 'es' THEN 500 ELSE 250 END
+"""
+
+
 # =========================================================================== #
 # registry                                                                    #
 # =========================================================================== #
@@ -2794,6 +2847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_site_topk": q_search_site,
         "search_synonyms_topk": q_search_synonyms,
         "search_anchors_topk": q_search_anchors,
+        "pack_blocks": q_pack_blocks,
+        "sample_stratified": q_sample_stratified,
         "pagerank": q_pagerank,
         "termlist_stats": q_termlist_stats,
         "latency_percentiles": q_latency_percentiles,
@@ -2874,6 +2929,8 @@ def oracle_sql() -> dict[str, str]:
         "search_site_topk": SQL_SEARCH_SITE,
         "search_synonyms_topk": SQL_SEARCH_SYN,
         "search_anchors_topk": SQL_SEARCH_ANCHORS,
+        "pack_blocks": SQL_PACK,
+        "sample_stratified": _sql_sample_stratified(),
         "pagerank": _sql_pagerank(),
         "termlist_stats": SQL_TERMLIST_STATS,
         "latency_percentiles": SQL_LATENCY_PCT,

@@ -54,3 +54,43 @@ def with_global_seq(df: DataFrame, order: list[Column], seq_col: str = "seq",
         .withColumn(seq_col, (F.col("_off") + F.col("_pos")).cast("long"))
         .drop("_pid", "_pos", "_off")
     )
+
+
+def with_global_cumsum(df: DataFrame, order: list[Column], weight: str,
+                       cum_col: str = "cum_before",
+                       small_count: int | None = None) -> DataFrame:
+    """Exclusive prefix sum of ``weight`` following the total ``order``
+    (cum_col = Σ weight over all rows strictly before this one).
+
+    Same two-level shape as :func:`with_global_seq` — a bare
+    ``sum() OVER (ORDER BY ...)`` is a single-task window at scale, so
+    past SMALL_THRESHOLD we range-sort, prefix-sum within partitions,
+    and broadcast the per-partition subtotals as offsets.  Output is
+    independent of parallelism because the order key is total.
+    """
+    if small_count is not None and small_count <= SMALL_THRESHOLD:
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+        return df.withColumn(
+            cum_col, F.coalesce(F.sum(weight).over(w), F.lit(0)).cast("long"))
+
+    part = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    part = part.withColumn(
+        "_pcum", F.coalesce(F.sum(weight).over(w), F.lit(0)))
+    sums = part.groupBy("_pid").agg(F.sum(weight).alias("_n"))
+    offsets = sums.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+    return (
+        part.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .withColumn(cum_col, (F.col("_off") + F.col("_pcum")).cast("long"))
+        .drop("_pid", "_pcum", "_off")
+    )
