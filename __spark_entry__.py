@@ -2778,6 +2778,68 @@ WHERE ('0x' || substr(md5('samp:' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000
 """
 
 
+def q_caption_phash_neardup(spark, sf_dir):
+    """Cross-modal image-caption dedup (north-rule input shape,
+    LAION-style): a pair is a dup iff phash hamming ≤ 4 OR captions are
+    byte-equal.  Universe derived deterministically from `documents`:
+    base rows (60-bit md5 phash, 40-char normalized caption) + planted
+    phash-near companions (3 bits flipped, caption rewritten) + planted
+    caption-dup companions (caption verbatim, fresh random phash).
+    Spark side: lossless banded hamming-LSH ∪ md5(caption) equality
+    self-join — never all-pairs; oracle verifies against the all-pairs
+    truth at this scale."""
+    from gigaspark.operators.dedup import image_caption_neardup
+    from gigaspark.functions.text import md5_int
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    cap = F.substring(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 1, 40)
+    ph = F.conv(F.substring(F.md5(F.concat(F.lit("ph:"), did)), 1, 15),
+                16, 10).cast("long")
+    base = docs.select(did.alias("image_id"), cap.alias("caption"),
+                       ph.alias("phash"))
+    src = docs.select(did.alias("k"), cap.alias("caption"), ph.alias("phash"))
+    pdup = (src.where(md5_int(F.concat(F.lit("pd:"), F.col("k"))) % 7 == 0)
+            .select(F.concat(F.lit("p-"), F.col("k")).alias("image_id"),
+                    F.concat(F.col("caption"), F.lit(" alt")).alias("caption"),
+                    F.col("phash").bitwiseXOR(F.lit(0x10401).cast("long"))
+                    .alias("phash")))
+    cdup = (src.where(md5_int(F.concat(F.lit("cd:"), F.col("k"))) % 11 == 3)
+            .select(F.concat(F.lit("c-"), F.col("k")).alias("image_id"),
+                    F.col("caption"),
+                    F.conv(F.substring(
+                        F.md5(F.concat(F.lit("pc:"), F.col("k"))), 1, 15),
+                        16, 10).cast("long").alias("phash")))
+    imgs = base.unionByName(pdup).unionByName(cdup)
+    return image_caption_neardup(imgs, bits=60, n_bands=6, max_dist=4)
+
+
+SQL_CAPTION_PHASH = """
+WITH d AS (
+  SELECT doc_id::VARCHAR AS k,
+         substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 40)
+           AS caption,
+         ('0x' || substr(md5('ph:' || doc_id::VARCHAR), 1, 15))::BIGINT
+           AS phash
+  FROM documents),
+imgs AS (
+  SELECT k AS image_id, caption, phash FROM d
+  UNION ALL
+  SELECT 'p-' || k, caption || ' alt', xor(phash, 66561::BIGINT) FROM d
+  WHERE ('0x' || substr(md5('pd:' || k), 1, 8))::BIGINT % 7 = 0
+  UNION ALL
+  SELECT 'c-' || k, caption,
+         ('0x' || substr(md5('pc:' || k), 1, 15))::BIGINT FROM d
+  WHERE ('0x' || substr(md5('cd:' || k), 1, 8))::BIGINT % 11 = 3)
+SELECT a.image_id AS a_id, b.image_id AS b_id,
+       bit_count(xor(a.phash, b.phash))::INT AS phash_dist,
+       (a.caption = b.caption) AS same_caption
+FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 4 OR a.caption = b.caption
+"""
+
+
 # =========================================================================== #
 # registry                                                                    #
 # =========================================================================== #
@@ -2849,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_anchors_topk": q_search_anchors,
         "pack_blocks": q_pack_blocks,
         "sample_stratified": q_sample_stratified,
+        "caption_phash_neardup": q_caption_phash_neardup,
         "pagerank": q_pagerank,
         "termlist_stats": q_termlist_stats,
         "latency_percentiles": q_latency_percentiles,
@@ -2931,6 +2994,7 @@ def oracle_sql() -> dict[str, str]:
         "search_anchors_topk": SQL_SEARCH_ANCHORS,
         "pack_blocks": SQL_PACK,
         "sample_stratified": _sql_sample_stratified(),
+        "caption_phash_neardup": SQL_CAPTION_PHASH,
         "pagerank": _sql_pagerank(),
         "termlist_stats": SQL_TERMLIST_STATS,
         "latency_percentiles": SQL_LATENCY_PCT,

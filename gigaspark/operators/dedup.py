@@ -335,3 +335,49 @@ def repetition_stats(docs: DataFrame, k: int = 2,
             .withColumn("top_pct", F.floor(top_pct).cast("long"))
             .withColumn("repetitive",
                         (F.col("dup_pct") >= 30) | (F.col("top_pct") >= 20)))
+
+
+def image_caption_neardup(imgs: DataFrame, id_col: str = "image_id",
+                          phash_col: str = "phash",
+                          caption_col: str = "caption",
+                          bits: int = 60, n_bands: int = 6,
+                          max_dist: int = 4) -> DataFrame:
+    """Cross-modal near-dup pairs over image+caption rows (the
+    north-rule input shape: image_id, ..., caption, phash): a pair is a
+    duplicate iff the perceptual hashes are within ``max_dist`` hamming
+    bits OR the captions are byte-equal — LAION-style pipelines dedup on
+    either signal, since re-encoded images drift the phash while scraped
+    captions survive verbatim, and cropped images keep the phash while
+    captions get rewritten.
+
+    Scale shape: the phash side is the LOSSLESS banded hamming-LSH
+    (:func:`hamming_neardup_pairs`); the caption side is an equality
+    self-join on md5(caption) — a uniform bucketed key whose bucket
+    sizes are true dup-group sizes.  Neither side is all-pairs; the
+    merge is a groupBy on the (a_id, b_id) pair key.
+
+    Output: (a_id, b_id, phash_dist int, same_caption boolean),
+    a_id < b_id.
+    """
+    sigs = imgs.select(F.col(id_col).alias("_id"),
+                       F.col(phash_col).alias("_ph"),
+                       F.md5(F.col(caption_col)).alias("_ck"))
+    ph = hamming_neardup_pairs(
+        sigs.select("_id", "_ph"), "_id", "_ph",
+        bits=bits, n_bands=n_bands, max_dist=max_dist
+    ).select("a_id", "b_id", "dist", F.lit(False).alias("same_caption"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cap = (
+        a.join(b, "_ck")
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"),
+                F.bit_count(F.col("a._ph").bitwiseXOR(F.col("b._ph")))
+                .cast("int").alias("dist"),
+                F.lit(True).alias("same_caption"))
+    )
+    return (
+        ph.unionByName(cap)
+        .groupBy("a_id", "b_id")
+        .agg(F.min("dist").cast("int").alias("phash_dist"),
+             F.max("same_caption").alias("same_caption"))
+    )
