@@ -85,21 +85,27 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra: dict[str, str] | None = None,
+    cluster: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
-    ``cores`` defaults to $SPARK_GRAFT_CPUS or 32 (sandbox); on a real
-    cluster this builder is used without ``master`` and the resource
-    manager decides.  ``shuffle_partitions`` defaults to 2×cores locally —
-    at cluster scale you would size it so post-shuffle partitions are
-    100–200 MB (AQE coalescing trims the excess either way).
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or 32 (sandbox); with
+    ``cluster=True`` (the ``spark-submit --py-files`` path,
+    tools/submit_drain.py) no ``master``/``driver.memory`` is set — the
+    resource manager decides.  ``shuffle_partitions`` defaults to
+    2×cores locally — at cluster scale you would size it so
+    post-shuffle partitions are 100–200 MB (AQE coalescing trims the
+    excess either way).
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
+    b = SparkSession.builder.appName(app)
+    if not cluster:
+        b = b.master(f"local[{cores}]") \
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     b = (
-        SparkSession.builder.appName(app)
-        .master(f"local[{cores}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -107,7 +113,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.rdd.compress", os.environ.get("GIGASPARK_RDD_COMPRESS", "true"))
     )
     if extra:

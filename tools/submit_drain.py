@@ -1,0 +1,81 @@
+"""spark-submit entrypoint for the frontier drain (north_rule run mode).
+
+Ships ONLY with the ``--py-files`` zip — imports nothing from the repo
+root, so the same command works on a real multi-executor cluster:
+
+    python tools/make_pyfiles.py
+    spark-submit --master <cluster> --py-files dist/gigaspark.zip \\
+        tools/submit_drain.py --sf-dir <parquet_dir> --rounds 2
+
+The two-cluster-size criterion (N vs 4N executors, efficiency >= 0.8)
+is this same command at two ``--num-executors`` values; the sandbox
+analogue pins cores instead (tools/bench_scaling.py, BASELINE.md).
+
+Prints one JSON line: {"urls_scheduled": N, "wall_s": s, "urls_per_sec": r}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--hosts", type=int, default=4096)
+    ap.add_argument("--local-cores", type=int, default=0,
+                    help="(sandbox only) run local[N] instead of cluster")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from gigaspark.operators.frontier import CrawlConfig, CrawlScheduler
+    from gigaspark.session import get_spark
+
+    if args.local_cores:
+        spark = get_spark("gigaspark-submit", cores=args.local_cores,
+                          shuffle_partitions=2 * args.local_cores)
+    else:
+        spark = get_spark("gigaspark-submit", cluster=True)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    orders = spark.read.parquet(f"{args.sf_dir}/orders.parquet")
+    seeds = orders.select(
+        F.concat(F.lit("http://host"),
+                 (F.col("o_custkey") % args.hosts).cast("string"),
+                 F.lit(".example/p/"),
+                 F.col("o_orderkey").cast("string")).alias("url"),
+        (F.col("o_orderkey") % 1000).alias("added_time_ms"),
+        F.lit(True).alias("is_seed"))
+    fixtures = {
+        "url_filters": spark.createDataFrame(
+            [(0, "isseed", 80, 30.0, 8, 100, False, False),
+             (1, "default", 50, 30.0, 4, 100, False, False)],
+            "rule_idx int, expression string, priority int,"
+            " spider_freq_days double, max_spiders_per_ip int,"
+            " same_ip_wait_ms long, harvest_links boolean,"
+            " force_delete boolean"),
+        "robots": spark.createDataFrame(
+            [(f"host{h}.example", "*", "disallow", "/private",
+              0 if h % 5 else 500) for h in range(args.hosts)],
+            "host string, user_agent string, rule_type string,"
+            " path_prefix string, crawl_delay_ms long"),
+        "link_graph": spark.createDataFrame(
+            [], "src_url string, dst_urls array<string>"),
+    }
+    t0 = time.time()
+    sched = CrawlScheduler(spark, fixtures, CrawlConfig(use_bloom=True))
+    sched.seed(seeds)
+    n = 0
+    for _ in range(args.rounds):
+        n += sched.run_round()
+    dt = time.time() - t0
+    print(json.dumps({"urls_scheduled": n, "wall_s": round(dt, 3),
+                      "urls_per_sec": round(n / dt, 1)}))
+
+
+if __name__ == "__main__":
+    main()
