@@ -26,6 +26,10 @@ def main() -> None:
     ap.add_argument("--sf-dir", required=True)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--hosts", type=int, default=4096)
+    ap.add_argument("--repl", type=int, default=1,
+                    help="explode each seed URL x repl (scaling runs)")
+    ap.add_argument("--warm", action="store_true",
+                    help="one warm-up round on a 20k sample before t0")
     ap.add_argument("--local-cores", type=int, default=0,
                     help="(sandbox only) run local[N] instead of cluster")
     args = ap.parse_args()
@@ -43,12 +47,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     orders = spark.read.parquet(f"{args.sf_dir}/orders.parquet")
-    seeds = orders.select(
+    base = orders.select(
+        "o_orderkey", "o_custkey",
+        F.explode(F.sequence(F.lit(0), F.lit(args.repl - 1))).alias("j"))
+    seeds = base.select(
         F.concat(F.lit("http://host"),
-                 (F.col("o_custkey") % args.hosts).cast("string"),
-                 F.lit(".example/p/"),
-                 F.col("o_orderkey").cast("string")).alias("url"),
-        (F.col("o_orderkey") % 1000).alias("added_time_ms"),
+                 ((F.col("o_custkey") * args.repl + F.col("j"))
+                  % args.hosts).cast("string"),
+                 F.lit(".example/p/"), F.col("o_orderkey").cast("string"),
+                 F.lit("/"), F.col("j").cast("string")).alias("url"),
+        ((F.col("o_orderkey") + F.col("j")) % 1000).alias("added_time_ms"),
         F.lit(True).alias("is_seed"))
     fixtures = {
         "url_filters": spark.createDataFrame(
@@ -66,15 +74,25 @@ def main() -> None:
         "link_graph": spark.createDataFrame(
             [], "src_url string, dst_urls array<string>"),
     }
+    cfg = CrawlConfig(use_bloom=True)
+    if args.warm:
+        seeds = seeds.localCheckpoint(eager=True)
+        warm = CrawlScheduler(spark, fixtures, cfg)
+        warm.seed(seeds.limit(20000))
+        warm.run_round()
     t0 = time.time()
-    sched = CrawlScheduler(spark, fixtures, CrawlConfig(use_bloom=True))
+    sched = CrawlScheduler(spark, fixtures, cfg)
     sched.seed(seeds)
     n = 0
     for _ in range(args.rounds):
         n += sched.run_round()
     dt = time.time() - t0
+    em = sched.emitted_df().select("seq", "urlhash48", "scheduled_time_ms")
+    h = em.selectExpr(
+        "bit_xor(xxhash64(seq, urlhash48, scheduled_time_ms)) AS h"
+    ).collect()[0][0]
     print(json.dumps({"urls_scheduled": n, "wall_s": round(dt, 3),
-                      "urls_per_sec": round(n / dt, 1)}))
+                      "urls_per_sec": round(n / dt, 1), "order_hash": h}))
 
 
 if __name__ == "__main__":
