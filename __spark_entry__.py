@@ -2815,6 +2815,39 @@ def q_caption_phash_neardup(spark, sf_dir):
     return image_caption_neardup(imgs, bits=60, n_bands=6, max_dist=4)
 
 
+def q_search_numeric_range(spark, sf_dir):
+    """Gigablast numeric field operators gbmin:/gbmax:/gbsortby:
+    (PosdbTable numeric termlists over JSON fields [U][M]): restrict to
+    a type term plus a numeric range on a JSON-extracted field, then
+    sort by a numeric column with a pinned docid tie-break (stable
+    pagination).  All JVM-side: JsonToStructs + filter + the bounded
+    TakeOrderedAndProject top-k; the range predicate sits above the scan
+    so only (event_type, props, value, event_id) columns are read."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        e.select(F.col("event_id").alias("event_id"),
+                 F.col("event_type"), k.alias("k"),
+                 F.col("value").cast("decimal(18,2)").alias("value"))
+        .where((F.col("event_type") == "click")
+               & F.col("k").between(20, 80))
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(20)
+    )
+
+
+SQL_SEARCH_NUMRANGE = """
+SELECT event_id, event_type,
+       json_extract(props, '$.k')::INT AS k,
+       value::DECIMAL(18,2) AS value
+FROM events
+WHERE event_type = 'click'
+  AND json_extract(props, '$.k')::INT BETWEEN 20 AND 80
+ORDER BY value::DECIMAL(18,2) DESC, event_id ASC
+LIMIT 20
+"""
+
+
 SQL_CAPTION_PHASH = """
 WITH d AS (
   SELECT doc_id::VARCHAR AS k,
@@ -2912,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_blocks": q_pack_blocks,
         "sample_stratified": q_sample_stratified,
         "caption_phash_neardup": q_caption_phash_neardup,
+        "search_numeric_range": q_search_numeric_range,
         "pagerank": q_pagerank,
         "termlist_stats": q_termlist_stats,
         "latency_percentiles": q_latency_percentiles,
@@ -2995,6 +3029,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_blocks": SQL_PACK,
         "sample_stratified": _sql_sample_stratified(),
         "caption_phash_neardup": SQL_CAPTION_PHASH,
+        "search_numeric_range": SQL_SEARCH_NUMRANGE,
         "pagerank": _sql_pagerank(),
         "termlist_stats": SQL_TERMLIST_STATS,
         "latency_percentiles": SQL_LATENCY_PCT,
