@@ -35,6 +35,7 @@ HEADLINE = [
     "simhash32", "ann_cosine_topk", "text_quality", "dedup_embedding",
     "respider_due", "search_ranked_topk", "c3_domains",
     "search_bm25_topk", "ann_pq_topk", "bpe_tokens",
+    "pack_blocks", "caption_phash_neardup",
 ]
 
 

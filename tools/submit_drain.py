@@ -58,6 +58,12 @@ def main() -> None:
                  F.lit("/"), F.col("j").cast("string")).alias("url"),
         ((F.col("o_orderkey") + F.col("j")) % 1000).alias("added_time_ms"),
         F.lit(True).alias("is_seed"))
+    # a small seed parquet arrives as one split; after the x repl explode
+    # the whole canonicalize/hash/filter pipeline would run on that one
+    # task no matter how many executors exist (measured: local[8] ==
+    # local[2] wall).  Spread the input across the shuffle width first.
+    seeds = seeds.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")))
     fixtures = {
         "url_filters": spark.createDataFrame(
             [(0, "isseed", 80, 30.0, 8, 100, False, False),
