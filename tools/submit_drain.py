@@ -30,6 +30,11 @@ def main() -> None:
                     help="explode each seed URL x repl (scaling runs)")
     ap.add_argument("--warm", action="store_true",
                     help="one warm-up round on a 20k sample before t0")
+    ap.add_argument("--max-spiders", type=int, default=8,
+                    help="max_spiders_per_ip for the default rule")
+    ap.add_argument("--ckpt-serialized", action="store_true",
+                    help="serialized lz4 checkpoints from round 0 "
+                         "(DRAM-bound big-state regime, see session.py)")
     ap.add_argument("--local-cores", type=int, default=0,
                     help="(sandbox only) run local[N] instead of cluster")
     args = ap.parse_args()
@@ -64,10 +69,11 @@ def main() -> None:
     # local[2] wall).  Spread the input across the shuffle width first.
     seeds = seeds.repartition(
         int(spark.conf.get("spark.sql.shuffle.partitions")))
+    ms = args.max_spiders
     fixtures = {
         "url_filters": spark.createDataFrame(
-            [(0, "isseed", 80, 30.0, 8, 100, False, False),
-             (1, "default", 50, 30.0, 4, 100, False, False)],
+            [(0, "isseed", 80, 30.0, ms, 100, False, False),
+             (1, "default", 50, 30.0, max(ms // 2, 1), 100, False, False)],
             "rule_idx int, expression string, priority int,"
             " spider_freq_days double, max_spiders_per_ip int,"
             " same_ip_wait_ms long, harvest_links boolean,"
@@ -80,7 +86,8 @@ def main() -> None:
         "link_graph": spark.createDataFrame(
             [], "src_url string, dst_urls array<string>"),
     }
-    cfg = CrawlConfig(use_bloom=True)
+    cfg = CrawlConfig(use_bloom=True,
+                      ckpt_serialized=args.ckpt_serialized or None)
     if args.warm:
         seeds = seeds.localCheckpoint(eager=True)
         warm = CrawlScheduler(spark, fixtures, cfg)
