@@ -2778,6 +2778,39 @@ WHERE ('0x' || substr(md5('samp:' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000
 """
 
 
+def q_sample_weighted_repeat(spark, sf_dir):
+    """Deterministic weighted oversampling (training-pipeline mandate,
+    "epoch mixing"): repeat each doc floor(w/1000) times plus one iff
+    md5_int('rep:'+doc_id) % 1000 < w % 1000, w per language stratum
+    (en x2.25, de x0.5, und x1.0).  Integer arithmetic end to end; no
+    RNG, no corpus shuffle (broadcast weights + per-row explode)."""
+    from gigaspark.operators.sampling import repeat_weighted
+
+    weights = spark.createDataFrame(
+        [("en", 2250), ("de", 500), ("fr", 1000), ("es", 1000),
+         ("und", 1000)],
+        "stratum string, w_permille int")
+    return repeat_weighted(_t(spark, sf_dir, "documents"), weights)
+
+
+def _sql_sample_weighted_repeat() -> str:
+    return f"""
+WITH s AS ({_sql_langid()}),
+w(stratum, w_permille) AS (VALUES ('en', 2250), ('de', 500), ('fr', 1000),
+                                  ('es', 1000), ('und', 1000)),
+r AS (
+  SELECT doc_id, lang_pred AS stratum, w_permille,
+         (w_permille // 1000)
+         + CASE WHEN ('0x' || substr(md5('rep:' || doc_id::VARCHAR), 1, 8))
+                     ::BIGINT % 1000 < w_permille % 1000
+                THEN 1 ELSE 0 END AS reps
+  FROM s JOIN w ON w.stratum = s.lang_pred)
+SELECT doc_id, stratum,
+       unnest(generate_series(0, reps - 1))::INT AS copy_idx
+FROM r WHERE reps > 0
+"""
+
+
 def q_caption_phash_neardup(spark, sf_dir):
     """Cross-modal image-caption dedup (north-rule input shape,
     LAION-style): a pair is a dup iff phash hamming ≤ 4 OR captions are
@@ -2944,6 +2977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_anchors_topk": q_search_anchors,
         "pack_blocks": q_pack_blocks,
         "sample_stratified": q_sample_stratified,
+        "sample_weighted_repeat": q_sample_weighted_repeat,
         "caption_phash_neardup": q_caption_phash_neardup,
         "search_numeric_range": q_search_numeric_range,
         "pagerank": q_pagerank,
@@ -3028,6 +3062,7 @@ def oracle_sql() -> dict[str, str]:
         "search_anchors_topk": SQL_SEARCH_ANCHORS,
         "pack_blocks": SQL_PACK,
         "sample_stratified": _sql_sample_stratified(),
+        "sample_weighted_repeat": _sql_sample_weighted_repeat(),
         "caption_phash_neardup": SQL_CAPTION_PHASH,
         "search_numeric_range": SQL_SEARCH_NUMRANGE,
         "pagerank": _sql_pagerank(),

@@ -39,3 +39,30 @@ def stratified_sample(docs: DataFrame, rates: DataFrame,
     return (d.join(F.broadcast(rates), "stratum")
             .where(keep)
             .select("doc_id", "stratum"))
+
+
+def repeat_weighted(docs: DataFrame, weights: DataFrame,
+                    salt: str = "rep") -> DataFrame:
+    """Deterministic fractional oversampling for mix weighting ("epoch
+    math": see a weight-2.25 stratum 2-3 times per epoch).  ``weights``:
+    (stratum string, w_permille int) — e.g. 2250 = x2.25.  Each doc
+    repeats ``w//1000`` times plus one more iff its hash bucket falls
+    under ``w % 1000`` — integer arithmetic end to end, membership and
+    copy count a pure function of the key, so the emitted multiset is
+    reproducible at any parallelism and the expected stratum mass is
+    exactly w/1000.
+
+    Scale: broadcast weight table, per-row explode — no shuffle on the
+    corpus.  Output: (doc_id, stratum, copy_idx) with copy_idx in
+    [0, reps).
+    """
+    d = docs.select("doc_id", langid(F.col("text")).alias("stratum"))
+    j = d.join(F.broadcast(weights), "stratum")
+    extra = (sample_hash_col(F.col("doc_id"), salt)
+             < F.col("w_permille") % 1000).cast("int")
+    reps = (F.floor(F.col("w_permille") / 1000) + extra).cast("int")
+    return (j.withColumn("_reps", reps)
+            .where(F.col("_reps") > 0)
+            .select("doc_id", "stratum",
+                    F.explode(F.sequence(F.lit(0), F.col("_reps") - 1))
+                    .alias("copy_idx")))

@@ -48,3 +48,33 @@ def test_hash_bucket_range_and_salt(spark):
                       F.sum((F.col("b") != F.col("b2")).cast("int"))).collect()[0]
     assert agg[0] >= 0 and agg[1] < 1000
     assert agg[2] > 900  # different salt -> (almost surely) different buckets
+
+
+def test_weighted_repeat_counts(spark):
+    from gigaspark.operators.sampling import repeat_weighted
+
+    docs = _docs(spark, 4_000)  # 2000 'en', 2000 'und'
+    weights = spark.createDataFrame([("en", 2250), ("und", 400)],
+                                    "stratum string, w_permille int")
+    out = repeat_weighted(docs, weights)
+    counts = {r["stratum"]: r["n"] for r in
+              out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    # en: 2000 docs x 2.25 expected ~4500; und: 2000 x 0.4 ~800
+    assert abs(counts["en"] - 4500) < 200
+    assert abs(counts["und"] - 800) < 150
+    # copy_idx dense per doc: max(copy_idx)+1 == per-doc count
+    bad = (out.groupBy("doc_id")
+           .agg(F.count("*").alias("n"), (F.max("copy_idx") + 1).alias("m"))
+           .where(F.col("n") != F.col("m")).count())
+    assert bad == 0
+
+
+def test_weighted_repeat_parallelism_invariant(spark):
+    from gigaspark.operators.sampling import repeat_weighted
+
+    docs = _docs(spark, 1_000)
+    weights = spark.createDataFrame([("en", 1500), ("und", 700)],
+                                    "stratum string, w_permille int")
+    a = sorted(map(tuple, repeat_weighted(docs.repartition(2), weights).collect()))
+    b = sorted(map(tuple, repeat_weighted(docs.repartition(13), weights).collect()))
+    assert a == b
