@@ -2754,6 +2754,39 @@ FROM c
 """
 
 
+def q_pack_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle of the packed context
+    blocks: each block id from pack_blocks gets shuffle_pos = rank of
+    md5('shuf:'+block_id) — a reproducible pseudo-random permutation
+    (no rand(), stable across retries/parallelism), assigned with the
+    two-level global-sequence pattern (range shuffle + broadcast
+    offsets), never a single-task window."""
+    from gigaspark.operators.ordering import with_global_seq
+    from gigaspark.operators.packing import pack_blocks
+
+    blocks = (
+        pack_blocks(_t(spark, sf_dir, "documents"), ctx=512)
+        .select(F.explode(F.sequence("first_block", "last_block"))
+                .alias("block_id"))
+        .distinct()
+        .withColumn("k", F.md5(F.concat(F.lit("shuf:"),
+                                        F.col("block_id").cast("string"))))
+    )
+    return (with_global_seq(blocks, [F.col("k").asc()], "shuffle_pos")
+            .select("block_id", "shuffle_pos"))
+
+
+SQL_PACK_SHUFFLE = """
+WITH p AS ({pack}),
+b AS (SELECT DISTINCT unnest(generate_series(first_block, last_block))
+        AS block_id FROM p)
+SELECT block_id,
+       (row_number() OVER (ORDER BY md5('shuf:' || block_id::VARCHAR)) - 1)
+         ::BIGINT AS shuffle_pos
+FROM b
+"""
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling (training-pipeline mandate):
     keep a doc iff md5_int('samp:'+doc_id) % 1000 < permille(language
@@ -2976,6 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_synonyms_topk": q_search_synonyms,
         "search_anchors_topk": q_search_anchors,
         "pack_blocks": q_pack_blocks,
+        "pack_shuffle": q_pack_shuffle,
         "sample_stratified": q_sample_stratified,
         "sample_weighted_repeat": q_sample_weighted_repeat,
         "caption_phash_neardup": q_caption_phash_neardup,
@@ -3061,6 +3095,7 @@ def oracle_sql() -> dict[str, str]:
         "search_synonyms_topk": SQL_SEARCH_SYN,
         "search_anchors_topk": SQL_SEARCH_ANCHORS,
         "pack_blocks": SQL_PACK,
+        "pack_shuffle": SQL_PACK_SHUFFLE.format(pack=SQL_PACK),
         "sample_stratified": _sql_sample_stratified(),
         "sample_weighted_repeat": _sql_sample_weighted_repeat(),
         "caption_phash_neardup": SQL_CAPTION_PHASH,
