@@ -2292,6 +2292,77 @@ FROM r GROUP BY event_type
 """
 
 
+def q_facet_ranges(spark, sf_dir):
+    """A5+ — numeric RANGE facets (Msg40 gbfacetint/gbfacetfloat bucket
+    stats [U][M]): fixed-width value buckets per event_type with count
+    and raw min/max (no float computation — stored doubles only).
+    Single groupBy on (type, bucket) — map-side combinable, uniform."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type",
+                       F.floor(F.col("value") / 10).cast("long")
+                       .alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min("value").alias("lo"), F.max("value").alias("hi"))
+            .orderBy("event_type", "bucket"))
+
+
+SQL_FACET_RANGES = """
+SELECT event_type, floor(value / 10)::BIGINT AS bucket,
+       count(*)::BIGINT AS n, min(value) AS lo, max(value) AS hi
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_frontier_skew_stats(spark, sf_dir):
+    """Ops diagnostic behind the skew knob (SpiderColl per-IP load /
+    Statsdb [U][M]): distribution of frontier rows per host over a
+    planted megahost universe (one host holds ~30%) — host count, exact
+    p50/p99 via integer rank-pick, max, and max-share permille.  This
+    is the query an operator runs before turning on tournament_salts."""
+    o = _t(spark, sf_dir, "orders")
+    host = F.when(F.col("o_orderkey") % 10 < 3, F.lit("megahost")) \
+            .otherwise(F.concat(F.lit("h"),
+                                (F.col("o_custkey") % 997).cast("string")))
+    cnt = o.groupBy(host.alias("host")).agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("c").asc(), F.col("host").asc())
+    r = (cnt.withColumn("rn", F.row_number().over(w))
+         .withColumn("nh", F.count("*").over(Window.partitionBy()))
+         .withColumn("tot", F.sum("c").over(Window.partitionBy())))
+
+    def pick(p):
+        return F.min(F.when(F.col("rn") * 100 >= p * F.col("nh"),
+                            F.col("c")))
+
+    return (r.agg(
+        F.max("nh").cast("long").alias("n_hosts"),
+        pick(50).cast("long").alias("p50"),
+        pick(99).cast("long").alias("p99"),
+        F.max("c").cast("long").alias("max_n"),
+        F.max("tot").alias("_tot"))
+        .withColumn("max_share_permille",
+                    F.expr("CAST((1000 * max_n) DIV _tot AS BIGINT)"))
+        .drop("_tot"))
+
+
+SQL_FRONTIER_SKEW = """
+WITH cnt AS (
+  SELECT CASE WHEN o_orderkey % 10 < 3 THEN 'megahost'
+              ELSE 'h' || (o_custkey % 997)::VARCHAR END AS host,
+         count(*) AS c
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c ASC, host ASC) AS rn,
+         count(*) OVER () AS nh, sum(c) OVER () AS tot
+  FROM cnt)
+SELECT max(nh)::BIGINT AS n_hosts,
+       min(CASE WHEN rn * 100 >= 50 * nh THEN c END)::BIGINT AS p50,
+       min(CASE WHEN rn * 100 >= 99 * nh THEN c END)::BIGINT AS p99,
+       max(c)::BIGINT AS max_n,
+       (1000 * max(c) // max(tot))::BIGINT AS max_share_permille
+FROM r
+"""
+
+
 def q_siterank_inlinks(spark, sf_dir):
     """J4/Tagdb — siteNumInlinks → siteRank (Tagdb sitenuminlinks tag +
     XmlDoc siterank bucketing [U][M]): link edges derived from lineitem
@@ -3017,6 +3088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "termlist_stats": q_termlist_stats,
         "latency_percentiles": q_latency_percentiles,
+        "facet_ranges": q_facet_ranges,
+        "frontier_skew_stats": q_frontier_skew_stats,
         "siterank_inlinks": q_siterank_inlinks,
         "snippet_extract": q_snippet_extract,
         "respider_due": q_respider_due,
@@ -3103,6 +3176,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(),
         "termlist_stats": SQL_TERMLIST_STATS,
         "latency_percentiles": SQL_LATENCY_PCT,
+        "facet_ranges": SQL_FACET_RANGES,
+        "frontier_skew_stats": SQL_FRONTIER_SKEW,
         "siterank_inlinks": SQL_SITERANK,
         "snippet_extract": SQL_SNIPPET,
         "respider_due": SQL_RESPIDER,
