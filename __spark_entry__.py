@@ -2515,14 +2515,16 @@ WHERE strpos(_p, ' ' || term || ' ') > 0
 
 def q_multimodal_features(spark, sf_dir):
     """Image feature extraction over a deterministically synthesized
-    binary-column table (ppm/png/qnt/jpg/gif codecs) via one mapInPandas
-    pass; rows-only driver check (decode is not SQL-expressible)."""
+    binary-column table (ppm/png/qnt/jpg/gif/bmp/ico codecs) via one
+    mapInPandas pass; rows-only driver check (decode is not
+    SQL-expressible)."""
     import numpy as np
 
     from gigaspark.functions.images import FORMATS, encode_image
     from gigaspark.operators.multimodal import extract_features
 
-    fmts = list(FORMATS) + ["gif"]  # 16x16=256 px → ≤256 colors → encodable
+    # 16x16=256 px → ≤256 colors → gif-encodable
+    fmts = list(FORMATS) + ["gif", "bmp", "ico"]
     rows = []
     for i in range(120):
         rng = np.random.default_rng(1000 + i)

@@ -144,14 +144,39 @@ def _encode_jpg_420(pix: np.ndarray) -> bytes:
 # "jpg420" = baseline with 4:2:0 chroma — all on the ENCODE side only;
 # decode dispatches on the container itself (RIFF chunk id / SOF
 # marker / SOF sampling bytes)
+def _encode_bmp(pix):
+    from gigaspark.functions.bmp import encode_bmp
+
+    return encode_bmp(pix)
+
+
+def _decode_bmp(data):
+    from gigaspark.functions.bmp import decode_bmp
+
+    return decode_bmp(data)
+
+
+def _encode_ico(pix):
+    from gigaspark.functions.bmp import encode_ico
+
+    return encode_ico(pix)
+
+
+def _decode_ico(data):
+    from gigaspark.functions.bmp import decode_ico
+
+    return decode_ico(data)
+
+
 _ENC = {"ppm": encode_ppm, "png": encode_png, "qnt": encode_qnt,
         "jpg": _encode_jpg, "jpeg": _encode_jpg, "gif": _encode_gif,
         "webp": _encode_webp, "webpv": _encode_webp_lossy,
-        "jpgp": _encode_jpg_progressive, "jpg420": _encode_jpg_420}
+        "jpgp": _encode_jpg_progressive, "jpg420": _encode_jpg_420,
+        "bmp": _encode_bmp, "ico": _encode_ico}
 _DEC = {"ppm": decode_ppm, "png": decode_png, "qnt": decode_qnt,
         "jpg": _decode_jpg, "jpeg": _decode_jpg, "gif": _decode_gif,
         "webp": _decode_webp, "webpv": _decode_webp, "jpgp": _decode_jpg,
-        "jpg420": _decode_jpg}
+        "jpg420": _decode_jpg, "bmp": _decode_bmp, "ico": _decode_ico}
 
 
 def encode_image(fmt: str, pix: np.ndarray) -> bytes:

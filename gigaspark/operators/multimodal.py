@@ -74,7 +74,8 @@ def decode_stub(fmt: str, data: bytes) -> np.ndarray:
     module's header).  "webpv" selects the lossy flavor on the encode
     side only.
     """
-    if fmt in FORMATS or fmt in ("jpeg", "jpgp", "jpg420", "gif", "webp", "webpv"):
+    if fmt in FORMATS or fmt in ("jpeg", "jpgp", "jpg420", "gif", "webp",
+                                 "webpv", "bmp", "ico"):
         return decode_image(fmt, data)
     raise ValueError(f"unknown image format {fmt!r}")
 
