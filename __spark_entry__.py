@@ -2524,7 +2524,7 @@ def q_multimodal_features(spark, sf_dir):
     from gigaspark.operators.multimodal import extract_features
 
     # 16x16=256 px → ≤256 colors → gif-encodable
-    fmts = list(FORMATS) + ["gif", "bmp", "ico"]
+    fmts = list(FORMATS) + ["gif", "bmp", "ico", "tiff"]
     rows = []
     for i in range(120):
         rng = np.random.default_rng(1000 + i)

@@ -156,6 +156,18 @@ def _decode_bmp(data):
     return decode_bmp(data)
 
 
+def _encode_tiff(pix):
+    from gigaspark.functions.tiff import encode_tiff
+
+    return encode_tiff(pix)
+
+
+def _decode_tiff(data):
+    from gigaspark.functions.tiff import decode_tiff
+
+    return decode_tiff(data)
+
+
 def _encode_ico(pix):
     from gigaspark.functions.bmp import encode_ico
 
@@ -172,11 +184,12 @@ _ENC = {"ppm": encode_ppm, "png": encode_png, "qnt": encode_qnt,
         "jpg": _encode_jpg, "jpeg": _encode_jpg, "gif": _encode_gif,
         "webp": _encode_webp, "webpv": _encode_webp_lossy,
         "jpgp": _encode_jpg_progressive, "jpg420": _encode_jpg_420,
-        "bmp": _encode_bmp, "ico": _encode_ico}
+        "bmp": _encode_bmp, "ico": _encode_ico, "tiff": _encode_tiff}
 _DEC = {"ppm": decode_ppm, "png": decode_png, "qnt": decode_qnt,
         "jpg": _decode_jpg, "jpeg": _decode_jpg, "gif": _decode_gif,
         "webp": _decode_webp, "webpv": _decode_webp, "jpgp": _decode_jpg,
-        "jpg420": _decode_jpg, "bmp": _decode_bmp, "ico": _decode_ico}
+        "jpg420": _decode_jpg, "bmp": _decode_bmp, "ico": _decode_ico,
+        "tiff": _decode_tiff}
 
 
 def encode_image(fmt: str, pix: np.ndarray) -> bytes:

@@ -75,7 +75,7 @@ def decode_stub(fmt: str, data: bytes) -> np.ndarray:
     side only.
     """
     if fmt in FORMATS or fmt in ("jpeg", "jpgp", "jpg420", "gif", "webp",
-                                 "webpv", "bmp", "ico"):
+                                 "webpv", "bmp", "ico", "tiff"):
         return decode_image(fmt, data)
     raise ValueError(f"unknown image format {fmt!r}")
 
