@@ -208,3 +208,27 @@ def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0.0:
         return float("inf")
     return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def area_resize_rgb(pix: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Box-filter (area-mean) RGB resize — the thumbnailer's filter
+    (Images.cpp downscales by window averaging [U][M]; unlike
+    nearest-neighbour it is stable under small shifts and alias-free on
+    downscale).  Summed-area table per channel → O(out) window means;
+    rounds half-up to uint8."""
+    h, w = pix.shape[:2]
+    # window i = [floor(i*src/out), max(start+1, ceil((i+1)*src/out))) —
+    # partition boundaries on downscale, >= 1 source px on upscale
+    ys0 = (np.arange(out_h) * h) // out_h
+    ys1 = np.maximum(ys0 + 1, (np.arange(1, out_h + 1) * h + out_h - 1) // out_h)
+    xs0 = (np.arange(out_w) * w) // out_w
+    xs1 = np.maximum(xs0 + 1, (np.arange(1, out_w + 1) * w + out_w - 1) // out_w)
+    chan = pix.astype(np.float64)
+    sat = np.zeros((h + 1, w + 1, 3))
+    np.cumsum(np.cumsum(chan, axis=0), axis=1, out=sat[1:, 1:])
+    win = (sat[ys1[:, None], xs1[None, :]] - sat[ys0[:, None], xs1[None, :]]
+           - sat[ys1[:, None], xs0[None, :]]
+           + sat[ys0[:, None], xs0[None, :]])
+    area = ((ys1 - ys0)[:, None] * (xs1 - xs0)[None, :])
+    out = win / area[:, :, None]
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)

@@ -146,6 +146,31 @@ def resize_nn(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(_run, RESIZE_SCHEMA)
 
 
+def resize_area(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Box-filter thumbnail pass (Images.cpp area-mean downscale
+    [U][M]): same plumbing as :func:`resize_nn` but alias-free —
+    each output pixel averages its whole source window
+    (functions/images.area_resize_rgb, summed-area table)."""
+    from gigaspark.functions.images import area_resize_rgb
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, ws, hs, fmts = [], [], [], [], []
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    pix = decode_stub(fmt, bytes(blob))
+                except (NotImplementedError, ValueError):
+                    continue
+                thumb = area_resize_rgb(pix, out_w, out_h)
+                ids.append(iid)
+                blobs.append(encode_image(fmt, thumb))
+                ws.append(out_w); hs.append(out_h); fmts.append(fmt)
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs,
+                                "w": ws, "h": hs, "fmt": fmts})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(_run, RESIZE_SCHEMA)
+
+
 PHASH_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
     T.StructField("fmt", T.StringType()),
