@@ -107,6 +107,7 @@ def py_link_spam(host: str, path: str, url: str) -> bool:
 _CMP_RE = re.compile(
     r"^(hopcount|errorcount|percentchangedperday)\s*(>=|<=|==|>|<)\s*(-?\d+)$")
 _TLD_RE = re.compile(r"^tld\s*==\s*([A-Za-z0-9.\-]+)$")
+_SITELIST_RE = re.compile(r"^insitelist\s*==\s*([A-Za-z0-9.\-|]+)$")
 _MATCH_RE = re.compile(r"^urlmatch\s*~=\s*(.+)$")
 
 ASSIGN_FIELDS = (
@@ -152,6 +153,14 @@ def parse_expression(expr: str) -> tuple[Pred, ...]:
             preds.append(Pred("cmp", field=m.group(1), op=m.group(2), value=int(m.group(3))))
         elif m := _TLD_RE.match(term):
             preds.append(Pred("tld", value=m.group(1)))
+        elif m := _SITELIST_RE.match(term):
+            # Gigablast custom-crawl site list (getUrlFilterNum insitelist
+            # [U][M]): "a.com|b.org" matches the host itself or any
+            # subdomain.  The list is embedded in the expression (pinned
+            # config, like tld==); a 10^6-site production list would be a
+            # broadcast semi-join instead — documented deviation.
+            preds.append(Pred("sitelist",
+                              value=tuple(sorted(m.group(1).split("|")))))
         elif m := _MATCH_RE.match(term):
             preds.append(Pred("match", value=m.group(1).strip()))
         else:
@@ -203,6 +212,12 @@ def _pred_col(p: Pred) -> Column:
         return {"<": c < v, "<=": c <= v, "==": c == v, ">": c > v, ">=": c >= v}[p.op]
     if p.kind == "tld":
         return F.substring_index(F.col("host"), ".", -1) == F.lit(p.value)
+    if p.kind == "sitelist":
+        host = F.col("host")
+        cond = host.isin(*p.value)  # constant-folds to INSET
+        for site in p.value:
+            cond = cond | host.endswith("." + site)
+        return cond
     if p.kind == "match":
         return F.col("url").rlike(p.value)
     raise ValueError(p.kind)
@@ -274,6 +289,9 @@ def _pred_py(p: Pred, row: dict) -> bool:
                 ">": v > p.value, ">=": v >= p.value}[p.op]
     if p.kind == "tld":
         return row["host"].rsplit(".", 1)[-1] == p.value
+    if p.kind == "sitelist":
+        h = row["host"]
+        return any(h == s or h.endswith("." + s) for s in p.value)
     if p.kind == "match":
         return re.search(p.value, row["url"]) is not None
     raise ValueError(p.kind)

@@ -123,3 +123,36 @@ def test_islinkspam_predicate_in_chain(spark):
     for r in out:
         spam = py_link_spam(r["host"], r["path"], r["url"])
         assert (r["priority"] < 0) == spam, r["url"]
+
+
+def test_insitelist_predicate_both_backends(spark):
+    from gigaspark.operators.url_filters import (
+        apply_url_filters, eval_rules_py, rules_from_rows)
+
+    rows = [
+        {"rule_idx": 0, "expression": "insitelist==good.com|nice.org",
+         "priority": 80, "spider_freq_days": 7.0, "max_spiders_per_ip": 4,
+         "same_ip_wait_ms": 100, "harvest_links": True, "force_delete": False},
+        {"rule_idx": 1, "expression": "default", "priority": -3,
+         "spider_freq_days": 30.0, "max_spiders_per_ip": 1,
+         "same_ip_wait_ms": 0, "harvest_links": False, "force_delete": False},
+    ]
+    rules = rules_from_rows(rows)
+    cases = [
+        ("good.com", 80),            # exact host
+        ("www.good.com", 80),        # subdomain
+        ("a.b.nice.org", 80),        # deep subdomain
+        ("evilgood.com", -3),        # suffix WITHOUT dot boundary
+        ("good.com.evil.net", -3),   # list entry not at the end
+        ("other.net", -3),
+    ]
+    df = spark.createDataFrame(
+        [(f"http://{h}/p", h, "/p", 0, 0, False) for h, _ in cases],
+        "url string, host string, path string, hopcount int,"
+        " errorcount int, is_seed boolean")
+    got = {r["host"]: r["priority"] for r in apply_url_filters(df, rules).collect()}
+    for h, want in cases:
+        assert got[h] == want, h
+        row = {"url": f"http://{h}/p", "host": h, "path": "/p",
+               "hopcount": 0, "errorcount": 0, "is_seed": False}
+        assert eval_rules_py(rules, row)["priority"] == want, h
