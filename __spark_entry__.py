@@ -2292,6 +2292,59 @@ FROM r GROUP BY event_type
 """
 
 
+def q_f1_sitelist(spark, sf_dir):
+    """F1+ — the insitelist predicate end-to-end (Spider.cpp
+    getUrlFilterNum insitelist [U][M], custom-crawl site restriction):
+    a 2-rule chain (insitelist→80 / default→-3) over hosts spanning
+    exact match, subdomain, dot-boundary traps, and misses.  The
+    compiled when-chain stays one codegen span (INSET + endswith)."""
+    from gigaspark.operators.url_filters import (apply_url_filters,
+                                                 rules_from_rows)
+
+    rules = rules_from_rows([
+        {"rule_idx": 0, "expression": "insitelist==good.com|nice.org",
+         "priority": 80, "spider_freq_days": 7.0, "max_spiders_per_ip": 4,
+         "same_ip_wait_ms": 100, "harvest_links": True,
+         "force_delete": False},
+        {"rule_idx": 1, "expression": "default", "priority": -3,
+         "spider_freq_days": 30.0, "max_spiders_per_ip": 1,
+         "same_ip_wait_ms": 0, "harvest_links": False,
+         "force_delete": False},
+    ])
+    o = _t(spark, sf_dir, "orders").limit(2000)
+    host = (F.array(F.lit("good.com"), F.lit("www.good.com"),
+                    F.lit("a.b.nice.org"), F.lit("evilgood.com"),
+                    F.lit("good.com.evil.net"), F.lit("other.net"),
+                    F.lit("nice.org"))
+            .getItem((F.col("o_orderkey") % 7).cast("int")))
+    df = o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.concat(F.lit("http://"), host, F.lit("/p")).alias("url"),
+        host.alias("host"), F.lit("/p").alias("path"),
+        F.lit(0).alias("hopcount"), F.lit(0).alias("errorcount"),
+        F.lit(False).alias("is_seed"))
+    return (apply_url_filters(df, rules)
+            .select("orderkey", "host", "ufn", "priority"))
+
+
+SQL_F1_SITELIST = """
+WITH h AS (
+  SELECT o_orderkey AS orderkey,
+         (['good.com', 'www.good.com', 'a.b.nice.org', 'evilgood.com',
+           'good.com.evil.net', 'other.net', 'nice.org'])
+           [(o_orderkey % 7)::INT + 1] AS host
+  FROM (SELECT * FROM orders LIMIT 2000))
+SELECT orderkey, host,
+       CASE WHEN host IN ('good.com', 'nice.org')
+                 OR host LIKE '%.good.com' OR host LIKE '%.nice.org'
+            THEN 0 ELSE 1 END::INT AS ufn,
+       CASE WHEN host IN ('good.com', 'nice.org')
+                 OR host LIKE '%.good.com' OR host LIKE '%.nice.org'
+            THEN 80 ELSE -3 END::INT AS priority
+FROM h
+"""
+
+
 def q_facet_ranges(spark, sf_dir):
     """A5+ — numeric RANGE facets (Msg40 gbfacetint/gbfacetfloat bucket
     stats [U][M]): fixed-width value buckets per event_type with count
@@ -3092,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_percentiles": q_latency_percentiles,
         "facet_ranges": q_facet_ranges,
         "frontier_skew_stats": q_frontier_skew_stats,
+        "f1_sitelist": q_f1_sitelist,
         "siterank_inlinks": q_siterank_inlinks,
         "snippet_extract": q_snippet_extract,
         "respider_due": q_respider_due,
@@ -3180,6 +3234,7 @@ def oracle_sql() -> dict[str, str]:
         "latency_percentiles": SQL_LATENCY_PCT,
         "facet_ranges": SQL_FACET_RANGES,
         "frontier_skew_stats": SQL_FRONTIER_SKEW,
+        "f1_sitelist": SQL_F1_SITELIST,
         "siterank_inlinks": SQL_SITERANK,
         "snippet_extract": SQL_SNIPPET,
         "respider_due": SQL_RESPIDER,
