@@ -25,7 +25,7 @@ ALLOWED = (NotImplementedError, ValueError, KeyError, IndexError,
            struct.error, zlib.error)
 
 _IMG_FMTS = ("ppm", "png", "qnt", "jpg", "jpgp", "jpg420", "gif",
-             "webp", "webpv")
+             "webp", "webpv", "bmp", "ico", "tiff")
 
 
 def _pix(seed, grey=False):
