@@ -229,27 +229,33 @@ def q_a7_two_level_topk(spark, sf_dir):
     (partial agg map-side), then global top-10 (TakeOrderedAndProject)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
+    # integer-cents discipline: floor(x*100+0.5) is pure IEEE
+    # mult/add/floor — bit-identical cross-engine, unlike the engines'
+    # double→decimal casts (Spark HALF_UP vs DuckDB half-even at .005)
+    cents = F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    * 100 + F.lit(0.5)).cast("long")
     rev = (
-        li.withColumn("rev", (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                      .cast("decimal(18,2)"))
+        li.withColumn("rev_c", cents)
         .join(o.select("o_orderkey", "o_custkey"),
               li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_custkey")
-        .agg(F.sum("rev").alias("revd"))
+        .agg(F.sum("rev_c").alias("rev_c"))
     )
     return (
-        rev.orderBy(F.col("revd").desc(), F.col("o_custkey").asc()).limit(10)
+        rev.orderBy(F.col("rev_c").desc(), F.col("o_custkey").asc()).limit(10)
         .select(F.col("o_custkey").alias("custkey"),
-                F.col("revd").cast("double").alias("revenue"))
+                (F.col("rev_c") / 100.0).alias("revenue"))
     )
 
 
 SQL_A7 = """
-SELECT o_custkey AS custkey, CAST(revd AS DOUBLE) AS revenue FROM (
-  SELECT o_custkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS revd
+SELECT o_custkey AS custkey, rev_c / 100.0 AS revenue FROM (
+  SELECT o_custkey,
+         sum(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+             ::BIGINT)::BIGINT AS rev_c
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY o_custkey)
-ORDER BY revd DESC, custkey ASC LIMIT 10
+ORDER BY rev_c DESC, custkey ASC LIMIT 10
 """
 
 
