@@ -11,7 +11,7 @@
 
 Cross-engine value-hash contract (driver compares Spark vs DuckDB):
   * money sums go through decimal(18,2) (exact) and only then to double;
-  * embedding math is integer-quantized (round(x*1000) → int64 dot
+  * embedding math is integer-quantized (floor(x*1000+0.5) → int64 dot
     products), one final IEEE divide/sqrt rounded to 4 decimals;
   * all text hashing is md5 (identical hex in both engines);
   * every computed column is aliased identically on both sides.
@@ -1050,11 +1050,11 @@ def q_ann_cosine_topk(spark, sf_dir):
 SQL_ANN = """
 WITH qv AS (
   SELECT vec_id AS q_id,
-         list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+         list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS v
   FROM embeddings WHERE vec_id % 25 = 0),
 cv AS (
   SELECT vec_id AS n_id,
-         list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+         list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS v
   FROM embeddings),
 scored AS (
   SELECT q_id, n_id,
@@ -1089,7 +1089,7 @@ def _ann_lsh_sql(n_planes: int = 8, dim: int = 64) -> str:
         for p, w in enumerate(planes))
     return f"""
 WITH vecs AS (
-  SELECT vec_id, list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS v
   FROM embeddings),
 planes(p, w) AS (VALUES {plane_rows}),
 sigs AS (
@@ -1136,7 +1136,7 @@ def _ann_lsh_mp_sql(n_planes: int = 8, dim: int = 64) -> str:
                       + [f"({1 << p}::BIGINT)" for p in range(n_planes)])
     return f"""
 WITH vecs AS (
-  SELECT vec_id, list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS v
   FROM embeddings),
 planes(p, w) AS (VALUES {plane_rows}),
 masks(m) AS (VALUES {masks}),
@@ -1179,7 +1179,7 @@ def q_ann_pq(spark, sf_dir):
 
 SQL_ANN_PQ = """
 WITH vecs AS (
-  SELECT vec_id, list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS v
   FROM embeddings),
 sample AS (
   SELECT row_number() OVER (ORDER BY h) AS cid, v
@@ -1231,7 +1231,7 @@ def q_ann_ivfpq(spark, sf_dir):
 
 SQL_ANN_IVFPQ = """
 WITH vecs AS (
-  SELECT vec_id, list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS v
   FROM embeddings),
 cent AS (
   SELECT row_number() OVER (ORDER BY h) AS cid, v AS cvec
@@ -1308,7 +1308,7 @@ def q_ann_ivf(spark, sf_dir):
 
 SQL_ANN_IVF = """
 WITH vecs AS (
-  SELECT vec_id, list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS v
   FROM embeddings),
 cent AS (
   SELECT row_number() OVER (ORDER BY h) AS cid, v AS cvec
@@ -1371,7 +1371,7 @@ corpus AS (
   SELECT vec_id, e FROM base
   UNION ALL
   SELECT vec_id + 100000, list_transform(e, x -> x * 1.1) FROM base),
-vecs AS (SELECT vec_id, list_transform(e, x -> round(x * 1000)::BIGINT) AS v
+vecs AS (SELECT vec_id, list_transform(e, x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS v
          FROM corpus),
 planes(p, w) AS (VALUES {plane_rows}),
 sigs AS (

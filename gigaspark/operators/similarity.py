@@ -10,7 +10,7 @@ array<float>, label)``:
                              — random-hyperplane LSH bucketing (scale path)
 
 Numeric contract (lets a DuckDB oracle reproduce values bit-for-bit):
-embeddings are quantized to ``round(x * 1000)`` int64 once, all dot
+embeddings are quantized to ``floor(x*1000+0.5)`` int64 once, all dot
 products / norms are EXACT integer arithmetic, and only the final cosine
 does one IEEE-double divide+sqrt, rounded to 4 decimals.  No Python UDFs:
 ``F.zip_with`` + ``F.aggregate`` run JVM-side.
@@ -47,8 +47,12 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
 
 
 def quantize(col: Column) -> Column:
-    """array<float> → array<long> of round(x*1000) (exact from then on)."""
-    return F.transform(col, lambda x: F.round(x * QUANT).cast("long"))
+    """array<float> → array<long>, floor(x*1000 + 0.5) (exact from then
+    on).  floor of IEEE mult/add is bit-identical cross-engine; the
+    engines' round() half-rule (HALF_UP vs half-even/away) splits when
+    x*1000 lands exactly on .5 — observed once at sf0.1."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * QUANT + 0.5).cast("long"))
 
 
 def int_dot(a: Column, b: Column) -> Column:
