@@ -2378,15 +2378,20 @@ def q_frontier_skew_stats(spark, sf_dir):
     planted megahost universe (one host holds ~30%) — host count, exact
     p50/p99 via integer rank-pick, max, and max-share permille.  This
     is the query an operator runs before turning on tournament_salts."""
+    from gigaspark.operators.ordering import with_global_seq
+
     o = _t(spark, sf_dir, "orders")
     host = F.when(F.col("o_orderkey") % 10 < 3, F.lit("megahost")) \
             .otherwise(F.concat(F.lit("h"),
                                 (F.col("o_custkey") % 997).cast("string")))
     cnt = o.groupBy(host.alias("host")).agg(F.count("*").alias("c"))
-    w = Window.orderBy(F.col("c").asc(), F.col("host").asc())
-    r = (cnt.withColumn("rn", F.row_number().over(w))
-         .withColumn("nh", F.count("*").over(Window.partitionBy()))
-         .withColumn("tot", F.sum("c").over(Window.partitionBy())))
+    # global rank over per-host counts via the two-level pattern —
+    # at 10^8 hosts a bare ORDER BY window is a single task; the scalar
+    # totals ride a broadcast 1-row cross join, not a global window
+    totals = cnt.agg(F.count("*").alias("nh"), F.sum("c").alias("tot"))
+    r = (with_global_seq(cnt, [F.col("c").asc(), F.col("host").asc()], "rn0")
+         .withColumn("rn", F.col("rn0") + 1)
+         .crossJoin(F.broadcast(totals)))
 
     def pick(p):
         return F.min(F.when(F.col("rn") * 100 >= p * F.col("nh"),
