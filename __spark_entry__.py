@@ -437,9 +437,13 @@ SELECT user_id FROM ta INTERSECT SELECT user_id FROM tb ORDER BY user_id
 def q_t5_pagination(spark, sf_dir):
     """T5 — serp pagination: offset+limit via a rank window slice."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    # bounded top-(offset+page) first (TakeOrderedAndProject, parallel);
+    # the rank window then runs over <=100 rows, not the whole table
+    page = o.orderBy(*order).limit(100)
+    w = Window.orderBy(*order)
     return (
-        o.withColumn("pos", F.row_number().over(w))
+        page.withColumn("pos", F.row_number().over(w))
         .where((F.col("pos") > 50) & (F.col("pos") <= 100))
         .select("pos", F.col("o_orderkey").alias("orderkey"),
                 F.col("o_totalprice").cast("double").alias("totalprice"))
@@ -1734,8 +1738,11 @@ def _query_terms(spark, sf_dir, lo: int, hi: int):
 
     postings = build_postings(_t(spark, sf_dir, "documents"))
     dfr = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
-    terms = (dfr.withColumn("r", F.row_number().over(w))
+    order = [F.col("df").desc(), F.col("term").asc()]
+    # bounded top-hi first — the rank window sees <=hi rows, never the
+    # full 10^8-term vocabulary
+    top = dfr.orderBy(*order).limit(hi)
+    terms = (top.withColumn("r", F.row_number().over(Window.orderBy(*order)))
              .where((F.col("r") >= lo) & (F.col("r") <= hi)).select("term"))
     return postings, terms
 
@@ -2134,8 +2141,10 @@ def q_search_anchors(spark, sf_dir):
 
     postings, terms = _query_terms(spark, sf_dir, 3, 4)
     docs = _t(spark, sf_dir, "documents")
-    d = docs.select("doc_id").withColumn(
-        "rk", F.row_number().over(Window.orderBy("doc_id")) - 1)
+    from gigaspark.operators.ordering import with_global_seq
+
+    d = with_global_seq(docs.select("doc_id"),
+                        [F.col("doc_id").asc()], "rk")
     ncnt = d.agg(F.count("*").alias("n"))
     src = (d.join(F.broadcast(ncnt))
            .select(F.col("doc_id").alias("src"),
@@ -2177,10 +2186,9 @@ def q_search_site(spark, sf_dir):
     postings, terms = _query_terms(spark, sf_dir, 3, 4)
     docs = _t(spark, sf_dir, "documents")
     doc_sites = docs.select("doc_id", F.col("source").alias("site"))
-    w = Window.orderBy(F.col("n").desc(), F.col("site").asc())
     top_site = (doc_sites.groupBy("site").agg(F.count("*").alias("n"))
-                .withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1).select("site"))
+                .orderBy(F.col("n").desc(), F.col("site").asc())
+                .limit(1).select("site"))
     return search_site(postings, terms, doc_sites, top_site, k=10)
 
 
@@ -2212,8 +2220,9 @@ def q_spell_correct(spark, sf_dir):
     postings = build_postings(_t(spark, sf_dir, "documents"))
     vocab = vocab_freqs(postings)
     dfr = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
-    qs = (dfr.withColumn("r", F.row_number().over(w))
+    order = [F.col("df").desc(), F.col("term").asc()]
+    qs = (dfr.orderBy(*order).limit(8)
+          .withColumn("r", F.row_number().over(Window.orderBy(*order)))
           .where((F.col("r") <= 8) & (F.length("term") >= 4))
           .select(F.expr("substring(term, 1, length(term) - 1)").alias("qterm"))
           .distinct())
