@@ -2207,6 +2207,80 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_querylang(spark, sf_dir):
+    """Query-language end-to-end (``Query.cpp`` parse → Posdb retrieval
+    [U][H]): the pinned query string
+
+        ``batch OR scan "hash join" -vector lang:en``
+
+    exercises an OR group, an adjacent-position phrase, a negation, and
+    a ``lang:`` field restriction, compiled by
+    :mod:`gigaspark.operators.query_lang` into one declarative plan —
+    broadcast (unit, term) scoring join, phrase adjacency chain,
+    restriction semi-join BELOW the aggs, anti-join exclusion,
+    TakeOrderedAndProject top-k."""
+    from gigaspark.operators.query_lang import compile_query
+    from gigaspark.operators.search import build_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = build_postings(docs)
+    dim = docs.select("doc_id", F.col("source").alias("site"), "lang")
+    return compile_query(
+        postings, dim, 'batch OR scan "hash join" -vector lang:en', k=10)
+
+
+SQL_QUERYLANG = f"""
+WITH {_POSTINGS_CTE},
+din AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+pa AS (SELECT p.term, p.doc_id, p.pos FROM p JOIN din USING (doc_id)),
+u0 AS (SELECT doc_id, count(*) AS s FROM pa
+       WHERE term IN ('batch', 'scan') GROUP BY doc_id),
+u1 AS (SELECT a.doc_id, count(*) AS s
+       FROM pa a JOIN pa b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'hash' AND b.term = 'join' GROUP BY a.doc_id),
+ban AS (SELECT DISTINCT doc_id FROM p WHERE term = 'vector'),
+hits AS (SELECT doc_id, count(*) AS nu, sum(s) AS score
+         FROM (SELECT * FROM u0 UNION ALL SELECT * FROM u1)
+         GROUP BY doc_id)
+SELECT doc_id, score::BIGINT AS score FROM hits
+WHERE nu = 2 AND doc_id NOT IN (SELECT doc_id FROM ban)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_querylang_site(spark, sf_dir):
+    """Query language, field-restriction + phrase-negation shape:
+
+        ``part OR value site:src3 -"slow fast"``
+
+    — the ``site:`` allowlist semi-joins the postings below scoring
+    (Query.cpp field → Posdb site filter [U][M]) and the negated phrase
+    bans docs via the adjacency chain + anti-join."""
+    from gigaspark.operators.query_lang import compile_query
+    from gigaspark.operators.search import build_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = build_postings(docs)
+    dim = docs.select("doc_id", F.col("source").alias("site"), "lang")
+    return compile_query(
+        postings, dim, 'part OR value site:src3 -"slow fast"', k=10)
+
+
+SQL_QUERYLANG_SITE = f"""
+WITH {_POSTINGS_CTE},
+din AS (SELECT doc_id FROM documents WHERE source = 'src3'),
+pa AS (SELECT p.term, p.doc_id, p.pos FROM p JOIN din USING (doc_id)),
+u0 AS (SELECT doc_id, count(*) AS s FROM pa
+       WHERE term IN ('part', 'value') GROUP BY doc_id),
+ban AS (SELECT DISTINCT a.doc_id
+        FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'slow' AND b.term = 'fast')
+SELECT doc_id, s::BIGINT AS score FROM u0
+WHERE doc_id NOT IN (SELECT doc_id FROM ban)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_spell_correct(spark, sf_dir):
     """Speller recommendation (``Speller::getRecommendation`` over the
     popularity-ranked unigram dictionary [U][M], pinned rule): for each
@@ -3152,6 +3226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_tf": q_postings_tf,
         "spell_correct": q_spell_correct,
         "search_site_topk": q_search_site,
+        "search_querylang_topk": q_querylang,
+        "search_querylang_site": q_querylang_site,
         "search_synonyms_topk": q_search_synonyms,
         "search_anchors_topk": q_search_anchors,
         "pack_blocks": q_pack_blocks,
@@ -3241,6 +3317,8 @@ def oracle_sql() -> dict[str, str]:
         "postings_tf": SQL_POSTINGS_TF,
         "spell_correct": SQL_SPELL,
         "search_site_topk": SQL_SEARCH_SITE,
+        "search_querylang_topk": SQL_QUERYLANG,
+        "search_querylang_site": SQL_QUERYLANG_SITE,
         "search_synonyms_topk": SQL_SEARCH_SYN,
         "search_anchors_topk": SQL_SEARCH_ANCHORS,
         "pack_blocks": SQL_PACK,

@@ -1,0 +1,269 @@
+"""Query-language parser + plan compiler (SURVEY §3.2; Gigablast
+``Query.cpp`` [U][H]).
+
+Gigablast parses the user's query string into term/phrase/field nodes
+(``Query::set2`` → ``QueryTerm``/``QueryWord`` arrays [U][H]): quoted
+phrases, ``-`` negation, boolean OR, and field operators such as
+``site:`` restriction.  The rest of the query tier (Posdb intersect,
+TopTree) then consumes the parsed structure.  This module is the
+Spark-first equivalent: a tiny driver-side parser (query strings are a
+few bytes — parsing is not data-plane work) plus a compiler that emits
+ONE declarative DataFrame plan over the shared posting lists.
+
+Pinned grammar (documented deviation: a minimal, deterministic subset —
+no wildcard, no nested parens, no UOR weights):
+
+    query  := unit (WS unit)*          -- implicit AND between units
+    unit   := atom (WS 'OR' WS atom)*  -- OR-group (left-assoc, flat)
+    atom   := '-'? (phrase | field | term)
+    phrase := '"' term (WS term)* '"'  -- adjacent-position match
+    field  := ('site' | 'lang') ':' value
+    term   := bare word (lowercased; the corpus normalizer)
+
+Pinned semantics:
+  * field atoms are restrictions, never scored; ``-site:x`` negates the
+    restriction.  Restrictions apply to the whole query (Query.cpp
+    treats fields as required constraints [U][M]).
+  * a ``-`` term/phrase at top level excludes any doc containing it.
+  * every remaining unit must match (>=1 of its atoms); doc score =
+    sum over all matching atoms of tf (term) / occurrence count
+    (phrase); ties break doc_id asc.
+
+Scale shape: the parsed structure is broadcast (it is the query, not
+data); term scoring is one (unit_id, term)-broadcast join + one
+(doc_id, unit_id) partial/final agg; each phrase is an adjacency chain
+of equi-joins pre-filtered by broadcast semi-joins (bounded by the
+rarest word's postings); restrictions semi-join the postings BELOW the
+scoring aggs so the shuffle carries only eligible docs; the final top-k
+is TakeOrderedAndProject.  No collect, no UDF, no theta join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, functions as F
+
+FIELD_NAMES = ("site", "lang")
+
+
+@dataclass(frozen=True)
+class Atom:
+    """A positive/negative query atom: kind in {'term', 'phrase'}."""
+    kind: str
+    words: tuple[str, ...]
+
+
+@dataclass
+class ParsedQuery:
+    units: list[list[Atom]] = dc_field(default_factory=list)
+    excludes: list[Atom] = dc_field(default_factory=list)
+    # field name -> (include values, exclude values)
+    fields: dict[str, tuple[list[str], list[str]]] = dc_field(
+        default_factory=dict)
+
+    def field_in(self, name: str) -> list[str]:
+        return self.fields.get(name, ([], []))[0]
+
+    def field_not_in(self, name: str) -> list[str]:
+        return self.fields.get(name, ([], []))[1]
+
+
+def _lex(q: str) -> list[str]:
+    """Split into raw tokens, keeping quoted spans as single tokens
+    (quote chars retained). Raises on an unterminated quote."""
+    out: list[str] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+            continue
+        neg = ""
+        if c == "-" and i + 1 < n and not q[i + 1].isspace():
+            neg, i, c = "-", i + 1, q[i + 1]
+        if c == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                raise ValueError(f"unterminated quote in query: {q!r}")
+            out.append(neg + q[i:j + 1])
+            i = j + 1
+        else:
+            j = i
+            while j < n and not q[j].isspace():
+                j += 1
+            out.append(neg + q[i:j])
+            i = j
+    return out
+
+
+def _norm_word(w: str) -> str:
+    """The corpus normalizer applied to one query word (lowercase; the
+    posting builder already collapsed whitespace)."""
+    return w.lower()
+
+
+def _atom_of(tok: str) -> tuple[bool, Atom | tuple[str, str]]:
+    """(negated, Atom | (field, value)) for one lexed token."""
+    neg = tok.startswith("-")
+    if neg:
+        tok = tok[1:]
+    if tok.startswith('"'):
+        words = tuple(_norm_word(w) for w in tok[1:-1].split() if w)
+        if not words:
+            raise ValueError("empty phrase in query")
+        return neg, Atom("phrase", words)
+    head, sep, rest = tok.partition(":")
+    if sep and head.lower() in FIELD_NAMES and rest:
+        return neg, (head.lower(), _norm_word(rest))
+    if not tok:
+        raise ValueError("empty term in query")
+    return neg, Atom("term", (_norm_word(tok),))
+
+
+def parse_query(q: str) -> ParsedQuery:
+    """Parse a query string into units / excludes / field restrictions.
+
+    Raises ValueError for an empty query, a query with no positive
+    scoring atom (Gigablast likewise refuses pure-negative queries
+    [U][M]), an unterminated quote, or a dangling OR.
+    """
+    toks = _lex(q)
+    pq = ParsedQuery()
+    cur: list[Atom] = []
+    expect_or_operand = False
+    for tok in toks:
+        if tok == "OR":
+            if not cur:
+                raise ValueError("OR with no left operand")
+            expect_or_operand = True
+            continue
+        neg, node = _atom_of(tok)
+        if isinstance(node, tuple):  # field restriction
+            if expect_or_operand:
+                raise ValueError("field operator cannot be an OR operand")
+            name, value = node
+            inc, exc = pq.fields.setdefault(name, ([], []))
+            (exc if neg else inc).append(value)
+            continue
+        if neg:
+            if expect_or_operand:
+                raise ValueError("negated atom cannot be an OR operand")
+            pq.excludes.append(node)
+            continue
+        if expect_or_operand:
+            cur.append(node)
+            expect_or_operand = False
+        else:
+            if cur:
+                pq.units.append(cur)
+            cur = [node]
+    if expect_or_operand:
+        raise ValueError("dangling OR at end of query")
+    if cur:
+        pq.units.append(cur)
+    if not pq.units:
+        raise ValueError("query has no positive term or phrase")
+    return pq
+
+
+def _phrase_occurrences(postings: DataFrame, words: tuple[str, ...],
+                        spark) -> DataFrame:
+    """(doc_id, n) occurrence counts of the adjacent-word phrase.
+
+    Chain of n-1 equi-joins on (doc_id, pos+i); every side is first cut
+    to one word's postings via a broadcast 1-row filter, so join input
+    is bounded by that word's df — the Posdb position-delta walk
+    (``PosdbTable`` phrase scoring [U][M]) as Catalyst joins.
+    """
+    first = postings.where(F.col("term") == words[0]) \
+        .select("doc_id", F.col("pos").alias("p0"))
+    acc = first
+    for i, w in enumerate(words[1:], start=1):
+        nxt = postings.where(F.col("term") == w).select(
+            "doc_id", (F.col("pos") - i).alias("p0"))
+        acc = acc.join(nxt, ["doc_id", "p0"])
+    return acc.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+
+def _restrict_docs(docs_dim: DataFrame, pq: ParsedQuery) -> DataFrame | None:
+    """doc_id allowlist from the field restrictions, or None if the
+    query has no field atoms (docs_dim: doc_id, site, lang)."""
+    cond = None
+    for name in FIELD_NAMES:
+        inc, exc = pq.field_in(name), pq.field_not_in(name)
+        if inc:
+            c = F.col(name).isin(inc)
+            cond = c if cond is None else (cond & c)
+        if exc:
+            c = ~F.col(name).isin(exc)
+            cond = c if cond is None else (cond & c)
+    if cond is None:
+        return None
+    return docs_dim.where(cond).select("doc_id")
+
+
+def compile_query(postings: DataFrame, docs_dim: DataFrame,
+                  query: str | ParsedQuery, k: int = 10) -> DataFrame:
+    """Compile a query string into one retrieval DataFrame
+    ``(doc_id, score)`` top-k plan over ``postings(term, doc_id, pos)``
+    and ``docs_dim(doc_id, site, lang)``."""
+    pq = parse_query(query) if isinstance(query, str) else query
+    spark = postings.sparkSession
+
+    allow = _restrict_docs(docs_dim, pq)
+    scoped = postings if allow is None else \
+        postings.join(F.broadcast(allow), "doc_id", "semi")
+
+    # --- term atoms: one broadcast (unit_id, term) join + one agg ----
+    term_rows = [(uid, a.words[0])
+                 for uid, unit in enumerate(pq.units)
+                 for a in unit if a.kind == "term"]
+    branches: list[DataFrame] = []
+    if term_rows:
+        qdf = spark.createDataFrame(term_rows, "unit_id INT, term STRING")
+        branches.append(
+            scoped.join(F.broadcast(qdf), "term")
+            .groupBy("doc_id", "unit_id")
+            .agg(F.count("*").alias("s")))
+
+    # --- phrase atoms: one adjacency chain each (few per query) ------
+    for uid, unit in enumerate(pq.units):
+        for a in unit:
+            if a.kind == "phrase":
+                occ = _phrase_occurrences(scoped, a.words, spark)
+                branches.append(occ.select(
+                    "doc_id", F.lit(uid).alias("unit_id"),
+                    F.col("n").alias("s")))
+
+    hits = branches[0]
+    for b in branches[1:]:
+        hits = hits.unionByName(b)
+
+    n_units = len(pq.units)
+    per_doc = (
+        hits.groupBy("doc_id", "unit_id").agg(F.sum("s").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nu"), F.sum("s").alias("score"))
+        .where(F.col("nu") == F.lit(n_units))
+    )
+
+    # --- excludes: distinct doc sets, one anti-join -------------------
+    ban: DataFrame | None = None
+    for a in pq.excludes:
+        if a.kind == "term":
+            b = postings.where(F.col("term") == a.words[0]) \
+                .select("doc_id")
+        else:
+            b = _phrase_occurrences(postings, a.words, spark) \
+                .select("doc_id")
+        ban = b if ban is None else ban.unionByName(b)
+    if ban is not None:
+        per_doc = per_doc.join(ban.distinct(), "doc_id", "left_anti")
+
+    return (
+        per_doc
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.col("score").cast("long").alias("score"))
+    )

@@ -1,0 +1,170 @@
+"""Query-language parser + compiler (SURVEY §3.2; Query.cpp parity —
+quoted phrases, - negation, OR groups, site:/lang: fields) on a corpus
+small enough to verify by hand, plus a brute-force cross-check."""
+
+from __future__ import annotations
+
+import pytest
+
+from gigaspark.operators.query_lang import (
+    Atom, compile_query, parse_query)
+from gigaspark.operators.search import build_postings
+
+DOCS = [
+    # (doc_id, text, lang, site)
+    (1, "the quick brown fox jumps over the lazy dog", "en", "a.com"),
+    (2, "the quick quick fox", "en", "a.com"),
+    (3, "lazy summer days drift by the river", "en", "b.com"),
+    (4, "Quick  Brown   FOX runs", "de", "b.com"),
+    (5, "fox fox fox quick brown", "en", "c.com"),
+    (6, "brown bear brown fox brown", "en", "c.com"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, site string")
+
+
+def _run(spark, q, k=10):
+    docs = _docs(spark)
+    postings = build_postings(docs)
+    dim = docs.select("doc_id", "site", "lang")
+    return [(r["doc_id"], r["score"])
+            for r in compile_query(postings, dim, q, k=k).collect()]
+
+
+# ---------------------------------------------------------------- parser
+
+def test_parse_units_and_or():
+    pq = parse_query("a OR b c")
+    assert pq.units == [[Atom("term", ("a",)), Atom("term", ("b",))],
+                        [Atom("term", ("c",))]]
+    assert pq.excludes == [] and pq.fields == {}
+
+
+def test_parse_phrase_neg_fields():
+    pq = parse_query('"brown fox" -lazy site:a.com -site:b.com lang:EN')
+    assert pq.units == [[Atom("phrase", ("brown", "fox"))]]
+    assert pq.excludes == [Atom("term", ("lazy",))]
+    assert pq.field_in("site") == ["a.com"]
+    assert pq.field_not_in("site") == ["b.com"]
+    assert pq.field_in("lang") == ["en"]     # values normalized
+
+
+def test_parse_neg_phrase_and_case():
+    pq = parse_query('-"Lazy Dog" Fox')
+    assert pq.excludes == [Atom("phrase", ("lazy", "dog"))]
+    assert pq.units == [[Atom("term", ("fox",))]]
+
+
+def test_parse_colon_nonfield_is_term():
+    # unknown field names stay literal terms (Query.cpp unknown-field
+    # fallthrough [U][M])
+    pq = parse_query("foo:bar")
+    assert pq.units == [[Atom("term", ("foo:bar",))]]
+
+
+def test_parse_errors():
+    for bad in ["", "   ", '-only', '-a -b', 'site:a.com', '"unclosed',
+                'a OR', 'OR a', 'a OR -b', 'a OR site:x', '""']:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+# -------------------------------------------------------------- compiler
+
+def test_compile_and_semantics(spark):
+    # both words required; score = tf(quick) + tf(fox)
+    got = _run(spark, "quick fox")
+    assert got == [(5, 4), (2, 3), (1, 2), (4, 2)]
+
+
+def test_compile_or_group(spark):
+    # (lazy OR river) — doc1 lazy=1, doc3 lazy+river=2
+    got = _run(spark, "lazy OR river")
+    assert got == [(3, 2), (1, 1)]
+
+
+def test_compile_phrase_scored_by_occurrences(spark):
+    got = _run(spark, '"brown fox"')
+    # docs 1/4/6 each contain exactly one adjacent "brown fox"
+    # (doc5 ends "... quick brown" — no adjacency)
+    assert got == [(1, 1), (4, 1), (6, 1)]
+
+
+def test_compile_mixed_phrase_term_exclude(spark):
+    # "quick" AND "brown fox" minus docs containing runs
+    got = _run(spark, 'quick "brown fox" -runs')
+    # doc1: tf(quick)=1 + phrase=1; doc4 excluded by -runs; doc5 lacks
+    # the phrase; doc6 lacks quick
+    assert got == [(1, 2)]
+
+
+def test_compile_field_restrictions(spark):
+    assert _run(spark, "fox lang:de") == [(4, 1)]
+    assert _run(spark, "fox site:a.com") == [(1, 1), (2, 1)]
+    assert _run(spark, "fox -site:c.com lang:en") == [(1, 1), (2, 1)]
+
+
+def test_compile_exclude_phrase(spark):
+    got = _run(spark, 'fox -"fox fox"')
+    assert got == [(1, 1), (2, 1), (4, 1), (6, 1)]
+
+
+def test_compile_topk_tiebreak(spark):
+    got = _run(spark, "brown", k=2)
+    assert got == [(6, 3), (1, 1)]   # score desc, doc_id asc
+
+
+# ------------------------------------------------- brute-force crosscheck
+
+def _brute(q: str, k: int = 10):
+    pq = parse_query(q)
+    toks = {d[0]: d[1].lower().split() for d in DOCS}
+    meta = {d[0]: {"lang": d[2], "site": d[3]} for d in DOCS}
+
+    def atom_score(a: Atom, words):
+        if a.kind == "term":
+            return sum(1 for w in words if w == a.words[0])
+        n = len(a.words)
+        return sum(1 for i in range(len(words) - n + 1)
+                   if tuple(words[i:i + n]) == a.words)
+
+    out = []
+    for did, words in toks.items():
+        ok = True
+        for name in ("site", "lang"):
+            inc, exc = pq.field_in(name), pq.field_not_in(name)
+            if inc and meta[did][name] not in inc:
+                ok = False
+            if meta[did][name] in exc:
+                ok = False
+        if any(atom_score(a, words) for a in pq.excludes):
+            ok = False
+        if not ok:
+            continue
+        score, matched = 0, 0
+        for unit in pq.units:
+            s = sum(atom_score(a, words) for a in unit)
+            if s:
+                matched += 1
+                score += s
+        if matched == len(pq.units):
+            out.append((did, score))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("q", [
+    "quick fox",
+    "lazy OR river",
+    '"brown fox" OR river',
+    'quick "brown fox" -runs',
+    "fox -site:c.com lang:en",
+    'brown OR "quick quick" -bear',
+    '"fox fox fox"',
+    "the quick OR lazy -summer site:a.com",
+])
+def test_compile_matches_bruteforce(spark, q):
+    assert _run(spark, q) == _brute(q)
