@@ -2281,6 +2281,66 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_querylang_title(spark, sf_dir):
+    """Query language, ``intitle:`` scope (Query.cpp ``title:`` field →
+    title-hashed Posdb terms [U][M]; title pinned to the first 5
+    tokens):  ``intitle:key value OR part -intitle:slow``."""
+    from gigaspark.operators.query_lang import compile_query
+    from gigaspark.operators.search import build_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = build_postings(docs)
+    dim = docs.select("doc_id", F.col("source").alias("site"), "lang")
+    return compile_query(
+        postings, dim, "intitle:key value OR part -intitle:slow", k=10)
+
+
+SQL_QUERYLANG_TITLE = f"""
+WITH {_POSTINGS_CTE},
+u0 AS (SELECT doc_id, count(*) AS s FROM p
+       WHERE term = 'key' AND pos <= 4 GROUP BY doc_id),
+u1 AS (SELECT doc_id, count(*) AS s FROM p
+       WHERE term IN ('value', 'part') GROUP BY doc_id),
+ban AS (SELECT DISTINCT doc_id FROM p WHERE term = 'slow' AND pos <= 4),
+hits AS (SELECT doc_id, count(*) AS nu, sum(s) AS score
+         FROM (SELECT * FROM u0 UNION ALL SELECT * FROM u1)
+         GROUP BY doc_id)
+SELECT doc_id, score::BIGINT AS score FROM hits
+WHERE nu = 2 AND doc_id NOT IN (SELECT doc_id FROM ban)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_search_proximity(spark, sf_dir):
+    """Term-pair proximity ranking (``PosdbTable``'s closest-pair score
+    component, the sliding-window pair loop [U][H]; pinned to
+    score = Σtf + Σ_pairs max(0, 16 − dmin)) over the df-rank-3..4
+    query terms — AND semantics, top-10."""
+    from gigaspark.operators.search import search_proximity
+
+    postings, terms = _query_terms(spark, sf_dir, 3, 4)
+    return search_proximity(postings, terms, k=10)
+
+
+SQL_PROXIMITY = f"""
+WITH {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r BETWEEN 3 AND 4),
+occ AS (SELECT p.term, doc_id, pos FROM p JOIN q USING (term)),
+tf AS (SELECT doc_id, count(*) AS tfsum, count(DISTINCT term) AS nm
+       FROM occ GROUP BY doc_id),
+pr AS (SELECT a.doc_id, a.term AS ta, b.term AS tb,
+              min(abs(a.pos - b.pos)) AS dmin
+       FROM occ a JOIN occ b ON a.doc_id = b.doc_id AND a.term < b.term
+       GROUP BY a.doc_id, a.term, b.term),
+bon AS (SELECT doc_id, sum(greatest(0, 16 - dmin)) AS bonus
+        FROM pr GROUP BY doc_id)
+SELECT doc_id, (tfsum + coalesce(bonus, 0))::BIGINT AS score
+FROM tf LEFT JOIN bon USING (doc_id)
+WHERE nm = (SELECT count(*) FROM q)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_spell_correct(spark, sf_dir):
     """Speller recommendation (``Speller::getRecommendation`` over the
     popularity-ranked unigram dictionary [U][M], pinned rule): for each
@@ -3228,6 +3288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_site_topk": q_search_site,
         "search_querylang_topk": q_querylang,
         "search_querylang_site": q_querylang_site,
+        "search_querylang_title": q_querylang_title,
+        "search_proximity_topk": q_search_proximity,
         "search_synonyms_topk": q_search_synonyms,
         "search_anchors_topk": q_search_anchors,
         "pack_blocks": q_pack_blocks,
@@ -3319,6 +3381,8 @@ def oracle_sql() -> dict[str, str]:
         "search_site_topk": SQL_SEARCH_SITE,
         "search_querylang_topk": SQL_QUERYLANG,
         "search_querylang_site": SQL_QUERYLANG_SITE,
+        "search_querylang_title": SQL_QUERYLANG_TITLE,
+        "search_proximity_topk": SQL_PROXIMITY,
         "search_synonyms_topk": SQL_SEARCH_SYN,
         "search_anchors_topk": SQL_SEARCH_ANCHORS,
         "pack_blocks": SQL_PACK,

@@ -18,6 +18,7 @@ no wildcard, no nested parens, no UOR weights):
     atom   := '-'? (phrase | field | term)
     phrase := '"' term (WS term)* '"'  -- adjacent-position match
     field  := ('site' | 'lang') ':' value
+    title  := 'intitle' ':' term       -- term at pos < TITLE_LEN
     term   := bare word (lowercased; the corpus normalizer)
 
 Pinned semantics:
@@ -46,12 +47,20 @@ from pyspark.sql import DataFrame, functions as F
 
 FIELD_NAMES = ("site", "lang")
 
+# ``intitle:`` scope (Query.cpp ``title:`` field → title-hashed Posdb
+# terms [U][M]): the corpus has no markup, so the title is PINNED to the
+# first TITLE_LEN tokens — the same convention anchor_postings uses.
+TITLE_LEN = 5
+
 
 @dataclass(frozen=True)
 class Atom:
-    """A positive/negative query atom: kind in {'term', 'phrase'}."""
+    """A positive/negative query atom: kind in {'term', 'phrase'}.
+    ``max_pos`` restricts matching occurrences to pos <= max_pos
+    (the intitle: scope); None = anywhere in the doc."""
     kind: str
     words: tuple[str, ...]
+    max_pos: int | None = None
 
 
 @dataclass
@@ -116,6 +125,8 @@ def _atom_of(tok: str) -> tuple[bool, Atom | tuple[str, str]]:
     head, sep, rest = tok.partition(":")
     if sep and head.lower() in FIELD_NAMES and rest:
         return neg, (head.lower(), _norm_word(rest))
+    if sep and head.lower() == "intitle" and rest:
+        return neg, Atom("term", (_norm_word(rest),), max_pos=TITLE_LEN - 1)
     if not tok:
         raise ValueError("empty term in query")
     return neg, Atom("term", (_norm_word(tok),))
@@ -215,15 +226,19 @@ def compile_query(postings: DataFrame, docs_dim: DataFrame,
     scoped = postings if allow is None else \
         postings.join(F.broadcast(allow), "doc_id", "semi")
 
-    # --- term atoms: one broadcast (unit_id, term) join + one agg ----
-    term_rows = [(uid, a.words[0])
+    # --- term atoms: one broadcast (unit_id, term, cap) join + one agg
+    # (cap carries the intitle: position bound; -1 = unbounded) --------
+    term_rows = [(uid, a.words[0],
+                  -1 if a.max_pos is None else a.max_pos)
                  for uid, unit in enumerate(pq.units)
                  for a in unit if a.kind == "term"]
     branches: list[DataFrame] = []
     if term_rows:
-        qdf = spark.createDataFrame(term_rows, "unit_id INT, term STRING")
+        qdf = spark.createDataFrame(
+            term_rows, "unit_id INT, term STRING, cap INT")
         branches.append(
             scoped.join(F.broadcast(qdf), "term")
+            .where((F.col("cap") < 0) | (F.col("pos") <= F.col("cap")))
             .groupBy("doc_id", "unit_id")
             .agg(F.count("*").alias("s")))
 
@@ -252,8 +267,10 @@ def compile_query(postings: DataFrame, docs_dim: DataFrame,
     ban: DataFrame | None = None
     for a in pq.excludes:
         if a.kind == "term":
-            b = postings.where(F.col("term") == a.words[0]) \
-                .select("doc_id")
+            cond = F.col("term") == a.words[0]
+            if a.max_pos is not None:
+                cond = cond & (F.col("pos") <= a.max_pos)
+            b = postings.where(cond).select("doc_id")
         else:
             b = _phrase_occurrences(postings, a.words, spark) \
                 .select("doc_id")

@@ -419,6 +419,66 @@ def search_ranked_full(postings: DataFrame, terms: DataFrame,
     )
 
 
+def pair_proximity(postings: DataFrame, terms: DataFrame) -> DataFrame:
+    """Per-doc closest-pair distances for every unordered query-term
+    pair: ``(doc_id, ta, tb, dmin)``.
+
+    ``PosdbTable::intersectLists`` awards its largest score component to
+    the closest co-occurrence of each query-term pair (the in-window
+    pair scoring around ``getMaxPossibleScore`` / the sliding-window
+    term-pair loop [U][H]).  Pinned integer rule here: dmin = min over
+    occurrence pairs of |pos_a − pos_b|.
+
+    Plan: only the (few, broadcast-filtered) query terms' occurrences
+    enter the self-join, keyed on doc_id — per-doc work is
+    O(occ_a · occ_b), exactly the per-doc merge PosdbTable runs, and the
+    shuffle key (doc_id) is uniform.  The downstream agg is
+    partial/final.
+    """
+    occ = postings.join(F.broadcast(terms), "term", "semi")
+    a = occ.select("doc_id", F.col("term").alias("ta"),
+                   F.col("pos").alias("pa"))
+    b = occ.select("doc_id", F.col("term").alias("tb"),
+                   F.col("pos").alias("pb"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("doc_id", "ta", "tb")
+        .agg(F.min(F.abs(F.col("pa") - F.col("pb"))).alias("dmin"))
+    )
+
+
+def search_proximity(postings: DataFrame, terms: DataFrame,
+                     k: int = 10, max_bonus: int = 16) -> DataFrame:
+    """AND retrieval with the Posdb proximity mix (pinned integers):
+
+        score = Σ tf  +  Σ_pairs max(0, max_bonus − dmin)
+
+    — adjacent pair (dmin=1) earns max_bonus−1, pairs ``max_bonus`` or
+    more words apart earn nothing (PosdbTable's distance-decayed pair
+    weight [U][M], pinned to a linear clamp for oracle parity)."""
+    n_terms = terms.distinct().count()
+    tf = (postings.join(F.broadcast(terms), "term", "semi")
+          .groupBy("doc_id")
+          .agg(F.count("*").alias("tfsum"),
+               F.count_distinct("term").alias("nm")))
+    bonus = (pair_proximity(postings, terms)
+             .groupBy("doc_id")
+             .agg(F.sum(F.greatest(F.lit(0),
+                                   F.lit(max_bonus) - F.col("dmin")))
+                  .alias("bonus")))
+    return (
+        tf.where(F.col("nm") == F.lit(n_terms))
+        .join(bonus, "doc_id", "left")
+        .withColumn("score",
+                    (F.col("tfsum")
+                     + F.coalesce(F.col("bonus"), F.lit(0))).cast("long"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
 def expand_synonyms(vocab: DataFrame, terms: DataFrame) -> DataFrame:
     """Synonym expansion (``Synonyms.cpp`` query-term expansion shape
     [U][M], pinned to corpus-derived morphology): each query term maps

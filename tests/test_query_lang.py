@@ -58,6 +58,12 @@ def test_parse_neg_phrase_and_case():
     assert pq.units == [[Atom("term", ("fox",))]]
 
 
+def test_parse_intitle():
+    pq = parse_query("intitle:Fox -intitle:lazy")
+    assert pq.units == [[Atom("term", ("fox",), max_pos=4)]]
+    assert pq.excludes == [Atom("term", ("lazy",), max_pos=4)]
+
+
 def test_parse_colon_nonfield_is_term():
     # unknown field names stay literal terms (Query.cpp unknown-field
     # fallthrough [U][M])
@@ -112,6 +118,18 @@ def test_compile_exclude_phrase(spark):
     assert got == [(1, 1), (2, 1), (4, 1), (6, 1)]
 
 
+def test_compile_intitle(spark):
+    # title window = first 5 tokens; "lazy" is in-title only for doc3
+    # (doc1 has lazy at pos 7)
+    assert _run(spark, "intitle:lazy") == [(3, 1)]
+    # doc2 "the quick quick fox": two in-title quicks
+    got = _run(spark, "intitle:quick")
+    assert got == [(2, 2), (1, 1), (4, 1), (5, 1)]
+    # exclusion scoped to the title window keeps doc1 (lazy at pos 7)
+    got = _run(spark, "fox -intitle:lazy")
+    assert got == [(5, 3), (1, 1), (2, 1), (4, 1), (6, 1)]
+
+
 def test_compile_topk_tiebreak(spark):
     got = _run(spark, "brown", k=2)
     assert got == [(6, 3), (1, 1)]   # score desc, doc_id asc
@@ -126,7 +144,8 @@ def _brute(q: str, k: int = 10):
 
     def atom_score(a: Atom, words):
         if a.kind == "term":
-            return sum(1 for w in words if w == a.words[0])
+            scope = words if a.max_pos is None else words[:a.max_pos + 1]
+            return sum(1 for w in scope if w == a.words[0])
         n = len(a.words)
         return sum(1 for i in range(len(words) - n + 1)
                    if tuple(words[i:i + n]) == a.words)
@@ -165,6 +184,8 @@ def _brute(q: str, k: int = 10):
     'brown OR "quick quick" -bear',
     '"fox fox fox"',
     "the quick OR lazy -summer site:a.com",
+    "intitle:fox OR lazy -intitle:bear",
+    'intitle:brown "quick brown" lang:en',
 ])
 def test_compile_matches_bruteforce(spark, q):
     assert _run(spark, q) == _brute(q)

@@ -227,3 +227,26 @@ def test_anchor_text_retrieval(spark):
            search_with_anchors(p, anch, terms, k=10).collect()]
     # doc3 body 2×2=4; doc2 anchors 3×1=3; doc1 body 1×2=2
     assert res == [(3, 4), (2, 3), (1, 2)]
+
+
+def test_pair_proximity_and_search(spark):
+    from gigaspark.operators.search import pair_proximity, search_proximity
+
+    p = build_postings(_docs(spark))
+    terms = spark.createDataFrame([("quick",), ("fox",)], "term string")
+    dmin = {(r["doc_id"], r["ta"], r["tb"]): r["dmin"]
+            for r in pair_proximity(p, terms).collect()}
+    # doc1 "the quick brown fox ...": quick@1, fox@3 -> dmin 2
+    assert dmin[(1, "fox", "quick")] == 2
+    # doc2 "the quick quick fox": quick@1,2 fox@3 -> dmin 1
+    assert dmin[(2, "fox", "quick")] == 1
+    # doc5 "fox fox fox quick": fox@0,1,2 quick@3 -> dmin 1
+    assert dmin[(5, "fox", "quick")] == 1
+
+    got = [(r["doc_id"], r["score"])
+           for r in search_proximity(p, terms, k=10).collect()]
+    # score = tfsum + max(0, 16 - dmin):
+    # doc5: 4 + 15 = 19; doc2: 3 + 15 = 18; doc1: 2 + 14 = 16;
+    # doc4: 2 + 15 = 17 ("Quick Brown FOX!" -> fox! != fox)... doc4 tokens
+    # are quick/brown/fox! so fox doesn't match: doc4 absent.
+    assert got == [(5, 19), (2, 18), (1, 16)]
