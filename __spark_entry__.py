@@ -1473,7 +1473,9 @@ def q_text_quality(spark, sf_dir):
     )
 
 
-def _sql_text_quality() -> str:
+def _sql_quality_parts() -> dict:
+    """The quality-score SQL expressions, shared by the text_quality
+    oracle and the corpus-filter pipeline oracle."""
     from gigaspark.functions.text import STOPWORDS
 
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1492,9 +1494,15 @@ def _sql_text_quality() -> str:
         f" + (CASE WHEN {mean_len} >= 3 AND {mean_len} <= 12 THEN 0.25 ELSE 0 END)"
         f" + (CASE WHEN {stop_ratio} >= 0.05 THEN 0.25 ELSE 0 END)"
         f" + (CASE WHEN {punct_ratio} <= 0.2 THEN 0.25 ELSE 0 END), 2)")
+    return {"norm": norm, "toks": toks, "stop_ratio": stop_ratio,
+            "punct_ratio": punct_ratio, "quality": quality}
+
+
+def _sql_text_quality() -> str:
+    p = _sql_quality_parts()
     return f"""
-SELECT doc_id, ({toks})::BIGINT AS n_tokens, {stop_ratio} AS stop_ratio,
-       {punct_ratio} AS punct_ratio, ({quality})::DOUBLE AS quality
+SELECT doc_id, ({p["toks"]})::BIGINT AS n_tokens, {p["stop_ratio"]} AS stop_ratio,
+       {p["punct_ratio"]} AS punct_ratio, ({p["quality"]})::DOUBLE AS quality
 FROM documents
 """
 
@@ -1508,7 +1516,9 @@ def q_text_langid(spark, sf_dir):
     return d.select("doc_id", langid(F.col("text")).alias("lang_pred"))
 
 
-def _sql_langid() -> str:
+def _sql_langid_expr() -> str:
+    """The langid CASE chain, shared by the text_langid oracle and the
+    corpus-filter pipeline oracle."""
     from gigaspark.functions.text import LANG_MARKERS
 
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1525,7 +1535,11 @@ def _sql_langid() -> str:
     for lang in LANG_MARKERS:
         chain += f"WHEN {scores[lang]} = {best} THEN '{lang}' "
     chain += "ELSE 'und' END"
-    return f"SELECT doc_id, {chain} AS lang_pred FROM documents"
+    return chain
+
+
+def _sql_langid() -> str:
+    return f"SELECT doc_id, {_sql_langid_expr()} AS lang_pred FROM documents"
 
 
 def q_token_counts(spark, sf_dir):
@@ -1707,6 +1721,92 @@ FROM documents d
 LEFT JOIN tot ON tot.doc_id = d.doc_id
 LEFT JOIN hit ON hit.doc_id = d.doc_id
 WHERE d.doc_id % 37 <> 0
+"""
+
+
+def q_corpus_filter(spark, sf_dir):
+    """The C4/Gopher training-corpus filter as ONE plan: language-ID,
+    quality, repetition, benchmark decontamination (eval set =
+    doc_id % 37 == 0 — eval members themselves get dropped by
+    self-overlap, which is the point of decontamination), and
+    canonical-winner exact dedup, with a pinned-precedence reason code
+    per document (`gigaspark.operators.pipeline.corpus_filter`)."""
+    from gigaspark.operators.pipeline import corpus_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    return corpus_filter(docs, ev, lang="en", min_quality=0.75)
+
+
+def _sql_corpus_filter() -> str:
+    p = _sql_quality_parts()
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         ({_sql_langid_expr()}) = 'en' AS lang_ok,
+         ({p["quality"]})::DOUBLE AS quality,
+         md5({p["norm"]}) AS fp
+  FROM documents),
+rtoks AS (
+  SELECT doc_id, regexp_split_to_array(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+ridx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+  FROM rtoks WHERE len(w) >= 2),
+rg AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS s, count(*) AS c
+  FROM ridx GROUP BY doc_id, s),
+ragg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_grams, count(*)::BIGINT AS n_distinct,
+         max(c)::BIGINT AS top_c
+  FROM rg GROUP BY doc_id),
+rep AS (
+  SELECT d.doc_id,
+         (CASE WHEN coalesce(a.n_grams, 0) > 0
+               THEN (100 * (a.n_grams - a.n_distinct)) // a.n_grams
+               ELSE 0 END >= 30
+          OR CASE WHEN coalesce(a.n_grams, 0) > 0
+                  THEN (100 * a.top_c) // a.n_grams ELSE 0 END >= 20)
+           AS repetitive
+  FROM documents d LEFT JOIN ragg a ON a.doc_id = d.doc_id),
+cidx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM rtoks WHERE len(w) >= 3),
+csh AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8))::BIGINT AS sh
+  FROM cidx),
+ev AS (SELECT DISTINCT sh FROM csh WHERE doc_id % 37 = 0),
+tot AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
+hit AS (SELECT csh.doc_id, count(*) AS n_hit FROM csh JOIN ev USING (sh)
+        GROUP BY csh.doc_id),
+con AS (
+  SELECT d.doc_id,
+         (coalesce(hit.n_hit, 0) > 0
+          AND coalesce(hit.n_hit, 0) * 100 >= 10 * coalesce(tot.n_sh, 0))
+           AS contaminated
+  FROM documents d
+  LEFT JOIN tot ON tot.doc_id = d.doc_id
+  LEFT JOIN hit ON hit.doc_id = d.doc_id),
+canon AS (SELECT fp, min(doc_id) AS canon_id FROM base GROUP BY fp),
+dup AS (SELECT base.doc_id, base.doc_id <> canon.canon_id AS duplicate
+        FROM base JOIN canon USING (fp)),
+j AS (
+  SELECT b.doc_id, b.lang_ok, b.quality, r.repetitive, c.contaminated,
+         d.duplicate,
+         CASE WHEN NOT b.lang_ok THEN 'lang'
+              WHEN b.quality < 0.75 THEN 'quality'
+              WHEN r.repetitive THEN 'repetition'
+              WHEN c.contaminated THEN 'contamination'
+              WHEN d.duplicate THEN 'duplicate'
+              ELSE 'keep' END AS reason
+  FROM base b
+  JOIN rep r USING (doc_id) JOIN con c USING (doc_id)
+  JOIN dup d USING (doc_id))
+SELECT doc_id, lang_ok, quality, repetitive, contaminated, duplicate,
+       reason = 'keep' AS keep, reason
+FROM j
 """
 
 
@@ -3272,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "contamination_ngram": q_contamination,
+        "corpus_filter_pipeline": q_corpus_filter,
         "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition,
         "search_and_topk": q_search_and,
@@ -3365,6 +3466,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": SQL_TOKENS,
         "doc_fingerprint": SQL_FINGERPRINT,
         "contamination_ngram": SQL_CONTAMINATION,
+        "corpus_filter_pipeline": _sql_corpus_filter(),
         "pii_redact": _sql_pii(),
         "repetition_stats": SQL_REPETITION,
         "search_and_topk": SQL_SEARCH_AND,
