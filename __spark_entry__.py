@@ -2411,6 +2411,62 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_postings_reindex(spark, sf_dir):
+    """Incremental reindex (spider → Msg4 add → Posdb merge [U][H]):
+    a deterministic recrawl delta — docs with doc_id % 11 == 0 get a
+    new generation with doubled text, docs with doc_id % 13 == 0 get a
+    delete tombstone — resolves latest-generation-wins (tombstone wins
+    ties), then the surviving docs rebuild their postings.  Output:
+    per-doc posting totals AFTER the merge."""
+    from gigaspark.operators.search import build_postings, latest_doc_versions
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.lit(0).alias("gen"),
+                       F.lit(False).alias("deleted"), "text")
+    upd = (docs.where(F.col("doc_id") % 11 == 0)
+           .select("doc_id", F.lit(1).alias("gen"),
+                   F.lit(False).alias("deleted"),
+                   F.concat(F.col("text"), F.lit(" "), F.col("text"))
+                   .alias("text")))
+    dele = (docs.where(F.col("doc_id") % 13 == 0)
+            .select("doc_id", F.lit(1).alias("gen"),
+                    F.lit(True).alias("deleted"),
+                    F.lit("").alias("text")))
+    live = latest_doc_versions(base.unionByName(upd).unionByName(dele))
+    p = build_postings(live)
+    return (p.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_pos"),
+                 F.count_distinct("term").cast("long").alias("n_terms")))
+
+
+SQL_REINDEX = """
+WITH vers AS (
+  SELECT doc_id, 0 AS gen, false AS deleted, text FROM documents
+  UNION ALL
+  SELECT doc_id, 1, false, text || ' ' || text FROM documents
+  WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id, 1, true, '' FROM documents WHERE doc_id % 13 = 0),
+mx AS (SELECT doc_id, max(gen) AS gen FROM vers GROUP BY doc_id),
+at AS (SELECT v.* FROM vers v JOIN mx USING (doc_id, gen)),
+live AS (SELECT * FROM at WHERE NOT deleted
+         AND doc_id NOT IN (SELECT doc_id FROM at WHERE deleted)),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM live),
+idxp AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+  FROM toks WHERE len(w) >= 1),
+p AS (
+  SELECT DISTINCT doc_id, i - 1 AS pos, w[i] AS term
+  FROM idxp WHERE w[i] <> '')
+SELECT doc_id, count(*)::BIGINT AS n_pos,
+       count(DISTINCT term)::BIGINT AS n_terms
+FROM p GROUP BY doc_id
+"""
+
+
 def q_search_proximity(spark, sf_dir):
     """Term-pair proximity ranking (``PosdbTable``'s closest-pair score
     component, the sliding-window pair loop [U][H]; pinned to
@@ -3391,6 +3447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_querylang_site": q_querylang_site,
         "search_querylang_title": q_querylang_title,
         "search_proximity_topk": q_search_proximity,
+        "postings_reindex": q_postings_reindex,
         "search_synonyms_topk": q_search_synonyms,
         "search_anchors_topk": q_search_anchors,
         "pack_blocks": q_pack_blocks,
@@ -3485,6 +3542,7 @@ def oracle_sql() -> dict[str, str]:
         "search_querylang_site": SQL_QUERYLANG_SITE,
         "search_querylang_title": SQL_QUERYLANG_TITLE,
         "search_proximity_topk": SQL_PROXIMITY,
+        "postings_reindex": SQL_REINDEX,
         "search_synonyms_topk": SQL_SEARCH_SYN,
         "search_anchors_topk": SQL_SEARCH_ANCHORS,
         "pack_blocks": SQL_PACK,

@@ -64,6 +64,28 @@ def build_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return tokenize(docs, text_col).select("term", "doc_id", "pos").distinct()
 
 
+def latest_doc_versions(versions: DataFrame) -> DataFrame:
+    """Incremental-reindex resolution: from a versioned doc table
+    ``(doc_id, gen, deleted, text, ...)`` keep each doc's highest
+    generation; a delete tombstone at the max generation annihilates
+    the doc entirely (Rdb key-merge semantics — a Posdb delete key
+    annihilates the positive key on merge, ``RdbList::merge_r`` [U][H];
+    ``gen`` plays spiderdb's spideredTime role).
+
+    Pinned tie rule: deleted wins at equal gen.  Caller contract: at
+    most one non-deleted row per (doc_id, gen).
+
+    Plan: one (doc_id) max-gen agg, one co-partitioned (doc_id, gen)
+    join, one doc_id anti-join for tombstones — every key uniform; no
+    windows, no collect.  This is exactly how a 100 TB index absorbs a
+    recrawl delta: the base never rewrites, only the merge view moves.
+    """
+    latest = versions.groupBy("doc_id").agg(F.max("gen").alias("gen"))
+    at = versions.join(latest, ["doc_id", "gen"])
+    dead = at.where(F.col("deleted")).select("doc_id")
+    return at.where(~F.col("deleted")).join(dead, "doc_id", "left_anti")
+
+
 def term_freqs(postings: DataFrame) -> DataFrame:
     """(term, doc_id, tf) — partial/final count agg (Msg39 partial shape)."""
     return postings.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))

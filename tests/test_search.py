@@ -250,3 +250,21 @@ def test_pair_proximity_and_search(spark):
     # doc4: 2 + 15 = 17 ("Quick Brown FOX!" -> fox! != fox)... doc4 tokens
     # are quick/brown/fox! so fox doesn't match: doc4 absent.
     assert got == [(5, 19), (2, 18), (1, 16)]
+
+
+def test_latest_doc_versions(spark):
+    from gigaspark.operators.search import latest_doc_versions
+
+    rows = [
+        (1, 0, False, "old one"), (1, 1, False, "new one"),   # update wins
+        (2, 0, False, "kept"),                                 # untouched
+        (3, 0, False, "gone"), (3, 1, True, ""),               # deleted
+        (4, 0, False, "was"), (4, 1, False, "tie"),
+        (4, 1, True, ""),                                      # tombstone ties win
+        (5, 1, True, ""),                                      # born dead
+    ]
+    v = spark.createDataFrame(
+        rows, "doc_id long, gen int, deleted boolean, text string")
+    got = {r["doc_id"]: (r["gen"], r["text"])
+           for r in latest_doc_versions(v).collect()}
+    assert got == {1: (1, "new one"), 2: (0, "kept")}
