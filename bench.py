@@ -36,6 +36,8 @@ HEADLINE = [
     "respider_due", "search_ranked_topk", "c3_domains",
     "search_bm25_topk", "ann_pq_topk", "bpe_tokens",
     "pack_blocks", "caption_phash_neardup",
+    "search_querylang_topk", "search_proximity_topk",
+    "corpus_filter_pipeline", "postings_reindex",
 ]
 
 
