@@ -1,0 +1,61 @@
+"""Physical-plan regression guard: the headline queries must keep the
+plan shapes PLANS.md documents (broadcasts on dimension sides, bounded
+top-k, pushed filters) and must never regress into cartesian products.
+
+A correctness gate can't see a plan regression — a query that silently
+turns a broadcast join into a cartesian product still returns the right
+rows at sf0.01 and then dies at 100×.  This suite pins the shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = E.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+# every query here must contain ALL its `need` fragments
+CASES = [
+    # bounded top-k: TopTree analogue, never a global sort
+    ("t1_topk", ["TakeOrderedAndProject"]),
+    # frontier winner window: rank-limit pushdown below the exchange
+    ("a1_best_per_group", ["WindowGroupLimit"]),
+    # pushdown scan: filter reaches the parquet reader
+    ("f2_pushdown_scan", ["PushedFilters: ["]),
+    # dimension join broadcasts
+    ("j2_dim_broadcast", ["BroadcastHashJoin"]),
+    # compiled query language: broadcast scoring join + anti-join + top-k
+    ("search_querylang_topk",
+     ["TakeOrderedAndProject", "BroadcastHashJoin LeftAnti",
+      "BroadcastHashJoin"]),
+    ("search_proximity_topk", ["TakeOrderedAndProject"]),
+    # contamination probe: eval side must broadcast (semi), big side
+    # never shuffles for membership
+    ("contamination_ngram", ["BroadcastHashJoin LeftSemi"]),
+    ("corpus_filter_pipeline", ["BroadcastHashJoin LeftSemi"]),
+]
+
+
+@pytest.mark.parametrize("name,need", CASES, ids=[c[0] for c in CASES])
+def test_plan_has_required_shape(spark, name, need):
+    plan = _plan(spark, name)
+    for frag in need:
+        assert frag in plan, f"{name}: expected {frag!r} in plan"
+
+
+@pytest.mark.parametrize("name", [c[0] for c in CASES])
+def test_plan_never_cartesian(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    # BroadcastNestedLoopJoin is allowed ONLY in the labeled brute-force
+    # ANN baseline, which is not in this list
+    assert "BroadcastNestedLoopJoin" not in plan
