@@ -2411,6 +2411,39 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_suggest_prefix(spark, sf_dir):
+    """Query completion over the popularity dictionary: top-8
+    completions for two deterministic prefixes — the first char of
+    the df-rank-1 and df-rank-5 terms (derived in-plan, no collect)."""
+    from gigaspark.operators.search import (
+        build_postings, suggest_prefix, vocab_freqs)
+
+    postings = build_postings(_t(spark, sf_dir, "documents"))
+    vocab = vocab_freqs(postings)
+    dfr = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    order = [F.col("df").desc(), F.col("term").asc()]
+    top = dfr.orderBy(*order).limit(5)
+    ranked = top.withColumn("r", F.row_number().over(Window.orderBy(*order)))
+    prefixes = (ranked.where(F.col("r").isin(1, 5))
+                .select(F.substring("term", 1, 1).alias("prefix"))
+                .distinct())
+    return suggest_prefix(vocab, prefixes, k=8)
+
+
+SQL_SUGGEST = f"""
+WITH {_POSTINGS_CTE},
+vocab AS (SELECT term, count(*) AS freq FROM p GROUP BY term),
+pref AS (SELECT DISTINCT substr(term, 1, 1) AS prefix FROM ranked
+         WHERE r IN (1, 5)),
+cand AS (
+  SELECT pref.prefix, vocab.term, vocab.freq,
+         row_number() OVER (PARTITION BY pref.prefix
+                            ORDER BY vocab.freq DESC, vocab.term ASC) AS rn
+  FROM vocab JOIN pref ON vocab.term LIKE pref.prefix || '%')
+SELECT prefix, rn, term, freq::BIGINT AS freq FROM cand WHERE rn <= 8
+"""
+
+
 def q_postings_reindex(spark, sf_dir):
     """Incremental reindex (spider → Msg4 add → Posdb merge [U][H]):
     a deterministic recrawl delta — docs with doc_id % 11 == 0 get a
@@ -3448,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_querylang_title": q_querylang_title,
         "search_proximity_topk": q_search_proximity,
         "postings_reindex": q_postings_reindex,
+        "suggest_prefix": q_suggest_prefix,
         "search_synonyms_topk": q_search_synonyms,
         "search_anchors_topk": q_search_anchors,
         "pack_blocks": q_pack_blocks,
@@ -3543,6 +3577,7 @@ def oracle_sql() -> dict[str, str]:
         "search_querylang_title": SQL_QUERYLANG_TITLE,
         "search_proximity_topk": SQL_PROXIMITY,
         "postings_reindex": SQL_REINDEX,
+        "suggest_prefix": SQL_SUGGEST,
         "search_synonyms_topk": SQL_SEARCH_SYN,
         "search_anchors_topk": SQL_SEARCH_ANCHORS,
         "pack_blocks": SQL_PACK,

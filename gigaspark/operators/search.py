@@ -604,6 +604,30 @@ def vocab_freqs(postings: DataFrame) -> DataFrame:
     return postings.groupBy("term").agg(F.count("*").alias("freq"))
 
 
+def suggest_prefix(vocab: DataFrame, prefixes: DataFrame,
+                   k: int = 8) -> DataFrame:
+    """Query completion: for each prefix row, the top-k dictionary
+    terms starting with it, popularity-ranked (freq desc, term asc) —
+    the Speller popularity dictionary serving completions
+    (``Speller.cpp`` dictionary [U][M]; the completion endpoint is a
+    pinned analogue).
+
+    ``prefixes``: tiny single-column ``prefix`` DataFrame (broadcast).
+    Plan: one broadcast prefix probe over the vocab scan (a per-prefix
+    StartsWith predicate — at cluster scale the vocab would be
+    range-bucketed by term so the prefix prunes partitions), then a
+    per-prefix rank window over the (already small) matching set.
+    """
+    cand = vocab.join(F.broadcast(prefixes),
+                      vocab["term"].startswith(prefixes["prefix"]))
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("freq").desc(), F.col("term").asc())
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("prefix", "rn", "term",
+                    F.col("freq").cast("long").alias("freq")))
+
+
 def spell_correct(vocab: DataFrame, queries: DataFrame,
                   max_dist: int = 1) -> DataFrame:
     """Speller recommendation (``Speller::getRecommendation`` shape

@@ -268,3 +268,18 @@ def test_latest_doc_versions(spark):
     got = {r["doc_id"]: (r["gen"], r["text"])
            for r in latest_doc_versions(v).collect()}
     assert got == {1: (1, "new one"), 2: (0, "kept")}
+
+
+def test_suggest_prefix(spark):
+    from gigaspark.operators.search import (
+        build_postings, suggest_prefix, vocab_freqs)
+
+    vocab = vocab_freqs(build_postings(_docs(spark)))
+    pref = spark.createDataFrame([("qu",), ("fo",), ("zz",)], "prefix string")
+    got = {(r["prefix"], r["rn"]): (r["term"], r["freq"])
+           for r in suggest_prefix(vocab, pref, k=2).collect()}
+    # fox: docs 1,2,4(no: fox!),5(x3) -> freq 1+1+3=5; fox! freq 1
+    assert got[("fo", 1)] == ("fox", 5)
+    assert got[("fo", 2)] == ("fox!", 1)
+    assert got[("qu", 1)][0] == "quick"
+    assert ("zz", 1) not in got
