@@ -2411,6 +2411,40 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_querylang_numeric(spark, sf_dir):
+    """Query language, numeric metadata operators (Gigablast's
+    ``gbmin:``/``gbmax:``/``gbsortby:`` [U][M]):
+
+        ``batch OR scan gbmin:n_chars:200 gbmax:n_chars:900
+          gbsortby:n_chars``
+
+    — the range restricts below scoring, the sort override ranks by the
+    metadata field (desc, doc_id tie) instead of the text score."""
+    from gigaspark.operators.query_lang import compile_query
+    from gigaspark.operators.search import build_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = build_postings(docs)
+    dim = docs.select("doc_id", F.col("source").alias("site"), "lang",
+                      "n_chars")
+    return compile_query(
+        postings, dim,
+        "batch OR scan gbmin:n_chars:200 gbmax:n_chars:900 "
+        "gbsortby:n_chars", k=10)
+
+
+SQL_QUERYLANG_NUMERIC = f"""
+WITH {_POSTINGS_CTE},
+din AS (SELECT doc_id FROM documents
+        WHERE n_chars >= 200 AND n_chars <= 900),
+u0 AS (SELECT doc_id, count(*) AS s FROM p JOIN din USING (doc_id)
+       WHERE term IN ('batch', 'scan') GROUP BY doc_id)
+SELECT u0.doc_id, u0.s::BIGINT AS score, d.n_chars::BIGINT AS n_chars
+FROM u0 JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, u0.doc_id ASC LIMIT 10
+"""
+
+
 def q_suggest_prefix(spark, sf_dir):
     """Query completion over the popularity dictionary: top-8
     completions for two deterministic prefixes — the first char of
@@ -3479,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_querylang_topk": q_querylang,
         "search_querylang_site": q_querylang_site,
         "search_querylang_title": q_querylang_title,
+        "search_querylang_numeric": q_querylang_numeric,
         "search_proximity_topk": q_search_proximity,
         "postings_reindex": q_postings_reindex,
         "suggest_prefix": q_suggest_prefix,
@@ -3575,6 +3610,7 @@ def oracle_sql() -> dict[str, str]:
         "search_querylang_topk": SQL_QUERYLANG,
         "search_querylang_site": SQL_QUERYLANG_SITE,
         "search_querylang_title": SQL_QUERYLANG_TITLE,
+        "search_querylang_numeric": SQL_QUERYLANG_NUMERIC,
         "search_proximity_topk": SQL_PROXIMITY,
         "postings_reindex": SQL_REINDEX,
         "suggest_prefix": SQL_SUGGEST,

@@ -19,6 +19,8 @@ no wildcard, no nested parens, no UOR weights):
     phrase := '"' term (WS term)* '"'  -- adjacent-position match
     field  := ('site' | 'lang') ':' value
     title  := 'intitle' ':' term       -- term at pos < TITLE_LEN
+    num    := ('gbmin' | 'gbmax') ':' col ':' int   -- metadata range
+    sort   := 'gbsortby' ':' col       -- rank by metadata desc
     term   := bare word (lowercased; the corpus normalizer)
 
 Pinned semantics:
@@ -70,6 +72,10 @@ class ParsedQuery:
     # field name -> (include values, exclude values)
     fields: dict[str, tuple[list[str], list[str]]] = dc_field(
         default_factory=dict)
+    # numeric metadata ops (Gigablast gbmin:/gbmax:/gbsortby: [U][M]):
+    # (col, op, value) with op in {'min', 'max'}; sort_by = col or None
+    numeric: list[tuple[str, str, int]] = dc_field(default_factory=list)
+    sort_by: str | None = None
 
     def field_in(self, name: str) -> list[str]:
         return self.fields.get(name, ([], []))[0]
@@ -127,6 +133,16 @@ def _atom_of(tok: str) -> tuple[bool, Atom | tuple[str, str]]:
         return neg, (head.lower(), _norm_word(rest))
     if sep and head.lower() == "intitle" and rest:
         return neg, Atom("term", (_norm_word(rest),), max_pos=TITLE_LEN - 1)
+    if sep and head.lower() in ("gbmin", "gbmax", "gbsortby") and rest:
+        if neg:
+            raise ValueError(f"{head} cannot be negated")
+        op = head.lower()[2:]  # min / max / sortby
+        if op == "sortby":
+            return False, ("_sortby", rest.lower())
+        col, sep2, val = rest.partition(":")
+        if not sep2 or not val.lstrip("-").isdigit():
+            raise ValueError(f"{head}: expects col:int, got {rest!r}")
+        return False, ("_numeric", (col.lower(), op, int(val)))
     if not tok:
         raise ValueError("empty term in query")
     return neg, Atom("term", (_norm_word(tok),))
@@ -150,12 +166,17 @@ def parse_query(q: str) -> ParsedQuery:
             expect_or_operand = True
             continue
         neg, node = _atom_of(tok)
-        if isinstance(node, tuple):  # field restriction
+        if isinstance(node, tuple):  # field / numeric / sort operator
             if expect_or_operand:
                 raise ValueError("field operator cannot be an OR operand")
-            name, value = node
-            inc, exc = pq.fields.setdefault(name, ([], []))
-            (exc if neg else inc).append(value)
+            if node[0] == "_sortby":
+                pq.sort_by = node[1]
+            elif node[0] == "_numeric":
+                pq.numeric.append(node[1])
+            else:
+                name, value = node
+                inc, exc = pq.fields.setdefault(name, ([], []))
+                (exc if neg else inc).append(value)
             continue
         if neg:
             if expect_or_operand:
@@ -198,8 +219,8 @@ def _phrase_occurrences(postings: DataFrame, words: tuple[str, ...],
 
 
 def _restrict_docs(docs_dim: DataFrame, pq: ParsedQuery) -> DataFrame | None:
-    """doc_id allowlist from the field restrictions, or None if the
-    query has no field atoms (docs_dim: doc_id, site, lang)."""
+    """doc_id allowlist from the field + numeric restrictions, or None
+    if the query has none (docs_dim: doc_id, site, lang, + metadata)."""
     cond = None
     for name in FIELD_NAMES:
         inc, exc = pq.field_in(name), pq.field_not_in(name)
@@ -209,6 +230,11 @@ def _restrict_docs(docs_dim: DataFrame, pq: ParsedQuery) -> DataFrame | None:
         if exc:
             c = ~F.col(name).isin(exc)
             cond = c if cond is None else (cond & c)
+    for col, op, val in pq.numeric:
+        if col not in docs_dim.columns:
+            raise ValueError(f"gb{op}: unknown numeric field {col!r}")
+        c = (F.col(col) >= val) if op == "min" else (F.col(col) <= val)
+        cond = c if cond is None else (cond & c)
     if cond is None:
         return None
     return docs_dim.where(cond).select("doc_id")
@@ -277,6 +303,21 @@ def compile_query(postings: DataFrame, docs_dim: DataFrame,
         ban = b if ban is None else ban.unionByName(b)
     if ban is not None:
         per_doc = per_doc.join(ban.distinct(), "doc_id", "left_anti")
+
+    if pq.sort_by is not None:
+        # gbsortby: rank by the metadata field (desc, pinned), not the
+        # text score — Gigablast's sort-override [U][M]; the field
+        # rides a doc_id join from the dim, top-k stays bounded
+        col = pq.sort_by
+        if col not in docs_dim.columns:
+            raise ValueError(f"gbsortby: unknown field {col!r}")
+        return (
+            per_doc.join(docs_dim.select("doc_id", col), "doc_id")
+            .orderBy(F.col(col).desc(), F.col("doc_id").asc())
+            .limit(k)
+            .select("doc_id", F.col("score").cast("long").alias("score"),
+                    F.col(col).cast("long").alias(col))
+        )
 
     return (
         per_doc

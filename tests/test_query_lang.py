@@ -27,11 +27,14 @@ def _docs(spark):
 
 
 def _run(spark, q, k=10):
+    import pyspark.sql.functions as F
+
     docs = _docs(spark)
     postings = build_postings(docs)
-    dim = docs.select("doc_id", "site", "lang")
-    return [(r["doc_id"], r["score"])
-            for r in compile_query(postings, dim, q, k=k).collect()]
+    dim = docs.select("doc_id", "site", "lang",
+                      F.length("text").alias("n_chars"))
+    out = compile_query(postings, dim, q, k=k).collect()
+    return [tuple(r[c] for c in out[0].asDict()) for r in out] if out else []
 
 
 # ---------------------------------------------------------------- parser
@@ -62,6 +65,16 @@ def test_parse_intitle():
     pq = parse_query("intitle:Fox -intitle:lazy")
     assert pq.units == [[Atom("term", ("fox",), max_pos=4)]]
     assert pq.excludes == [Atom("term", ("lazy",), max_pos=4)]
+
+
+def test_parse_numeric_ops():
+    pq = parse_query("fox gbmin:n_chars:10 gbmax:n_chars:90 gbsortby:n_chars")
+    assert pq.numeric == [("n_chars", "min", 10), ("n_chars", "max", 90)]
+    assert pq.sort_by == "n_chars"
+    for bad in ["fox -gbmin:n_chars:1", "fox gbmin:n_chars:abc",
+                "fox gbmin:n_chars"]:
+        with pytest.raises(ValueError):
+            parse_query(bad)
 
 
 def test_parse_colon_nonfield_is_term():
@@ -128,6 +141,21 @@ def test_compile_intitle(spark):
     # exclusion scoped to the title window keeps doc1 (lazy at pos 7)
     got = _run(spark, "fox -intitle:lazy")
     assert got == [(5, 3), (1, 1), (2, 1), (4, 1), (6, 1)]
+
+
+def test_compile_numeric_range_and_sort(spark):
+    lens = {d[0]: len(d[1]) for d in DOCS}
+    # fox docs: 1,2,4,5,6 — range-restrict then rank by n_chars desc
+    lo, hi = lens[2], lens[1]
+    got = _run(spark, f"fox gbmin:n_chars:{lo} gbmax:n_chars:{hi} "
+                      f"gbsortby:n_chars")
+    want = sorted(((d, lens[d]) for d in (1, 2, 4, 5, 6)
+                   if lo <= lens[d] <= hi),
+                  key=lambda t: (-t[1], t[0]))
+    assert [(d, n) for d, _, n in got] == want
+    # unknown column -> clear error
+    with pytest.raises(ValueError):
+        _run(spark, "fox gbsortby:nope")
 
 
 def test_compile_topk_tiebreak(spark):
