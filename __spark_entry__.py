@@ -2445,6 +2445,45 @@ ORDER BY d.n_chars DESC, u0.doc_id ASC LIMIT 10
 """
 
 
+def q_search_facets(spark, sf_dir):
+    """Facets over a RESULT SET (``gbfacet:`` applied to the matches of
+    a query, Msg40 facet aggregation [U][M]): site and lang counts of
+    every doc matching the AND query — the facet agg runs on the
+    doc-id match set BEFORE any top-k truncation, one partial/final
+    groupBy per facet, unioned."""
+    from gigaspark.operators.search import term_freqs
+
+    postings, terms = _query_terms(spark, sf_dir, 3, 4)
+    n_terms = 2
+    tf = term_freqs(postings.join(F.broadcast(terms), "term", "semi"))
+    matched = (tf.groupBy("doc_id").agg(F.count("*").alias("nm"))
+               .where(F.col("nm") == n_terms).select("doc_id"))
+    d = _t(spark, sf_dir, "documents")
+    dim = d.select("doc_id", F.col("source").alias("site"), "lang")
+    j = dim.join(matched, "doc_id", "semi")
+    f1 = (j.groupBy(F.col("site").alias("value"))
+          .agg(F.count("*").cast("long").alias("n"))
+          .withColumn("facet", F.lit("site")))
+    f2 = (j.groupBy(F.col("lang").alias("value"))
+          .agg(F.count("*").cast("long").alias("n"))
+          .withColumn("facet", F.lit("lang")))
+    return f1.unionByName(f2).select("facet", "value", "n")
+
+
+SQL_SEARCH_FACETS = f"""
+WITH {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r BETWEEN 3 AND 4),
+tf AS (SELECT p.term, doc_id, count(*) AS tf FROM p JOIN q USING (term)
+       GROUP BY p.term, doc_id),
+m AS (SELECT doc_id FROM (SELECT doc_id, count(*) AS nm FROM tf
+                          GROUP BY doc_id) WHERE nm = 2),
+j AS (SELECT d.source AS site, d.lang FROM documents d JOIN m USING (doc_id))
+SELECT 'site' AS facet, site AS value, count(*)::BIGINT AS n FROM j GROUP BY site
+UNION ALL
+SELECT 'lang' AS facet, lang AS value, count(*)::BIGINT AS n FROM j GROUP BY lang
+"""
+
+
 def q_suggest_prefix(spark, sf_dir):
     """Query completion over the popularity dictionary: top-8
     completions for two deterministic prefixes — the first char of
@@ -3517,6 +3556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_proximity_topk": q_search_proximity,
         "postings_reindex": q_postings_reindex,
         "suggest_prefix": q_suggest_prefix,
+        "search_facets": q_search_facets,
         "search_synonyms_topk": q_search_synonyms,
         "search_anchors_topk": q_search_anchors,
         "pack_blocks": q_pack_blocks,
@@ -3614,6 +3654,7 @@ def oracle_sql() -> dict[str, str]:
         "search_proximity_topk": SQL_PROXIMITY,
         "postings_reindex": SQL_REINDEX,
         "suggest_prefix": SQL_SUGGEST,
+        "search_facets": SQL_SEARCH_FACETS,
         "search_synonyms_topk": SQL_SEARCH_SYN,
         "search_anchors_topk": SQL_SEARCH_ANCHORS,
         "pack_blocks": SQL_PACK,
