@@ -220,6 +220,8 @@ AUDIO_SCHEMA = T.StructType([
     T.StructField("rms", T.DoubleType()),
     T.StructField("peak", T.DoubleType()),
     T.StructField("zcr", T.DoubleType()),
+    T.StructField("dom_freq_hz", T.DoubleType()),
+    T.StructField("centroid_hz", T.DoubleType()),
 ])
 
 
@@ -251,6 +253,18 @@ def audio_features(audio: DataFrame) -> DataFrame:
                     else:
                         raise NotImplementedError(f"no {fmt!r} codec in sandbox")
                     mono = samples.mean(axis=1)
+                    # spectral features: rFFT magnitude of the mono
+                    # signal, rectangular window (pinned — no taper, so
+                    # a planted pure tone lands exactly on its bin)
+                    dom = cen = 0.0
+                    if len(mono) > 1:
+                        spec = np.abs(np.fft.rfft(mono))
+                        spec[0] = 0.0  # DC carries no pitch
+                        freqs = np.fft.rfftfreq(len(mono), d=1.0 / rate)
+                        power = spec.sum()
+                        if power > 0:
+                            dom = float(freqs[int(spec.argmax())])
+                            cen = float((freqs * spec).sum() / power)
                     row.update(
                         decode_ok=True, sample_rate=rate,
                         n_channels=int(samples.shape[1]),
@@ -259,6 +273,7 @@ def audio_features(audio: DataFrame) -> DataFrame:
                         peak=float(np.abs(samples).max()),
                         zcr=float((np.diff(np.signbit(mono)) != 0).mean())
                         if len(mono) > 1 else 0.0,
+                        dom_freq_hz=dom, centroid_hz=cen,
                     )
                 except (NotImplementedError, ValueError, struct.error):
                     pass

@@ -209,3 +209,30 @@ def test_hamming_banding_is_lossless(spark):
         if d <= 3:
             want.add((i, j, d))
     assert got == want and len(want) >= 10
+
+
+def test_audio_spectral_features(spark):
+    """Planted pure tones must land on their FFT bin: dominant frequency
+    within one bin of the planted pitch; a two-tone chord's centroid
+    sits between the partials, nearer the stronger one."""
+    import numpy as np
+
+    from gigaspark.functions.wav import encode_wav
+    from gigaspark.operators.multimodal import audio_features
+
+    rate, dur = 8000, 0.5
+    t = np.arange(int(rate * dur)) / rate
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    chord = 0.6 * np.sin(2 * np.pi * 440 * t) + 0.3 * np.sin(2 * np.pi * 1760 * t)
+    rows = [("tone440", bytearray(encode_wav(tone, rate)), "wav"),
+            ("chord", bytearray(encode_wav(chord, rate)), "wav")]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    got = {r["audio_id"]: r for r in audio_features(df).collect()}
+
+    binw = 1.0 / dur  # FFT bin width = 2 Hz at 0.5 s
+    assert abs(got["tone440"]["dom_freq_hz"] - 440) <= binw
+    assert abs(got["tone440"]["centroid_hz"] - 440) <= 25  # quantization noise floor
+    c = got["chord"]
+    assert abs(c["dom_freq_hz"] - 440) <= binw        # stronger partial wins
+    assert 440 < c["centroid_hz"] < 1760              # centroid between partials
+    assert c["centroid_hz"] < 1100                    # ... nearer the 2x-stronger one
