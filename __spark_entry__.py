@@ -3070,6 +3070,34 @@ def q_audio_features(spark, sf_dir):
     return audio_features(audio).orderBy("audio_id")
 
 
+def q_video_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection over deterministically synthesized
+    AVI/MJPEG clips: each clip holds three flat-color shots (hard cuts
+    at frame 5 and 10) plus a gradual-ramp clip that must stay cut-free;
+    one mapInPandas pass per clip.  Rows-only driver check (pixel decode
+    isn't SQL); exactness pytest: test_scene_cut_detection."""
+    import numpy as np
+
+    from gigaspark.functions.avi import encode_avi_mjpeg
+    from gigaspark.operators.multimodal import scene_cuts
+
+    rows = []
+    for v in range(8):
+        def flat(val):
+            return np.full((16, 24, 3), val % 256, dtype=np.uint8)
+        frames = ([flat(30 + v)] * 5 + [flat(180 + v)] * 5
+                  + [flat(80 + 7 * v)] * 5)
+        rows.append((f"cutvid{v}", bytearray(encode_avi_mjpeg(frames, fps=10)),
+                     "avi-mjpg"))
+    ramp = [np.full((16, 24, 3), 40 + 4 * i, dtype=np.uint8)
+            for i in range(15)]
+    rows.append(("rampvid", bytearray(encode_avi_mjpeg(ramp, fps=10)),
+                 "avi-mjpg"))
+    vids = spark.createDataFrame(
+        rows, "video_id string, bytes binary, fmt string")
+    return scene_cuts(vids, threshold=24.0).orderBy("video_id", "frame_idx")
+
+
 def q_video_frames(spark, sf_dir):
     """Video frame sampling over deterministically synthesized AVI/MJPEG
     clips (RIFF container + the pure-numpy baseline-JPEG codec) AND
@@ -3578,6 +3606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "video_scene_cuts": q_video_scene_cuts,
         "crawl_round": q_crawl_round,
         "crawl_dedup_round": q_crawl_dedup_round,
     }

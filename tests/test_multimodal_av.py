@@ -236,3 +236,31 @@ def test_audio_spectral_features(spark):
     assert abs(c["dom_freq_hz"] - 440) <= binw        # stronger partial wins
     assert 440 < c["centroid_hz"] < 1760              # centroid between partials
     assert c["centroid_hz"] < 1100                    # ... nearer the 2x-stronger one
+
+
+def test_scene_cut_detection(spark):
+    """Hard palette switches at known indices are the only cuts; a
+    gradual luminance ramp never triggers."""
+    import numpy as np
+
+    from gigaspark.operators.multimodal import scene_cuts
+
+    def flat(v):
+        return np.full((16, 24, 3), v, dtype=np.uint8)
+
+    # shots: 5 frames @40, 5 frames @200 (cut at idx 5), 5 @90 (cut at 10)
+    frames = [flat(40)] * 5 + [flat(200)] * 5 + [flat(90)] * 5
+    ramp = [flat(40 + 4 * i) for i in range(15)]  # +4 levels/frame, no cut
+    rows = [("vcut", bytearray(encode_avi_mjpeg(frames, fps=10)), "avi-mjpg"),
+            ("vramp", bytearray(encode_avi_mjpeg(ramp, fps=10)), "avi-mjpg"),
+            ("vbad", bytearray(b"nope"), "avi-mjpg")]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
+    out = scene_cuts(df, threshold=24.0).collect()
+    cuts = sorted((r["video_id"], r["frame_idx"])
+                  for r in out if r["decode_ok"] and r["is_cut"])
+    assert cuts == [("vcut", 5), ("vcut", 10)]
+    assert {r["video_id"] for r in out if not r["decode_ok"]} == {"vbad"}
+    # every non-cut transition is quiet (JPEG noise floor << threshold)
+    quiet = [r["mean_diff"] for r in out
+             if r["decode_ok"] and not r["is_cut"]]
+    assert quiet and max(quiet) < 12
