@@ -2445,6 +2445,64 @@ ORDER BY d.n_chars DESC, u0.doc_id ASC LIMIT 10
 """
 
 
+def q_ivf_kmeans(spark, sf_dir):
+    """IVF quantizer training: two pinned-integer Lloyd iterations over
+    the quantized embeddings from the md5-ranked seed centroids
+    (`similarity.kmeans_refine`) — floor-division means, min-dist-then-
+    min-cid assignment, empty clusters keep their centroid.  Output:
+    the 16 refined centroids exploded to (cid, dim, val) for exact
+    cross-engine comparison."""
+    from gigaspark.operators.similarity import (
+        ivf_centroids, kmeans_refine, quantize)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", quantize(F.col("embedding")).alias("v"))
+    cent = kmeans_refine(vecs, ivf_centroids(emb, 16), n_iter=2)
+    return cent.select(
+        "cid", F.posexplode("cvec").alias("dim", "val")).select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("dim").cast("long").alias("dim"),
+        F.col("val").cast("long").alias("val"))
+
+
+def _sql_ivf_kmeans(n_iter: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations (the PageRank-oracle pattern)."""
+    ctes = ["""vecs AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS v
+  FROM embeddings)""", """cent0 AS (
+  SELECT row_number() OVER (ORDER BY h) AS cid, v AS cvec
+  FROM (SELECT md5(vec_id::VARCHAR) AS h, v FROM vecs ORDER BY h LIMIT 16))"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        ctes.append(f"""d{i} AS (
+  SELECT vec_id, cid,
+         list_sum(list_transform(list_zip(v, cvec),
+                                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
+  FROM vecs CROSS JOIN cent{p})""")
+        ctes.append(f"""a{i} AS (
+  SELECT d{i}.vec_id, min(cid) AS cid FROM d{i}
+  JOIN (SELECT vec_id, min(dist) AS dmin FROM d{i} GROUP BY vec_id) mn
+    ON d{i}.vec_id = mn.vec_id AND d{i}.dist = mn.dmin
+  GROUP BY d{i}.vec_id)""")
+        ctes.append(f"""ex{i} AS (
+  SELECT cid, v, unnest(generate_series(1, {dim})) AS j
+  FROM a{i} JOIN vecs USING (vec_id))""")
+        ctes.append(f"""m{i} AS (
+  SELECT cid, j, floor(sum(v[j]) / count(*))::BIGINT AS mv
+  FROM ex{i} GROUP BY cid, j)""")
+        ctes.append(f"""nc{i} AS (
+  SELECT cid, list(mv ORDER BY j) AS ncvec FROM m{i} GROUP BY cid)""")
+        ctes.append(f"""cent{i} AS (
+  SELECT cent{p}.cid, coalesce(nc{i}.ncvec, cent{p}.cvec) AS cvec
+  FROM cent{p} LEFT JOIN nc{i} USING (cid))""")
+    return ("WITH " + ",\n".join(ctes) + f""",
+fin AS (SELECT cid, cvec, unnest(generate_series(1, {dim})) AS j
+        FROM cent{n_iter})
+SELECT cid::BIGINT AS cid, (j - 1)::BIGINT AS dim, cvec[j]::BIGINT AS val
+FROM fin""")
+
+
 def q_search_facets(spark, sf_dir):
     """Facets over a RESULT SET (``gbfacet:`` applied to the matches of
     a query, Msg40 facet aggregation [U][M]): site and lang counts of
@@ -3585,6 +3643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_reindex": q_postings_reindex,
         "suggest_prefix": q_suggest_prefix,
         "search_facets": q_search_facets,
+        "ivf_kmeans_centroids": q_ivf_kmeans,
         "search_synonyms_topk": q_search_synonyms,
         "search_anchors_topk": q_search_anchors,
         "pack_blocks": q_pack_blocks,
@@ -3684,6 +3743,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_reindex": SQL_REINDEX,
         "suggest_prefix": SQL_SUGGEST,
         "search_facets": SQL_SEARCH_FACETS,
+        "ivf_kmeans_centroids": _sql_ivf_kmeans(),
         "search_synonyms_topk": SQL_SEARCH_SYN,
         "search_anchors_topk": SQL_SEARCH_ANCHORS,
         "pack_blocks": SQL_PACK,

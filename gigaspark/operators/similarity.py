@@ -183,6 +183,53 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int = 16) -> DataFrame:
     )
 
 
+def kmeans_refine(vecs: DataFrame, centroids: DataFrame,
+                  n_iter: int = 2) -> DataFrame:
+    """Pinned-integer Lloyd refinement of the IVF coarse quantizer
+    (the k-means training a production IVF index runs; integer
+    arithmetic end-to-end so a SQL oracle reproduces every centroid
+    bit-for-bit).
+
+    ``vecs``: (vec_id, v array<long>) quantized; ``centroids``:
+    (cid, cvec array<long>) the seed (e.g. :func:`ivf_centroids`).
+
+    Pinned rules per iteration:
+      * assignment: exact integer squared-L2 argmin, ties → lowest cid
+        (expressed as min-dist-then-min-cid, no struct comparison —
+        portable to any engine);
+      * update: per-dimension floor(sum/count) — floor division toward
+        -inf in BOTH engines (never `div`, which truncates toward zero
+        on negatives in Spark but floors in DuckDB);
+      * empty cluster: keeps its previous centroid.
+
+    Plan per iteration: one broadcast crossJoin (K centroid rows) +
+    two doc-keyed aggs + one (cid, dim) agg — the corpus never
+    shuffles for assignment; only the exploded (cid, dim) means do,
+    and that shuffle is K·dim rows."""
+    cent = centroids
+    for _ in range(n_iter):
+        d = (vecs.crossJoin(F.broadcast(cent))
+             .select("vec_id", "cid",
+                     int_l2(F.col("v"), F.col("cvec")).alias("dist")))
+        dmin = d.groupBy("vec_id").agg(F.min("dist").alias("dmin"))
+        a = (d.join(dmin, "vec_id")
+             .where(F.col("dist") == F.col("dmin"))
+             .groupBy("vec_id").agg(F.min("cid").alias("cid")))
+        ex = (a.join(vecs, "vec_id")
+              .select("cid", F.posexplode("v").alias("dim", "val")))
+        m = (ex.groupBy("cid", "dim")
+             .agg(F.floor(F.sum("val") / F.count("*")).cast("long")
+                  .alias("mv")))
+        newc = (m.groupBy("cid")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "mv")))
+                     .alias("s"))
+                .select("cid", F.transform("s", lambda t: t["mv"])
+                        .alias("ncvec")))
+        cent = (cent.join(newc, "cid", "left")
+                .select("cid", F.coalesce("ncvec", "cvec").alias("cvec")))
+    return cent
+
+
 def ivf_assign(vecs: DataFrame, centroids: DataFrame, id_alias: str,
                n_assign: int = 1) -> DataFrame:
     """Assign each vector to its ``n_assign`` nearest centroids by exact

@@ -181,3 +181,38 @@ def test_ivfpq_finds_planted_neighbour(vecs):
     assert 100 in by_id and by_id[100] == min(by_id.values())
     adists = [r["adist"] for r in res]
     assert adists == sorted(adists) and all(a >= 0 for a in adists)
+
+
+def test_kmeans_refine_inertia_and_empty_clusters(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gigaspark.operators.similarity import int_l2, kmeans_refine
+
+    # two tight planted blobs + one far-away seed that captures nothing
+    rng = [(i, [int(1000 + (i * 37) % 9), int(-2000 + (i * 53) % 9)])
+           for i in range(20)]
+    rng += [(100 + i, [int(9000 + (i * 31) % 9), int(4000 + (i * 41) % 9)])
+            for i in range(20)]
+    vecs = spark.createDataFrame(rng, "vec_id long, v array<long>")
+    seeds = spark.createDataFrame(
+        [(1, [0, 0]), (2, [8000, 3000]), (3, [-999999, -999999])],
+        "cid long, cvec array<long>")
+
+    def inertia(cent):
+        d = (vecs.crossJoin(F.broadcast(cent))
+             .select("vec_id", int_l2(F.col("v"), F.col("cvec")).alias("dist"))
+             .groupBy("vec_id").agg(F.min("dist").alias("m")))
+        return d.agg(F.sum("m")).collect()[0][0]
+
+    i0 = inertia(seeds)
+    c1 = kmeans_refine(vecs, seeds, n_iter=1)
+    i1 = inertia(c1)
+    c2 = kmeans_refine(vecs, seeds, n_iter=2)
+    i2 = inertia(c2)
+    assert i1 <= i0 and i2 <= i1          # Lloyd never increases inertia
+    got = {r["cid"]: r["cvec"] for r in c2.collect()}
+    assert got[3] == [-999999, -999999]   # empty cluster keeps its seed
+    # refined centroids sit inside their blobs
+    assert 1000 <= got[1][0] <= 1009 and -2000 <= got[1][1] <= -1991
+    assert 9000 <= got[2][0] <= 9009 and 4000 <= got[2][1] <= 4009
