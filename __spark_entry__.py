@@ -2503,6 +2503,76 @@ SELECT cid::BIGINT AS cid, (j - 1)::BIGINT AS dim, cvec[j]::BIGINT AS val
 FROM fin""")
 
 
+def q_pq_train(spark, sf_dir):
+    """PQ sub-codebook training: the grouped pinned-integer Lloyd
+    refinement (`kmeans_refine(by=("j",))`) over all 8 subspaces in ONE
+    plan, seeded by the md5-ranked PQ codebooks — 2 iterations, output
+    exploded to (j, cid, dim, val)."""
+    from gigaspark.operators.similarity import (
+        kmeans_refine, pq_codebooks, quantize)
+
+    m, dim, d = 8, 64, 8
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", quantize(F.col("embedding")).alias("v"))
+    sub = (vecs.select("vec_id", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 F.slice(F.col("v"), j * d + 1, d).alias("v"))
+        for j in range(m)])).alias("e"))
+        .select("vec_id", F.col("e.j").alias("j"), F.col("e.v").alias("v")))
+    books = pq_codebooks(emb, m, 16, dim) \
+        .select("j", "cid", F.col("csub").alias("cvec"))
+    ref = kmeans_refine(sub, books, n_iter=2, by=("j",))
+    return ref.select(
+        "j", "cid", F.posexplode("cvec").alias("dim", "val")).select(
+        F.col("j").cast("long").alias("j"),
+        F.col("cid").cast("long").alias("cid"),
+        F.col("dim").cast("long").alias("dim"),
+        F.col("val").cast("long").alias("val"))
+
+
+def _sql_pq_train(n_iter: int = 2, m: int = 8, d: int = 8) -> str:
+    ctes = ["""vecs AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS v
+  FROM embeddings)""", f"""subsp AS (
+  SELECT unnest(generate_series(0, {m - 1})) AS j)""", f"""sub AS (
+  SELECT vec_id, j, v[j*{d}+1 : j*{d}+{d}] AS v FROM vecs, subsp)""", f"""smp AS (
+  SELECT row_number() OVER (ORDER BY h) AS cid, v
+  FROM (SELECT md5(vec_id::VARCHAR) AS h, v FROM vecs ORDER BY h LIMIT 16))""",
+        f"""cent0 AS (
+  SELECT j, cid, v[j*{d}+1 : j*{d}+{d}] AS cvec FROM smp, subsp)"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        ctes.append(f"""d{i} AS (
+  SELECT s.vec_id, s.j, c.cid,
+         list_sum(list_transform(list_zip(s.v, c.cvec),
+                                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
+  FROM sub s JOIN cent{p} c USING (j))""")
+        ctes.append(f"""a{i} AS (
+  SELECT d{i}.vec_id, d{i}.j, min(cid) AS cid FROM d{i}
+  JOIN (SELECT vec_id, j, min(dist) AS dmin FROM d{i} GROUP BY vec_id, j) mn
+    ON d{i}.vec_id = mn.vec_id AND d{i}.j = mn.j AND d{i}.dist = mn.dmin
+  GROUP BY d{i}.vec_id, d{i}.j)""")
+        ctes.append(f"""ex{i} AS (
+  SELECT a{i}.j, cid, sub.v, unnest(generate_series(1, {d})) AS t
+  FROM a{i} JOIN sub ON a{i}.vec_id = sub.vec_id AND a{i}.j = sub.j)""")
+        ctes.append(f"""m{i} AS (
+  SELECT j, cid, t, floor(sum(v[t]) / count(*))::BIGINT AS mv
+  FROM ex{i} GROUP BY j, cid, t)""")
+        ctes.append(f"""nc{i} AS (
+  SELECT j, cid, list(mv ORDER BY t) AS ncvec FROM m{i} GROUP BY j, cid)""")
+        ctes.append(f"""cent{i} AS (
+  SELECT cent{p}.j, cent{p}.cid, coalesce(nc{i}.ncvec, cent{p}.cvec) AS cvec
+  FROM cent{p} LEFT JOIN nc{i} ON cent{p}.j = nc{i}.j
+                              AND cent{p}.cid = nc{i}.cid)""")
+    return ("WITH " + ",\n".join(ctes) + f""",
+fin AS (SELECT j, cid, cvec, unnest(generate_series(1, {d})) AS t
+        FROM cent{n_iter})
+SELECT j::BIGINT AS j, cid::BIGINT AS cid, (t - 1)::BIGINT AS dim,
+       cvec[t]::BIGINT AS val
+FROM fin""")
+
+
 def q_search_facets(spark, sf_dir):
     """Facets over a RESULT SET (``gbfacet:`` applied to the matches of
     a query, Msg40 facet aggregation [U][M]): site and lang counts of
@@ -3644,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_prefix": q_suggest_prefix,
         "search_facets": q_search_facets,
         "ivf_kmeans_centroids": q_ivf_kmeans,
+        "pq_train_codebooks": q_pq_train,
         "search_synonyms_topk": q_search_synonyms,
         "search_anchors_topk": q_search_anchors,
         "pack_blocks": q_pack_blocks,
@@ -3744,6 +3815,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_prefix": SQL_SUGGEST,
         "search_facets": SQL_SEARCH_FACETS,
         "ivf_kmeans_centroids": _sql_ivf_kmeans(),
+        "pq_train_codebooks": _sql_pq_train(),
         "search_synonyms_topk": SQL_SEARCH_SYN,
         "search_anchors_topk": SQL_SEARCH_ANCHORS,
         "pack_blocks": SQL_PACK,

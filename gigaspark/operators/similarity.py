@@ -184,7 +184,7 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int = 16) -> DataFrame:
 
 
 def kmeans_refine(vecs: DataFrame, centroids: DataFrame,
-                  n_iter: int = 2) -> DataFrame:
+                  n_iter: int = 2, by: tuple[str, ...] = ()) -> DataFrame:
     """Pinned-integer Lloyd refinement of the IVF coarse quantizer
     (the k-means training a production IVF index runs; integer
     arithmetic end-to-end so a SQL oracle reproduces every centroid
@@ -202,31 +202,39 @@ def kmeans_refine(vecs: DataFrame, centroids: DataFrame,
         on negatives in Spark but floors in DuckDB);
       * empty cluster: keeps its previous centroid.
 
-    Plan per iteration: one broadcast crossJoin (K centroid rows) +
-    two doc-keyed aggs + one (cid, dim) agg — the corpus never
-    shuffles for assignment; only the exploded (cid, dim) means do,
-    and that shuffle is K·dim rows."""
+    ``by``: extra grouping key columns present in BOTH inputs — pass
+    ``("j",)`` to train one codebook per PQ subspace in a single plan
+    (the assignment join keys on the group instead of a crossJoin).
+
+    Plan per iteration: one broadcast join (K centroid rows per group)
+    + two doc-keyed aggs + one (group, cid, dim) agg — the corpus
+    never shuffles for assignment; only the exploded per-dimension
+    means do, and that shuffle is groups·K·dim rows."""
+    by = list(by)
     cent = centroids
+    vkey = ["vec_id", *by]
     for _ in range(n_iter):
-        d = (vecs.crossJoin(F.broadcast(cent))
-             .select("vec_id", "cid",
-                     int_l2(F.col("v"), F.col("cvec")).alias("dist")))
-        dmin = d.groupBy("vec_id").agg(F.min("dist").alias("dmin"))
-        a = (d.join(dmin, "vec_id")
+        paired = (vecs.join(F.broadcast(cent), by) if by
+                  else vecs.crossJoin(F.broadcast(cent)))
+        d = paired.select(*vkey, "cid",
+                          int_l2(F.col("v"), F.col("cvec")).alias("dist"))
+        dmin = d.groupBy(*vkey).agg(F.min("dist").alias("dmin"))
+        a = (d.join(dmin, vkey)
              .where(F.col("dist") == F.col("dmin"))
-             .groupBy("vec_id").agg(F.min("cid").alias("cid")))
-        ex = (a.join(vecs, "vec_id")
-              .select("cid", F.posexplode("v").alias("dim", "val")))
-        m = (ex.groupBy("cid", "dim")
+             .groupBy(*vkey).agg(F.min("cid").alias("cid")))
+        ex = (a.join(vecs, vkey)
+              .select(*by, "cid", F.posexplode("v").alias("dim", "val")))
+        m = (ex.groupBy(*by, "cid", "dim")
              .agg(F.floor(F.sum("val") / F.count("*")).cast("long")
                   .alias("mv")))
-        newc = (m.groupBy("cid")
+        newc = (m.groupBy(*by, "cid")
                 .agg(F.array_sort(F.collect_list(F.struct("dim", "mv")))
                      .alias("s"))
-                .select("cid", F.transform("s", lambda t: t["mv"])
+                .select(*by, "cid", F.transform("s", lambda t: t["mv"])
                         .alias("ncvec")))
-        cent = (cent.join(newc, "cid", "left")
-                .select("cid", F.coalesce("ncvec", "cvec").alias("cvec")))
+        cent = (cent.join(newc, [*by, "cid"], "left")
+                .select(*by, "cid",
+                        F.coalesce("ncvec", "cvec").alias("cvec")))
     return cent
 
 
