@@ -1724,6 +1724,44 @@ WHERE d.doc_id % 37 <> 0
 """
 
 
+def q_substring_dups(spark, sf_dir):
+    """Cross-doc repeated spans (exact-substring dedup signal, pinned
+    5-token windows): per doc, distinct windows / cross-doc-repeated
+    windows / integer-percent share (`dedup.substring_dup_spans`)."""
+    from gigaspark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(_t(spark, sf_dir, "documents"), w=5)
+
+
+SQL_SUBSTRING_DUPS = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+  FROM toks WHERE len(w) >= 5),
+sh AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                        || w[i+3] || ' ' || w[i+4]), 1, 8))::BIGINT AS sh
+  FROM idx),
+rep AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+tot AS (SELECT doc_id, count(*) AS n_windows FROM sh GROUP BY doc_id),
+hit AS (SELECT doc_id, count(*) AS n_rep FROM sh JOIN rep USING (sh)
+        GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(tot.n_windows, 0)::BIGINT AS n_windows,
+       coalesce(hit.n_rep, 0)::BIGINT AS n_rep,
+       (CASE WHEN coalesce(tot.n_windows, 0) > 0
+             THEN (100 * coalesce(hit.n_rep, 0)) // tot.n_windows
+             ELSE 0 END)::BIGINT AS rep_pct
+FROM documents d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN hit ON hit.doc_id = d.doc_id
+"""
+
+
 def q_corpus_filter(spark, sf_dir):
     """The C4/Gopher training-corpus filter as ONE plan: language-ID,
     quality, repetition, benchmark decontamination (eval set =
@@ -3691,6 +3729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "contamination_ngram": q_contamination,
         "corpus_filter_pipeline": q_corpus_filter,
+        "substring_dup_spans": q_substring_dups,
         "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition,
         "search_and_topk": q_search_and,
@@ -3792,6 +3831,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_FINGERPRINT,
         "contamination_ngram": SQL_CONTAMINATION,
         "corpus_filter_pipeline": _sql_corpus_filter(),
+        "substring_dup_spans": SQL_SUBSTRING_DUPS,
         "pii_redact": _sql_pii(),
         "repetition_stats": SQL_REPETITION,
         "search_and_topk": SQL_SEARCH_AND,

@@ -337,6 +337,41 @@ def repetition_stats(docs: DataFrame, k: int = 2,
                         (F.col("dup_pct") >= 30) | (F.col("top_pct") >= 20)))
 
 
+def substring_dup_spans(docs: DataFrame, w: int = 5,
+                        text_col: str = "text") -> DataFrame:
+    """Cross-document repeated spans — the exact-substring dedup signal
+    (the "Deduplicating Training Data Makes Language Models Better"
+    suffix-array idea, Spark-shaped: pinned fixed-width w-token windows
+    instead of arbitrary-length suffixes, so the whole computation is
+    two uniform hash aggs).  Per doc: distinct w-token windows, how
+    many of them also occur in >=2 DISTINCT docs, integer-percent
+    share (intra-doc repeats are repetition_stats' job, not this one).
+
+    Scale: the window explode is bounded by token count; both aggs and
+    the semi-join key on the uniform md5 window hash — no skew, no
+    all-pairs anything.  At 100 TB the repeated-hash set is the only
+    cross-doc state and it shrinks with w.
+    """
+    sh = doc_shingles(docs, w, text_col)              # distinct (doc_id, sh)
+    rep = (sh.groupBy("sh").agg(F.count_distinct("doc_id").alias("nd"))
+           .where(F.col("nd") >= 2).select("sh"))
+    tot = sh.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    hit = (sh.join(rep, "sh", "semi")
+           .groupBy("doc_id").agg(F.count("*").alias("n_rep")))
+    out = (docs.select("doc_id")
+           .join(tot, "doc_id", "left").join(hit, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("n_windows", F.lit(0)).cast("long")
+                   .alias("n_windows"),
+                   F.coalesce("n_rep", F.lit(0)).cast("long")
+                   .alias("n_rep")))
+    return out.withColumn(
+        "rep_pct",
+        F.when(F.col("n_windows") > 0,
+               F.floor(100 * F.col("n_rep") / F.col("n_windows")))
+        .otherwise(F.lit(0)).cast("long"))
+
+
 def image_caption_neardup(imgs: DataFrame, id_col: str = "image_id",
                           phash_col: str = "phash",
                           caption_col: str = "caption",

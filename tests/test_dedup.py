@@ -137,3 +137,21 @@ def test_repetition_stats(spark):
     assert got[1] == (7, 2, 4, 71, 57, True)   # 'buy now' ×4, 'now buy' ×3
     assert got[2] == (5, 5, 1, 0, 20, True)    # top_pct 20 edges the flag
     assert got[3] == (0, 0, 0, 0, 0, False)
+
+
+def test_substring_dup_spans(spark):
+    from gigaspark.operators.dedup import substring_dup_spans
+
+    shared = "alpha beta gamma delta epsilon"          # one 5-token window
+    docs = spark.createDataFrame([
+        (1, shared + " one two three four"),            # shares with 2
+        (2, "x y " + shared),                           # shares with 1
+        (3, "unrelated words only here now and then"),  # no cross-doc window
+        (4, "tiny doc"),                                # < 5 tokens
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_windows"], r["n_rep"], r["rep_pct"])
+           for r in substring_dup_spans(docs, w=5).collect()}
+    assert got[1] == (5, 1, 20)    # 9 tokens -> 5 windows, 1 shared
+    assert got[2] == (3, 1, 33)    # 7 tokens -> 3 windows
+    assert got[3] == (3, 0, 0)
+    assert got[4] == (0, 0, 0)

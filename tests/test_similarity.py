@@ -216,3 +216,35 @@ def test_kmeans_refine_inertia_and_empty_clusters(spark):
     # refined centroids sit inside their blobs
     assert 1000 <= got[1][0] <= 1009 and -2000 <= got[1][1] <= -1991
     assert 9000 <= got[2][0] <= 9009 and 4000 <= got[2][1] <= 4009
+
+
+def test_pq_training_reduces_quantization_error(spark):
+    from pyspark.sql import functions as F
+
+    from gigaspark.operators.similarity import (
+        int_l2, kmeans_refine, pq_codebooks, quantize)
+
+    m, dim, d = 8, 64, 8
+    rng = np.random.default_rng(11)
+    emb_df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(120)],
+        "vec_id long, embedding array<float>")
+    vecs = emb_df.select("vec_id", quantize(F.col("embedding")).alias("v"))
+    sub = (vecs.select("vec_id", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 F.slice(F.col("v"), j * d + 1, d).alias("v"))
+        for j in range(m)])).alias("e"))
+        .select("vec_id", F.col("e.j").alias("j"), F.col("e.v").alias("v")))
+    seed = pq_codebooks(emb_df, m, 16, dim) \
+        .select("j", "cid", F.col("csub").alias("cvec"))
+    trained = kmeans_refine(sub, seed, n_iter=2, by=("j",))
+
+    def qerr(books):
+        d_ = (sub.join(F.broadcast(books), "j")
+              .select("vec_id", "j",
+                      int_l2(F.col("v"), F.col("cvec")).alias("dist"))
+              .groupBy("vec_id", "j").agg(F.min("dist").alias("m")))
+        return d_.agg(F.sum("m")).collect()[0][0]
+
+    e0, e1 = qerr(seed), qerr(trained)
+    assert e1 < e0  # Lloyd strictly improves the md5-sampled seed here
