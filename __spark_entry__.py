@@ -2650,6 +2650,40 @@ SELECT 'lang' AS facet, lang AS value, count(*)::BIGINT AS n FROM j GROUP BY lan
 """
 
 
+def q_shard_balance(spark, sf_dir):
+    """Posdb shard-map balance (``Hostdb::getShardNum`` — termId picks
+    the shard [U][H]): assign every posting to shard = md5-hash(term)
+    mod 64 and report per-shard posting counts plus the max-share
+    permille — the number that tells you whether term-sharding keeps a
+    1000-executor index write balanced.  One map-side-combined groupBy
+    on the uniform hash key."""
+    from gigaspark.functions.text import md5_int
+    from gigaspark.operators.search import build_postings
+
+    p = build_postings(_t(spark, sf_dir, "documents"))
+    per = (p.groupBy((F.pmod(md5_int(F.col("term")), F.lit(64)))
+                     .cast("long").alias("shard"))
+           .agg(F.count("*").cast("long").alias("n_postings")))
+    tot = per.agg(F.sum("n_postings").alias("t"))
+    return (per.join(F.broadcast(tot))
+            .select("shard", "n_postings",
+                    F.floor(1000 * F.col("n_postings") / F.col("t"))
+                    .cast("long").alias("share_permille")))
+
+
+SQL_SHARD_BALANCE = f"""
+WITH {_POSTINGS_CTE},
+per AS (
+  SELECT (('0x' || substr(md5(term), 1, 8))::BIGINT % 64 + 64) % 64 AS shard,
+         count(*) AS n_postings
+  FROM p GROUP BY 1),
+tot AS (SELECT sum(n_postings) AS t FROM per)
+SELECT shard::BIGINT AS shard, n_postings::BIGINT AS n_postings,
+       floor(1000 * n_postings / t)::BIGINT AS share_permille
+FROM per, tot
+"""
+
+
 def q_suggest_prefix(spark, sf_dir):
     """Query completion over the popularity dictionary: top-8
     completions for two deterministic prefixes — the first char of
@@ -3752,6 +3786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_reindex": q_postings_reindex,
         "suggest_prefix": q_suggest_prefix,
         "search_facets": q_search_facets,
+        "shard_balance": q_shard_balance,
         "ivf_kmeans_centroids": q_ivf_kmeans,
         "pq_train_codebooks": q_pq_train,
         "search_synonyms_topk": q_search_synonyms,
@@ -3854,6 +3889,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_reindex": SQL_REINDEX,
         "suggest_prefix": SQL_SUGGEST,
         "search_facets": SQL_SEARCH_FACETS,
+        "shard_balance": SQL_SHARD_BALANCE,
         "ivf_kmeans_centroids": _sql_ivf_kmeans(),
         "pq_train_codebooks": _sql_pq_train(),
         "search_synonyms_topk": SQL_SEARCH_SYN,
