@@ -240,11 +240,12 @@ def _restrict_docs(docs_dim: DataFrame, pq: ParsedQuery) -> DataFrame | None:
     return docs_dim.where(cond).select("doc_id")
 
 
-def compile_query(postings: DataFrame, docs_dim: DataFrame,
-                  query: str | ParsedQuery, k: int = 10) -> DataFrame:
-    """Compile a query string into one retrieval DataFrame
-    ``(doc_id, score)`` top-k plan over ``postings(term, doc_id, pos)``
-    and ``docs_dim(doc_id, site, lang)``."""
+def score_query(postings: DataFrame, docs_dim: DataFrame,
+                query: str | ParsedQuery) -> DataFrame:
+    """The scoring core of the compiled query: every matching doc with
+    its score — restrictions, unit matching, and exclusions applied,
+    but NO ordering or top-k (so it also serves unbounded consumers:
+    streaming alert matching, facet counting over the match set)."""
     pq = parse_query(query) if isinstance(query, str) else query
     spark = postings.sparkSession
 
@@ -303,6 +304,17 @@ def compile_query(postings: DataFrame, docs_dim: DataFrame,
         ban = b if ban is None else ban.unionByName(b)
     if ban is not None:
         per_doc = per_doc.join(ban.distinct(), "doc_id", "left_anti")
+    return per_doc.select("doc_id", F.col("score").cast("long")
+                          .alias("score"))
+
+
+def compile_query(postings: DataFrame, docs_dim: DataFrame,
+                  query: str | ParsedQuery, k: int = 10) -> DataFrame:
+    """Compile a query string into one retrieval DataFrame
+    ``(doc_id, score)`` top-k plan over ``postings(term, doc_id, pos)``
+    and ``docs_dim(doc_id, site, lang, metadata...)``."""
+    pq = parse_query(query) if isinstance(query, str) else query
+    per_doc = score_query(postings, docs_dim, pq)
 
     if pq.sort_by is not None:
         # gbsortby: rank by the metadata field (desc, pinned), not the
