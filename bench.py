@@ -38,6 +38,7 @@ HEADLINE = [
     "pack_blocks", "caption_phash_neardup",
     "search_querylang_topk", "search_proximity_topk",
     "corpus_filter_pipeline", "postings_reindex",
+    "ivf_kmeans_centroids", "substring_dup_spans", "shard_balance",
 ]
 
 

@@ -119,17 +119,27 @@ def content_fingerprint(c: Column) -> Column:
 
 
 def shingles(c: Column, k: int = 3) -> Column:
-    """Array of word k-gram strings from normalized text (length n-k+1)."""
+    """Array of word k-gram strings from normalized text (length n-k+1).
+
+    Built as k-1 ``zip_with`` folds over shifted slices of the token
+    array — NOT a ``transform`` whose lambda re-reads the outer array:
+    a non-lambda expression inside a higher-order-function body is
+    re-evaluated PER ELEMENT, so the obvious
+    ``transform(seq, i -> concat(element_at(toks, i)...))`` re-runs the
+    whole ``split()`` k times for every window (O(tokens²·k) per doc —
+    measured 24 s for one count over 5 000 docs).  ``zip_with``
+    evaluates its two array arguments once per ROW, so this shape does
+    k split evaluations per document total (same count: 1.5 s).
+    """
     toks = F.split(norm_text(c), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)) - 0)
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
-                                         for j in range(k)]),
-        )
-    )
+    m = F.greatest(n - (k - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(1, k):
+        nxt = F.slice(toks, j + 1, m)
+        acc = F.zip_with(acc, nxt,
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(acc)
 
 
 # --- PII scrubbing (training-data hygiene) --------------------------------- #
