@@ -64,15 +64,23 @@ def link_spam_col(host: Column, path: Column, url: Column) -> Column:
     segs = F.split(path, "/")
     n_segs = F.size(segs)
     # consecutive triple-repeated non-empty segment (/a/a/a — the classic
-    # crawler-trap loop); element_at is 1-based
+    # crawler-trap loop).  Shifted-slice zip_with, NOT exists(sequence,
+    # i -> element_at(segs, i)...): a non-lambda expression inside a
+    # higher-order-function body re-evaluates per element, so the
+    # element_at form re-runs the path split 3× per window per URL —
+    # this form splits a constant 3× per URL (see functions/text.py::
+    # shingles for the measured blow-up on long arrays).
+    m = F.greatest(n_segs - 3, F.lit(0))
+    s1 = F.slice(segs, 2, m)
+    s2 = F.slice(segs, 3, m)
+    s3 = F.slice(segs, 4, m)
+    pair = F.zip_with(s1, s2,
+                      lambda a, b: F.when((a == b) & (a != ""), a))
     trip = F.when(
         n_segs >= 4,
-        F.exists(
-            F.sequence(F.lit(2), n_segs - 2),
-            lambda i: (F.element_at(segs, i) != "")
-            & (F.element_at(segs, i) == F.element_at(segs, i + 1))
-            & (F.element_at(segs, i) == F.element_at(segs, i + 2)),
-        ),
+        F.exists(F.zip_with(pair, s3,
+                            lambda ab, c: ab.isNotNull() & (ab == c)),
+                 lambda hit: hit),
     ).otherwise(F.lit(False))
     n_params = F.when(
         url.contains("?"),
