@@ -217,3 +217,49 @@ def _brute(q: str, k: int = 10):
 ])
 def test_compile_matches_bruteforce(spark, q):
     assert _run(spark, q) == _brute(q)
+
+
+# ------------------------------------------------------- property fuzz
+
+from hypothesis import given, settings, strategies as st
+
+_WORDS = ["quick", "brown", "fox", "lazy", "river", "bear", "zz"]
+_ATOMS = (
+    [w for w in _WORDS]
+    + [f"-{w}" for w in _WORDS[:4]]
+    + ['"quick brown"', '"brown fox"', '-"fox fox"',
+       "site:a.com", "site:c.com", "-site:b.com", "lang:en",
+       "intitle:quick", "-intitle:lazy", "OR"]
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.sampled_from(_ATOMS), min_size=1, max_size=6))
+def test_parse_or_reject_is_total(tokens):
+    """parse_query either returns a structure or raises ValueError —
+    never any other exception — on arbitrary token sequences."""
+    q = " ".join(tokens)
+    try:
+        pq = parse_query(q)
+    except ValueError:
+        return
+    assert pq.units  # accepted queries always have a scoring unit
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_queries_match_bruteforce(spark, seed):
+    """Deterministic pseudo-random queries (seeded, no runtime RNG in
+    the engine itself) compile to plans matching the brute force."""
+    import random
+
+    rng = random.Random(seed)
+    accepted = []
+    while len(accepted) < 3:
+        q = " ".join(rng.choice(_ATOMS) for _ in range(rng.randint(1, 5)))
+        try:
+            parse_query(q)
+        except ValueError:
+            continue
+        accepted.append(q)
+    for q in accepted:
+        assert _run(spark, q) == _brute(q), f"mismatch for {q!r}"
