@@ -2773,6 +2773,49 @@ FROM p GROUP BY doc_id
 """
 
 
+def q_querylang_boolean(spark, sf_dir):
+    """Nested boolean query (Query.cpp parens [U][M]):
+
+        ``value OR (hash join) lang:en``
+
+    — OR of an atom and an AND-group, compiled by
+    `query_lang.compile_boolean`: per-atom match scores aggregate to a
+    per-doc flag map, the tree evaluates as one Column expression,
+    score = Σ over matched atoms."""
+    from gigaspark.operators.query_lang import compile_boolean
+    from gigaspark.operators.search import build_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = build_postings(docs)
+    dim = docs.select("doc_id", F.col("source").alias("site"), "lang")
+    return compile_boolean(postings, dim,
+                           "value OR (hash join) lang:en", k=10)
+
+
+SQL_QUERYLANG_BOOLEAN = f"""
+WITH {_POSTINGS_CTE},
+din AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+pa AS (SELECT p.term, p.doc_id FROM p JOIN din USING (doc_id)),
+at AS (
+  SELECT doc_id, 0 AS atom, count(*) AS s FROM pa WHERE term = 'value'
+  GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 1, count(*) FROM pa WHERE term = 'hash' GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 2, count(*) FROM pa WHERE term = 'join' GROUP BY doc_id),
+fl AS (
+  SELECT doc_id,
+         sum(CASE WHEN atom = 0 THEN s END) AS s0,
+         sum(CASE WHEN atom = 1 THEN s END) AS s1,
+         sum(CASE WHEN atom = 2 THEN s END) AS s2,
+         sum(s)::BIGINT AS score
+  FROM at GROUP BY doc_id)
+SELECT doc_id, score FROM fl
+WHERE s0 IS NOT NULL OR (s1 IS NOT NULL AND s2 IS NOT NULL)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_search_proximity(spark, sf_dir):
     """Term-pair proximity ranking (``PosdbTable``'s closest-pair score
     component, the sliding-window pair loop [U][H]; pinned to
@@ -3782,6 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_querylang_site": q_querylang_site,
         "search_querylang_title": q_querylang_title,
         "search_querylang_numeric": q_querylang_numeric,
+        "search_querylang_boolean": q_querylang_boolean,
         "search_proximity_topk": q_search_proximity,
         "postings_reindex": q_postings_reindex,
         "suggest_prefix": q_suggest_prefix,
@@ -3885,6 +3929,7 @@ def oracle_sql() -> dict[str, str]:
         "search_querylang_site": SQL_QUERYLANG_SITE,
         "search_querylang_title": SQL_QUERYLANG_TITLE,
         "search_querylang_numeric": SQL_QUERYLANG_NUMERIC,
+        "search_querylang_boolean": SQL_QUERYLANG_BOOLEAN,
         "search_proximity_topk": SQL_PROXIMITY,
         "postings_reindex": SQL_REINDEX,
         "suggest_prefix": SQL_SUGGEST,

@@ -240,6 +240,195 @@ def _restrict_docs(docs_dim: DataFrame, pq: ParsedQuery) -> DataFrame | None:
     return docs_dim.where(cond).select("doc_id")
 
 
+# ------------------------------------------------------------------ #
+# Nested boolean queries (Query.cpp parens/boolean operators [U][M]) #
+# ------------------------------------------------------------------ #
+
+@dataclass(frozen=True)
+class BoolNode:
+    """op in {'AND', 'OR'} with children, or op == 'ATOM' with
+    ``atom_id`` referencing the atoms list."""
+    op: str
+    children: tuple = ()
+    atom_id: int = -1
+
+
+@dataclass
+class ParsedBoolean:
+    tree: BoolNode = None
+    atoms: list[Atom] = dc_field(default_factory=list)
+    excludes: list[Atom] = dc_field(default_factory=list)
+    fields: dict[str, tuple[list[str], list[str]]] = dc_field(
+        default_factory=dict)
+
+    def field_in(self, name):
+        return self.fields.get(name, ([], []))[0]
+
+    def field_not_in(self, name):
+        return self.fields.get(name, ([], []))[1]
+
+
+def parse_boolean(q: str) -> ParsedBoolean:
+    """Recursive-descent parser for nested boolean queries:
+
+        expr   := and_expr ('OR' and_expr)*
+        and_expr := factor+                  -- implicit AND
+        factor := '-'? atom | '(' expr ')'
+
+    Negation applies to atoms only (a negated group is a pinned
+    ValueError — Gigablast likewise rejects most NOT-of-group shapes);
+    ``-atom`` and ``site:``/``lang:`` operators apply GLOBALLY wherever
+    they appear (they are restrictions, not tree leaves); numeric and
+    sort operators are rejected.  Pinned semantics: admission = the
+    boolean tree over per-atom matched flags; score = Σ occurrence
+    scores over ALL matched atoms.
+    """
+    padded, inq = [], False
+    for ch in q:
+        if ch == '"':
+            inq = not inq
+            padded.append(ch)
+        elif ch in "()" and not inq:
+            padded.append(f" {ch} ")
+        else:
+            padded.append(ch)
+    toks = _lex("".join(padded))
+    pb = ParsedBoolean()
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_expr() -> BoolNode:
+        parts = [parse_and()]
+        while peek() == "OR":
+            take()
+            parts.append(parse_and())
+        return parts[0] if len(parts) == 1 else BoolNode(
+            "OR", tuple(parts))
+
+    def parse_and() -> BoolNode:
+        factors = []
+        while peek() not in (None, "OR", ")"):
+            f = parse_factor()
+            if f is not None:
+                factors.append(f)
+        if not factors:
+            raise ValueError("empty boolean group")
+        return factors[0] if len(factors) == 1 else BoolNode(
+            "AND", tuple(factors))
+
+    def parse_factor() -> BoolNode | None:
+        """None = a global construct (field / -atom) was consumed; it
+        contributes a restriction, not a tree leaf."""
+        t = take()
+        if t == "(":
+            node = parse_expr()
+            if peek() != ")":
+                raise ValueError("unbalanced parenthesis")
+            take()
+            return node
+        if t == ")":
+            raise ValueError("unbalanced parenthesis")
+        neg, node = _atom_of(t)
+        if isinstance(node, tuple):
+            if node[0] in ("_sortby", "_numeric"):
+                raise ValueError(
+                    f"{node[0][1:]} is not supported in boolean queries")
+            name, value = node
+            inc, exc = pb.fields.setdefault(name, ([], []))
+            (exc if neg else inc).append(value)
+            return None
+        if neg:
+            pb.excludes.append(node)
+            return None
+        pb.atoms.append(node)
+        return BoolNode("ATOM", atom_id=len(pb.atoms) - 1)
+
+    pb.tree = parse_expr()
+    if pos != len(toks):
+        raise ValueError("unbalanced parenthesis")
+    if not pb.atoms:
+        raise ValueError("query has no positive term or phrase")
+    return pb
+
+
+def compile_boolean(postings: DataFrame, docs_dim: DataFrame,
+                    query: str | ParsedBoolean, k: int = 10) -> DataFrame:
+    """Nested-boolean retrieval: one plan computing per-atom match
+    scores, evaluating the tree as a Column expression over per-doc
+    matched flags, scoring by the sum over all matched atoms."""
+    pb = parse_boolean(query) if isinstance(query, str) else query
+    spark = postings.sparkSession
+
+    # reuse the flat path's restriction/exclusion machinery
+    shim = ParsedQuery(units=[], excludes=pb.excludes, fields=pb.fields)
+    allow = _restrict_docs(docs_dim, shim)
+    scoped = postings if allow is None else \
+        postings.join(F.broadcast(allow), "doc_id", "semi")
+
+    term_rows = [(i, a.words[0], -1 if a.max_pos is None else a.max_pos)
+                 for i, a in enumerate(pb.atoms) if a.kind == "term"]
+    branches: list[DataFrame] = []
+    if term_rows:
+        qdf = spark.createDataFrame(
+            term_rows, "atom_id INT, term STRING, cap INT")
+        branches.append(
+            scoped.join(F.broadcast(qdf), "term")
+            .where((F.col("cap") < 0) | (F.col("pos") <= F.col("cap")))
+            .groupBy("doc_id", "atom_id")
+            .agg(F.count("*").alias("s")))
+    for i, a in enumerate(pb.atoms):
+        if a.kind == "phrase":
+            occ = _phrase_occurrences(scoped, a.words, spark)
+            branches.append(occ.select(
+                "doc_id", F.lit(i).alias("atom_id"), F.col("n").alias("s")))
+    hits = branches[0]
+    for b in branches[1:]:
+        hits = hits.unionByName(b)
+
+    flags = (hits.groupBy("doc_id", "atom_id").agg(F.sum("s").alias("s"))
+             .groupBy("doc_id")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("atom_id", "s"))).alias("m"),
+                 F.sum("s").alias("score")))
+
+    def admit(node: BoolNode):
+        if node.op == "ATOM":
+            return F.element_at(F.col("m"), F.lit(node.atom_id)).isNotNull()
+        parts = [admit(c) for c in node.children]
+        out = parts[0]
+        for p in parts[1:]:
+            out = (out & p) if node.op == "AND" else (out | p)
+        return out
+
+    per_doc = flags.where(admit(pb.tree)).select(
+        "doc_id", F.col("score").cast("long").alias("score"))
+
+    ban = None
+    for a in pb.excludes:
+        if a.kind == "term":
+            cond = F.col("term") == a.words[0]
+            if a.max_pos is not None:
+                cond = cond & (F.col("pos") <= a.max_pos)
+            b = postings.where(cond).select("doc_id")
+        else:
+            b = _phrase_occurrences(postings, a.words, spark) \
+                .select("doc_id")
+        ban = b if ban is None else ban.unionByName(b)
+    if ban is not None:
+        per_doc = per_doc.join(ban.distinct(), "doc_id", "left_anti")
+
+    return (per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k))
+
+
 def score_query(postings: DataFrame, docs_dim: DataFrame,
                 query: str | ParsedQuery) -> DataFrame:
     """The scoring core of the compiled query: every matching doc with

@@ -263,3 +263,96 @@ def test_random_queries_match_bruteforce(spark, seed):
         accepted.append(q)
     for q in accepted:
         assert _run(spark, q) == _brute(q), f"mismatch for {q!r}"
+
+
+# ------------------------------------------- nested boolean (parens)
+
+from gigaspark.operators.query_lang import (  # noqa: E402
+    BoolNode, compile_boolean, parse_boolean)
+
+
+def _run_bool(spark, q, k=10):
+    import pyspark.sql.functions as F
+
+    docs = _docs(spark)
+    postings = build_postings(docs)
+    dim = docs.select("doc_id", "site", "lang",
+                      F.length("text").alias("n_chars"))
+    return [(r["doc_id"], r["score"])
+            for r in compile_boolean(postings, dim, q, k=k).collect()]
+
+
+def _brute_bool(q, k=10):
+    pb = parse_boolean(q)
+    toks = {d[0]: d[1].lower().split() for d in DOCS}
+    meta = {d[0]: {"lang": d[2], "site": d[3]} for d in DOCS}
+
+    def atom_score(a, words):
+        if a.kind == "term":
+            scope = words if a.max_pos is None else words[:a.max_pos + 1]
+            return sum(1 for w in scope if w == a.words[0])
+        n = len(a.words)
+        return sum(1 for i in range(len(words) - n + 1)
+                   if tuple(words[i:i + n]) == a.words)
+
+    def admit(node, scores):
+        if node.op == "ATOM":
+            return scores[node.atom_id] > 0
+        vals = [admit(c, scores) for c in node.children]
+        return all(vals) if node.op == "AND" else any(vals)
+
+    out = []
+    for did, words in toks.items():
+        ok = True
+        for name in ("site", "lang"):
+            inc, exc = pb.field_in(name), pb.field_not_in(name)
+            if inc and meta[did][name] not in inc:
+                ok = False
+            if meta[did][name] in exc:
+                ok = False
+        if any(atom_score(a, words) for a in pb.excludes):
+            ok = False
+        if not ok:
+            continue
+        scores = [atom_score(a, words) for a in pb.atoms]
+        if not admit(pb.tree, scores):
+            continue
+        if sum(scores) == 0:
+            continue  # unreachable: admitted trees imply >=1 match
+        out.append((did, sum(s for s in scores if s > 0)))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
+def test_parse_boolean_tree_shape():
+    pb = parse_boolean("batch OR (scan join)")
+    assert pb.tree.op == "OR"
+    assert pb.tree.children[0].op == "ATOM"
+    assert pb.tree.children[1].op == "AND"
+    assert [a.words for a in pb.atoms] == [("batch",), ("scan",), ("join",)]
+
+
+def test_parse_boolean_errors():
+    for bad in ["(a OR b", "a)", "()", "a OR ()", "a gbsortby:n_chars",
+                "(-a)", "-a", "(OR)", ""]:
+        with pytest.raises(ValueError):
+            parse_boolean(bad)
+
+
+@pytest.mark.parametrize("q", [
+    "fox OR (lazy river)",
+    "(quick brown) OR (lazy summer)",
+    '(("brown fox") OR river) quick OR bear',
+    "fox (brown OR lazy) -runs",
+    "(fox OR bear) site:c.com",
+    'brown ("quick quick" OR bear OR river)',
+    "fox -intitle:lazy (quick OR brown)",
+])
+def test_compile_boolean_matches_bruteforce(spark, q):
+    assert _run_bool(spark, q) == _brute_bool(q), q
+
+
+def test_boolean_degenerates_to_flat(spark):
+    # a flat query must produce identical results through both compilers
+    for q in ["quick fox", "lazy OR river", '"brown fox" -runs lang:en']:
+        assert _run_bool(spark, q) == _run(spark, q)
