@@ -941,6 +941,64 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_keep(spark, sf_dir):
+    """The dedup ACTION: per near-dup cluster keep the best document —
+    argmax quality, ties to min doc_id (a real pipeline keeps the
+    highest-quality representative, not the lowest id).  Singletons
+    (docs in no verified pair) keep themselves.  Output
+    (doc_id, cluster_id, keep) over the WHOLE corpus."""
+    from gigaspark.functions.text import quality_score
+    from gigaspark.operators.dedup import (
+        connected_components, doc_shingles, lsh_candidate_pairs,
+        minhash_signatures, ngram_jaccard_pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = _cache_slot("lsh_shingles", doc_shingles(docs, k=3))
+    pairs = ngram_jaccard_pairs(
+        sh, lsh_candidate_pairs(minhash_signatures(sh, n_perm=8), n_bands=4),
+        threshold=0.5)
+    cc = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    qual = docs.select("doc_id", quality_score(F.col("text")).alias("qual"))
+    full = (docs.select("doc_id").join(cc, "doc_id", "left")
+            .withColumn("cluster_id",
+                        F.coalesce("cluster_id", "doc_id")))
+    j = full.join(qual, "doc_id")
+    bq = j.groupBy("cluster_id").agg(F.max("qual").alias("mq"))
+    keepers = (j.join(bq, "cluster_id")
+               .where(F.col("qual") == F.col("mq"))
+               .groupBy("cluster_id").agg(F.min("doc_id").alias("keep_id")))
+    return (full.join(keepers, "cluster_id")
+            .select("doc_id", "cluster_id",
+                    (F.col("doc_id") == F.col("keep_id")).alias("keep")))
+
+
+def _dedup_keep_sql() -> str:
+    p = _sql_quality_parts()
+    return f"""
+WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+reach(u, v) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+cc AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+qual AS (SELECT doc_id, ({p["quality"]})::DOUBLE AS qual FROM documents),
+allm AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+bq AS (SELECT cluster_id, max(qual) AS mq
+       FROM allm JOIN qual USING (doc_id) GROUP BY cluster_id),
+keepers AS (
+  SELECT a.cluster_id, min(a.doc_id) AS keep_id
+  FROM allm a JOIN qual USING (doc_id)
+  JOIN bq ON bq.cluster_id = a.cluster_id AND qual.qual = bq.mq
+  GROUP BY a.cluster_id)
+SELECT a.doc_id, a.cluster_id, a.doc_id = k.keep_id AS keep
+FROM allm a JOIN keepers k USING (cluster_id)
+"""
+
+
 def q_lsh_jaccard_pairs(spark, sf_dir):
     """MinHash-LSH banding → candidate pairs → exact n-gram Jaccard ≥ 0.5
     verification (the full near-dup pipeline)."""
@@ -3790,6 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_list": q_dedup_keep,
         "ann_pq_topk": q_ann_pq,
         "ann_ivfpq_topk": q_ann_ivfpq,
         "simhash32": q_simhash,
@@ -3894,6 +3953,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_sql(8),
         "lsh_jaccard_pairs": _lsh_pairs_sql(8, 4, 0.5),
         "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_keep_list": _dedup_keep_sql(),
         "ann_pq_topk": SQL_ANN_PQ,
         "ann_ivfpq_topk": SQL_ANN_IVFPQ,
         "simhash32": SQL_SIMHASH,
