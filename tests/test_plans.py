@@ -41,6 +41,11 @@ CASES = [
     # contamination probe: eval side must broadcast (semi), big side
     # never shuffles for membership
     ("contamination_ngram", ["BroadcastHashJoin LeftSemi"]),
+    ("search_querylang_boolean",
+     ["TakeOrderedAndProject", "BroadcastHashJoin"]),
+    ("search_querylang_numeric", ["TakeOrderedAndProject"]),
+    ("postings_reindex", ["BroadcastHashJoin LeftAnti"]),
+    ("shard_balance", ["HashAggregate"]),
     ("corpus_filter_pipeline", ["BroadcastHashJoin LeftSemi"]),
 ]
 
@@ -52,10 +57,17 @@ def test_plan_has_required_shape(spark, name, need):
         assert frag in plan, f"{name}: expected {frag!r} in plan"
 
 
+# queries where a BroadcastNestedLoopJoin is the INTENDED plan: a
+# no-condition join against a 1-row (or K-row) broadcast aggregate
+BNLJ_OK = {"shard_balance"}
+
+
 @pytest.mark.parametrize("name", [c[0] for c in CASES])
 def test_plan_never_cartesian(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan
-    # BroadcastNestedLoopJoin is allowed ONLY in the labeled brute-force
-    # ANN baseline, which is not in this list
-    assert "BroadcastNestedLoopJoin" not in plan
+    # BroadcastNestedLoopJoin is allowed ONLY where one side is a
+    # broadcast constant-size aggregate (BNLJ_OK) or in the labeled
+    # brute-force ANN baseline, which is not in this list
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan
