@@ -359,11 +359,10 @@ def parse_boolean(q: str) -> ParsedBoolean:
     return pb
 
 
-def compile_boolean(postings: DataFrame, docs_dim: DataFrame,
-                    query: str | ParsedBoolean, k: int = 10) -> DataFrame:
-    """Nested-boolean retrieval: one plan computing per-atom match
-    scores, evaluating the tree as a Column expression over per-doc
-    matched flags, scoring by the sum over all matched atoms."""
+def score_boolean(postings: DataFrame, docs_dim: DataFrame,
+                  query: str | ParsedBoolean) -> DataFrame:
+    """Scoring core of the nested-boolean compiler: every admitted doc
+    with its score, no ordering/top-k (alert matching, facets)."""
     pb = parse_boolean(query) if isinstance(query, str) else query
     spark = postings.sparkSession
 
@@ -424,7 +423,15 @@ def compile_boolean(postings: DataFrame, docs_dim: DataFrame,
         ban = b if ban is None else ban.unionByName(b)
     if ban is not None:
         per_doc = per_doc.join(ban.distinct(), "doc_id", "left_anti")
+    return per_doc
 
+
+def compile_boolean(postings: DataFrame, docs_dim: DataFrame,
+                    query: str | ParsedBoolean, k: int = 10) -> DataFrame:
+    """Nested-boolean retrieval: one plan computing per-atom match
+    scores, evaluating the tree as a Column expression over per-doc
+    matched flags, scoring by the sum over all matched atoms."""
+    per_doc = score_boolean(postings, docs_dim, query)
     return (per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k))
 

@@ -26,7 +26,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gigaspark.operators.query_lang import ParsedQuery, parse_query, score_query
+from gigaspark.operators.query_lang import (
+    ParsedBoolean, ParsedQuery, parse_boolean, parse_query, score_boolean,
+    score_query)
 from gigaspark.operators.search import build_postings
 
 _OUT_SCHEMA = "query_id string, doc_id long, score long, batch_id long"
@@ -39,8 +41,11 @@ class AlertEngine:
                  out_dir: str):
         self.spark = spark
         self.out_dir = out_dir
-        self.queries: dict[str, ParsedQuery] = {}
+        self.queries: dict[str, ParsedQuery | ParsedBoolean] = {}
         for qid, q in queries.items():
+            if "(" in q or ")" in q:   # nested boolean form
+                self.queries[qid] = parse_boolean(q)
+                continue
             pq = parse_query(q)
             if pq.sort_by is not None:
                 raise ValueError(f"{qid}: gbsortby has no alert semantics")
@@ -54,7 +59,9 @@ class AlertEngine:
         dim = batch.select(*dim_cols)
         out = None
         for qid, pq in self.queries.items():
-            m = score_query(postings, dim, pq).select(
+            scorer = score_boolean if isinstance(pq, ParsedBoolean) \
+                else score_query
+            m = scorer(postings, dim, pq).select(
                 F.lit(qid).alias("query_id"), "doc_id", "score",
                 F.lit(batch_id).cast("long").alias("batch_id"))
             out = m if out is None else out.unionByName(m)

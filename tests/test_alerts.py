@@ -23,6 +23,7 @@ QUERIES = {
     "q_phrase": '"brown fox" OR river',
     "q_site": "quick site:a.com",
     "q_title": "intitle:lazy",
+    "q_bool": "river OR (quick fox)",   # nested boolean standing query
 }
 
 
@@ -33,6 +34,8 @@ def _expected():
         ("q_phrase", 1, 1, 0), ("q_phrase", 2, 1, 0), ("q_phrase", 5, 1, 1),
         ("q_site", 1, 1, 0),
         ("q_title", 2, 1, 0),
+        ("q_bool", 1, 2, 0), ("q_bool", 2, 1, 0),
+        ("q_bool", 4, 4, 1), ("q_bool", 5, 1, 1),
     }
 
 
