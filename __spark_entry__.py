@@ -2831,6 +2831,55 @@ FROM p GROUP BY doc_id
 """
 
 
+def q_querylang_trigram(spark, sf_dir):
+    """Query language, n-word phrase chains (the general Posdb
+    position-delta walk, n-1 adjacency joins):
+
+        ``"big order scan" OR "part filter scan" OR "table key filter"
+          value``
+
+    — an OR-unit of three trigram phrases (the corpus is random word
+    salad, so the three pinned trigrams cover the three SFs) AND a
+    scoring term."""
+    from gigaspark.operators.query_lang import compile_query
+    from gigaspark.operators.search import build_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = build_postings(docs)
+    dim = docs.select("doc_id", F.col("source").alias("site"), "lang")
+    return compile_query(
+        postings, dim,
+        '"big order scan" OR "part filter scan" OR "table key filter" '
+        'value', k=10)
+
+
+def _trigram_cte(name: str, a: str, b: str, c: str) -> str:
+    return f"""{name} AS (
+  SELECT x.doc_id, count(*) AS s
+  FROM p x JOIN p y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+           JOIN p z ON z.doc_id = x.doc_id AND z.pos = x.pos + 2
+  WHERE x.term = '{a}' AND y.term = '{b}' AND z.term = '{c}'
+  GROUP BY x.doc_id)"""
+
+
+SQL_QUERYLANG_TRIGRAM = f"""
+WITH {_POSTINGS_CTE},
+{_trigram_cte("ph1", "big", "order", "scan")},
+{_trigram_cte("ph2", "part", "filter", "scan")},
+{_trigram_cte("ph3", "table", "key", "filter")},
+u0 AS (SELECT doc_id, sum(s) AS s FROM (
+         SELECT * FROM ph1 UNION ALL SELECT * FROM ph2
+         UNION ALL SELECT * FROM ph3) GROUP BY doc_id),
+u1 AS (SELECT doc_id, count(*) AS s FROM p WHERE term = 'value'
+       GROUP BY doc_id),
+hits AS (SELECT doc_id, count(*) AS nu, sum(s) AS score
+         FROM (SELECT doc_id, s FROM u0 UNION ALL SELECT doc_id, s FROM u1)
+         GROUP BY doc_id)
+SELECT doc_id, score::BIGINT AS score FROM hits WHERE nu = 2
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_querylang_boolean(spark, sf_dir):
     """Nested boolean query (Query.cpp parens [U][M]):
 
@@ -3885,6 +3934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_querylang_title": q_querylang_title,
         "search_querylang_numeric": q_querylang_numeric,
         "search_querylang_boolean": q_querylang_boolean,
+        "search_querylang_trigram": q_querylang_trigram,
         "search_proximity_topk": q_search_proximity,
         "postings_reindex": q_postings_reindex,
         "suggest_prefix": q_suggest_prefix,
@@ -3990,6 +4040,7 @@ def oracle_sql() -> dict[str, str]:
         "search_querylang_title": SQL_QUERYLANG_TITLE,
         "search_querylang_numeric": SQL_QUERYLANG_NUMERIC,
         "search_querylang_boolean": SQL_QUERYLANG_BOOLEAN,
+        "search_querylang_trigram": SQL_QUERYLANG_TRIGRAM,
         "search_proximity_topk": SQL_PROXIMITY,
         "postings_reindex": SQL_REINDEX,
         "suggest_prefix": SQL_SUGGEST,
