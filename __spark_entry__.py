@@ -1623,6 +1623,67 @@ FROM n
 """
 
 
+# DuckDB mirror of the pinned 4-rule Unicode tokenizer
+# (gigaspark.functions.text.unicode_token_string): entity decode with
+# &amp; LAST, Unicode lowercase, CJK unigrams (RE2 spells the script
+# classes \\p{Han}…; Java spells them \\p{IsHan}…), token chars
+# \\p{L}\\p{M}\\p{N}.  Parameterized on the source relation so queries
+# can tokenize an augmented corpus with the same rule set.
+_UNI_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(regexp_replace(
+      replace(replace(replace(replace(replace(replace(replace(
+        lower({src}), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+        '&amp;', '&'),
+      '([\\p{{Han}}\\p{{Hiragana}}\\p{{Katakana}}\\p{{Hangul}}])',
+      ' \\1 ', 'g'),
+      '[^\\p{{L}}\\p{{M}}\\p{{N}}]+', ' ', 'g')), ' ') AS w
+  FROM {rel})"""
+
+
+def q_token_counts_unicode(spark, sf_dir):
+    """C5 Unicode tokenizer parity (Unicode.cpp/Entities.cpp [U][H]):
+    the synthetic corpus is pure ``[a-z ]``, so non-Latin coverage is
+    synthesized IN-PLAN — each doc's text is augmented with the CJK
+    spelling of its doc_id digits plus a fixed entity/diacritic/Hangul
+    suffix — and the FULL term histogram of the pinned 4-rule tokenizer
+    is value-hashed through both engines."""
+    from gigaspark.operators.search import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.concat(
+        F.substring("text", 1, 60), F.lit(" "),
+        F.translate(F.col("doc_id").cast("string"),
+                    "0123456789", "零一二三四五六七八九"),
+        F.lit(" Café &amp; <b>Über</b> &lt;tag&gt;"
+              " &#39;ok&#39; 漢字 한국어"),
+    ).alias("text"))
+    return (tokenize(aug).groupBy("term")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("term").asc())
+            .limit(100))
+
+
+SQL_TOKENS_UNICODE = ("""
+WITH aug AS (
+  SELECT doc_id,
+         substr(text, 1, 60) || ' '
+         || translate(doc_id::VARCHAR, '0123456789',
+                      '零一二三四五六七八九')
+         || ' Café &amp; <b>Über</b> &lt;tag&gt;'
+         || ' &#39;ok&#39; 漢字 한국어' AS text
+  FROM documents),
+""" + _UNI_TOKS_CTE.format(src="text", rel="aug").lstrip() + """,
+idxu AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+  FROM toks WHERE len(w) >= 1)
+SELECT w[i] AS term, count(*)::BIGINT AS n
+FROM idxu WHERE w[i] <> ''
+GROUP BY term ORDER BY n DESC, term ASC LIMIT 100
+""")
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting — whole-doc md5 + min/max shingle hash
     (winnowing bounds) + shingle count."""
@@ -1911,11 +1972,7 @@ FROM j
 # =========================================================================== #
 
 # DuckDB postings CTE — mirrors search.build_postings (distinct term/doc/pos)
-_POSTINGS_CTE = """
-toks AS (
-  SELECT doc_id, regexp_split_to_array(
-      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-  FROM documents),
+_POSTINGS_CTE = _UNI_TOKS_CTE.format(src="text", rel="documents") + """,
 idxp AS (
   SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
   FROM toks WHERE len(w) >= 1),
@@ -2770,7 +2827,10 @@ cand AS (
   SELECT pref.prefix, vocab.term, vocab.freq,
          row_number() OVER (PARTITION BY pref.prefix
                             ORDER BY vocab.freq DESC, vocab.term ASC) AS rn
-  FROM vocab JOIN pref ON vocab.term LIKE pref.prefix || '%')
+  FROM vocab JOIN pref
+    -- substr-equality, not LIKE: a corpus term starting with '%' or '_'
+    -- must match as a literal, exactly like the engine's startswith
+    ON substr(vocab.term, 1, length(pref.prefix)) = pref.prefix)
 SELECT prefix, rn, term, freq::BIGINT AS freq FROM cand WHERE rn <= 8
 """
 
@@ -3978,6 +4038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "video_scene_cuts": q_video_scene_cuts,
+        "token_counts_unicode": q_token_counts_unicode,
     }
 
 
@@ -4029,6 +4090,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _sql_text_quality(),
         "text_langid": _sql_langid(),
         "token_counts": SQL_TOKENS,
+        "token_counts_unicode": SQL_TOKENS_UNICODE,
         "doc_fingerprint": SQL_FINGERPRINT,
         "contamination_ngram": SQL_CONTAMINATION,
         "corpus_filter_pipeline": _sql_corpus_filter(),

@@ -37,6 +37,49 @@ def norm_text(c: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+# --------------------------------------------------------------------- #
+# Pinned Unicode tokenization rule set (SURVEY C5 — Unicode.cpp/         #
+# Entities.cpp [U][H] parity layer).  Both engines (Spark/Java regex,   #
+# DuckDB/RE2) implement the IDENTICAL four rules so oracles stay        #
+# bit-exact on any corpus, Latin or not:                                #
+#   1. HTML entities decode via a pinned table, &amp; LAST (replace     #
+#      chaining with amp last ≡ a single-pass decoder for this table);  #
+#   2. Unicode lowercase (engine default toLowerCase — pinned: no NFC); #
+#   3. every CJK codepoint (Han/Hiragana/Katakana/Hangul scripts) is    #
+#      its own token — unigram indexing, the pinned stand-in for        #
+#      dictionary word segmentation;                                    #
+#   4. token characters are letters/marks/digits (\p{L}\p{M}\p{N});    #
+#      every other codepoint separates tokens.                          #
+# --------------------------------------------------------------------- #
+
+# decode order is load-bearing: &amp; LAST makes "&amp;lt;" → "&lt;"
+# (the literal), exactly what a one-pass entity decoder produces
+ENTITY_TABLE = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+# Java regex script classes (Spark side); DuckDB/RE2 spells these
+# \p{Han} etc. — see the SQL mirror in __spark_entry__._POSTINGS_CTE
+_CJK_JAVA = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}]"
+
+
+def decode_entities(c: Column) -> Column:
+    """Pinned-table HTML entity decode (rule 1)."""
+    for src, dst in ENTITY_TABLE:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return c
+
+
+def unicode_token_string(c: Column) -> Column:
+    """Rules 1-4 applied: single-space-separated Unicode tokens.
+    Split on ' ' (dropping empties) to get the token stream."""
+    e = decode_entities(F.lower(c))
+    e = F.regexp_replace(e, f"({_CJK_JAVA})", " $1 ")
+    e = F.regexp_replace(e, r"[^\p{L}\p{M}\p{N}]+", " ")
+    return F.trim(e)
+
+
 def token_count(c: Column) -> Column:
     """Whitespace token count of the normalized text."""
     n = norm_text(c)

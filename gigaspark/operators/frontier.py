@@ -710,14 +710,29 @@ class CrawlScheduler:
                               F.coalesce(F.col("next_ok_ms"), F.lit(0)),
                               F.col("due_ms")))).collect()[0][0])
             else:
-                # fast path (due_ms ≡ 0): NARROW per-host delta parts only
+                # fast path (due_ms ≡ 0): NARROW per-host delta parts only.
+                # FUSED per-round job: the same checkpoint that compacts
+                # the delta parts into one per-host table also observes
+                # the clock advance — one bounded-size job per round
+                # instead of a separate collect over a round-growing
+                # union (the per-round serial fraction a 10^4-round
+                # crawl multiplies)
                 hp = self.hp_parts[0]
                 for p in self.hp_parts[1:]:
                     hp = hp.unionByName(p)
-                pend_hosts = hp.groupBy("firstip").agg(F.sum("d").alias("npend")) \
-                               .where(F.col("npend") > 0)
-                min_ok = pend_hosts.join(self.host_state, "firstip", "left").agg(
-                    F.min(F.coalesce(F.col("next_ok_ms"), F.lit(0)))).collect()[0][0]
+                obs_c = Observation()
+                pend = (hp.groupBy("firstip").agg(F.sum("d").alias("d"))
+                        .where(F.col("d") != 0)
+                        .join(self.host_state.select("firstip", "next_ok_ms"),
+                              "firstip", "left")
+                        .withColumn("next_ok_ms",
+                                    F.coalesce(F.col("next_ok_ms"), F.lit(0)))
+                        .observe(obs_c,
+                                 F.min(F.when(F.col("d") > 0,
+                                              F.col("next_ok_ms"))).alias("min_ok"))
+                        .transform(self._ckpt))
+                self.hp_parts = [pend.select("firstip", "d")]
+                min_ok = obs_c.get["min_ok"]
             self.clock_ms = max(self.clock_ms, int(min_ok or 0))
         t = _tlog("stats", t)
 

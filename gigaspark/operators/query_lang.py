@@ -112,9 +112,62 @@ def _lex(q: str) -> list[str]:
     return out
 
 
+# Python twin of the corpus tokenizer's CJK-unigram rule (script
+# classes \p{IsHan}… in the engines; Python has no script property, so
+# the scripts' assigned blocks are PINNED here — covers every character
+# a realistic query carries; exotic historic blocks are a documented
+# deviation)
+_CJK_RANGES = (
+    (0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0xF900, 0xFAFF),   # Han
+    (0x20000, 0x2FA1F),                                       # Han SIP
+    (0x3041, 0x3096), (0x309D, 0x309F),                       # Hiragana
+    (0x30A1, 0x30FA), (0x30FD, 0x30FF), (0x31F0, 0x31FF),     # Katakana
+    (0xFF66, 0xFF9D),                                         # Katakana HW
+    (0x1100, 0x11FF), (0x3130, 0x318F), (0xA960, 0xA97F),     # Hangul
+    (0xAC00, 0xD7A3), (0xD7B0, 0xD7FF), (0xFFA0, 0xFFDC),
+)
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+def _norm_tokens(w: str) -> tuple[str, ...]:
+    """The corpus tokenizer (gigaspark.functions.text.
+    unicode_token_string — pinned 4-rule Unicode set) applied to one
+    query word, driver-side.  Query-vs-index parity REQUIRES the same
+    rules on both sides: 'f(x)' must become the tokens ('f', 'x') the
+    index actually contains, never the unmatchable literal 'f(x)'."""
+    import unicodedata
+
+    from gigaspark.functions.text import ENTITY_TABLE
+
+    s = w.lower()
+    for src, dst in ENTITY_TABLE:
+        s = s.replace(src, dst)
+    out: list[str] = []
+    cur: list[str] = []
+    for ch in s:
+        if _is_cjk(ch):
+            if cur:
+                out.append("".join(cur))
+                cur = []
+            out.append(ch)
+        elif unicodedata.category(ch)[0] in ("L", "M", "N"):
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return tuple(out)
+
+
 def _norm_word(w: str) -> str:
-    """The corpus normalizer applied to one query word (lowercase; the
-    posting builder already collapsed whitespace)."""
+    """Single-token normalization for METADATA values (site:, lang:,
+    column names) — these match table columns, not postings, so they
+    lowercase without tokenizing ('site:a.com' keeps the dot)."""
     return w.lower()
 
 
@@ -124,7 +177,7 @@ def _atom_of(tok: str) -> tuple[bool, Atom | tuple[str, str]]:
     if neg:
         tok = tok[1:]
     if tok.startswith('"'):
-        words = tuple(_norm_word(w) for w in tok[1:-1].split() if w)
+        words = tuple(t for w in tok[1:-1].split() for t in _norm_tokens(w))
         if not words:
             raise ValueError("empty phrase in query")
         return neg, Atom("phrase", words)
@@ -132,7 +185,12 @@ def _atom_of(tok: str) -> tuple[bool, Atom | tuple[str, str]]:
     if sep and head.lower() in FIELD_NAMES and rest:
         return neg, (head.lower(), _norm_word(rest))
     if sep and head.lower() == "intitle" and rest:
-        return neg, Atom("term", (_norm_word(rest),), max_pos=TITLE_LEN - 1)
+        toks_t = _norm_tokens(rest)
+        if not toks_t:
+            raise ValueError(f"intitle term normalizes to nothing: {rest!r}")
+        if len(toks_t) > 1:
+            return neg, Atom("phrase", toks_t, max_pos=TITLE_LEN - 1)
+        return neg, Atom("term", toks_t, max_pos=TITLE_LEN - 1)
     if sep and head.lower() in ("gbmin", "gbmax", "gbsortby") and rest:
         if neg:
             raise ValueError(f"{head} cannot be negated")
@@ -145,7 +203,16 @@ def _atom_of(tok: str) -> tuple[bool, Atom | tuple[str, str]]:
         return False, ("_numeric", (col.lower(), op, int(val)))
     if not tok:
         raise ValueError("empty term in query")
-    return neg, Atom("term", (_norm_word(tok),))
+    toks_t = _norm_tokens(tok)
+    if not toks_t:
+        raise ValueError(f"term normalizes to nothing: {tok!r}")
+    if len(toks_t) > 1:
+        # a punctuated compound ('f(x)', 'spark-sql') indexes as its
+        # constituent tokens — the query matches them as an adjacency
+        # phrase, exactly how Query.cpp turns punctuation-joined words
+        # into phrase terms [U][M]
+        return neg, Atom("phrase", toks_t)
+    return neg, Atom("term", toks_t)
 
 
 def parse_query(q: str) -> ParsedQuery:

@@ -46,13 +46,22 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from gigaspark.functions.text import norm_text
+from gigaspark.functions.text import unicode_token_string
 
 
 def tokenize(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, pos, term): whitespace tokens of normalized text with
-    0-based positions (the Posdb position field)."""
-    toks = F.split(norm_text(F.col(text_col)), " ")
+    """(doc_id, pos, term): Unicode tokens with 0-based positions (the
+    Posdb position field).
+
+    Tokenization is the pinned 4-rule Unicode set from
+    :func:`gigaspark.functions.text.unicode_token_string` (entity
+    decode, Unicode lowercase, CJK unigrams, \\p{L}\\p{M}\\p{N} token
+    chars — Unicode.cpp/Entities.cpp [U][H] parity); on pure
+    ``[a-z0-9 ]`` text it reduces exactly to the old
+    whitespace-of-norm_text split, so every pinned search oracle is
+    unchanged on the synthetic corpus while non-Latin text now indexes
+    instead of degrading silently."""
+    toks = F.split(unicode_token_string(F.col(text_col)), " ")
     return (
         docs.select("doc_id", F.posexplode(toks).alias("pos", "term"))
         .where(F.col("term") != "")

@@ -34,6 +34,31 @@ from gigaspark.operators.search import build_postings
 _OUT_SCHEMA = "query_id string, doc_id long, score long, batch_id long"
 
 
+def _is_boolean_form(q: str) -> bool:
+    """True iff ``q`` uses parens as nested-boolean GROUPING.
+
+    A ``(`` opens a group only when it follows start-of-query,
+    whitespace, or another grouping paren; a ``)`` closes a group only
+    when one is open.  Parens glued inside a token (``f(x)``, ``:-)``)
+    are literals — the flat grammar accepts any non-space token as a
+    term — so they must NOT route the query to ``parse_boolean`` (which
+    pads every unquoted paren and would raise "unbalanced").  Quoted
+    spans are opaque.  Boolean form requires ≥1 group closed and all
+    groups closed at end."""
+    prev, inq, depth, closed = " ", False, 0, 0
+    for ch in q:
+        if ch == '"':
+            inq = not inq
+        elif not inq:
+            if ch == "(" and (prev.isspace() or prev in "()"):
+                depth += 1
+            elif ch == ")" and depth > 0:
+                depth -= 1
+                closed += 1
+        prev = ch
+    return closed > 0 and depth == 0
+
+
 class AlertEngine:
     """Saved searches matched per micro-batch via foreachBatch."""
 
@@ -43,7 +68,10 @@ class AlertEngine:
         self.out_dir = out_dir
         self.queries: dict[str, ParsedQuery | ParsedBoolean] = {}
         for qid, q in queries.items():
-            if "(" in q or ")" in q:   # nested boolean form
+            # route on GROUPING parens only — a paren glued inside a bare
+            # term ("f(x)", ":-)") is a literal the flat grammar accepts
+            # (cf. test_parse_colon_nonfield_is_term), not boolean syntax
+            if _is_boolean_form(q):
                 self.queries[qid] = parse_boolean(q)
                 continue
             pq = parse_query(q)
@@ -74,4 +102,8 @@ class AlertEngine:
     def matches(self) -> DataFrame:
         if not os.path.exists(self.out_dir):
             return self.spark.createDataFrame([], _OUT_SCHEMA)
-        return self.spark.read.schema(_OUT_SCHEMA).parquet(self.out_dir)
+        # foreachBatch is at-least-once: a retried micro-batch re-appends
+        # its (deterministic) rows, so replays are deduped exactly at
+        # read time — the same contract StreamingIndex.live_postings pins
+        return (self.spark.read.schema(_OUT_SCHEMA)
+                .parquet(self.out_dir).distinct())

@@ -27,6 +27,7 @@ state stores; the parts ARE the state, checkpointed by the sink itself.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -42,8 +43,28 @@ class StreamingIndex:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        self.parts_dir = os.path.join(root, "postings_parts")
-        self.manifest_dir = os.path.join(root, "version_manifest")
+        self._cur_file = os.path.join(root, "CURRENT")
+
+    # -- generation pointer (atomic-commit compaction) ------------------
+    def _generation(self) -> int:
+        try:
+            with open(self._cur_file) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _dirs(self, gen: int) -> tuple[str, str]:
+        suf = "" if gen == 0 else f".g{gen}"
+        return (os.path.join(self.root, "postings_parts" + suf),
+                os.path.join(self.root, "version_manifest" + suf))
+
+    @property
+    def parts_dir(self) -> str:
+        return self._dirs(self._generation())[0]
+
+    @property
+    def manifest_dir(self) -> str:
+        return self._dirs(self._generation())[1]
 
     # -- write path (runs inside foreachBatch) -------------------------
     def absorb_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -99,12 +120,28 @@ class StreamingIndex:
         """Fold parts: rewrite only live postings plus the resolved
         manifest (the Rdb merge).  Tombstones are KEPT as single
         (doc_id, gen, deleted=true) rows so a late lower-generation add
-        cannot resurrect a deleted doc."""
+        cannot resurrect a deleted doc.
+
+        Crash-safe commit: the compacted tables are written to a NEW
+        generation's directories while reads keep serving the old one;
+        the swap is a single atomic ``os.replace`` of the CURRENT
+        pointer.  A crash or lost executor mid-compact leaves the old
+        generation fully intact (at worst an orphaned half-written new
+        dir, overwritten by the next compact); old dirs are GC'd only
+        after the pointer commit."""
+        old_gen = self._generation()
+        old_p, old_m = self._dirs(old_gen)
+        new_p, new_m = self._dirs(old_gen + 1)
         keep_m = self._resolved_manifest()
-        live_c = (self.live_postings()
-                  .join(keep_m.where(~F.col("deleted"))
-                        .select("doc_id", "gen"), "doc_id")
-                  .select("term", "doc_id", "pos", "gen").localCheckpoint())
-        keep_c = keep_m.localCheckpoint()
-        live_c.write.mode("overwrite").parquet(self.parts_dir)
-        keep_c.write.mode("overwrite").parquet(self.manifest_dir)
+        live = (self.live_postings()
+                .join(keep_m.where(~F.col("deleted"))
+                      .select("doc_id", "gen"), "doc_id")
+                .select("term", "doc_id", "pos", "gen"))
+        live.write.mode("overwrite").parquet(new_p)
+        keep_m.write.mode("overwrite").parquet(new_m)
+        tmp = self._cur_file + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(old_gen + 1))
+        os.replace(tmp, self._cur_file)
+        shutil.rmtree(old_p, ignore_errors=True)
+        shutil.rmtree(old_m, ignore_errors=True)

@@ -69,3 +69,29 @@ def test_alert_engine_rejects_sortby(spark, tmp_path):
     with pytest.raises(ValueError):
         AlertEngine(spark, {"bad": "fox gbsortby:n_chars"},
                     str(tmp_path / "out"))
+
+
+def test_flat_term_with_literal_paren_routes_flat(spark, tmp_path):
+    """A bare term containing a paren is a FLAT literal (the flat
+    grammar accepts any non-space token) — it must register and match,
+    not raise 'unbalanced parenthesis' from the boolean parser."""
+    eng = AlertEngine(spark, {"q_lit": "f(x)"}, str(tmp_path / "out"))
+    rows = [(7, "compute f(x) now", "a.com", "en"),
+            (8, "no match here", "b.com", "en")]
+    eng.match_batch(spark.createDataFrame(rows, DOC_SCHEMA), 0)
+    got = {(r["query_id"], r["doc_id"]) for r in eng.matches().collect()}
+    assert got == {("q_lit", 7)}
+
+
+def test_matches_dedups_replayed_batch(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a micro-batch re-appends
+    identical rows; matches() must still return each alert once."""
+    eng = AlertEngine(spark, QUERIES, str(tmp_path / "out"))
+    b0 = spark.createDataFrame(B0, DOC_SCHEMA)
+    eng.match_batch(b0, 0)
+    eng.match_batch(b0, 0)   # replay
+    rows = eng.matches().collect()
+    assert len(rows) == len(set(map(tuple, rows)))
+    got = {(r["query_id"], r["doc_id"], r["score"], r["batch_id"])
+           for r in rows}
+    assert got == {e for e in _expected() if e[3] == 0}

@@ -75,3 +75,33 @@ def test_streaming_index_through_writestream(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert _got(idx) == _expected(spark)
+
+
+def test_compact_commits_atomically(spark, tmp_path):
+    """compact() serves the OLD generation until the pointer commit:
+    a half-written new generation (crash simulation) is invisible, a
+    second compact after more batches still resolves, and old dirs are
+    GC'd only after the swap."""
+    root = str(tmp_path / "idx")
+    idx = StreamingIndex(spark, root)
+    for i, rows in enumerate([B0, B1]):
+        idx.absorb_batch(spark.createDataFrame(rows, VERS_SCHEMA), i)
+    before = _got(idx)
+    # crash simulation: an orphaned half-written next-gen dir must not
+    # change what reads see (pointer still names the old generation)
+    os.makedirs(os.path.join(root, "postings_parts.g1"), exist_ok=True)
+    with open(os.path.join(root, "postings_parts.g1", "junk.bin"), "wb") as fh:
+        fh.write(b"\x00not-parquet")
+    assert idx.parts_dir.endswith("postings_parts")
+    assert _got(idx) == before
+    idx.compact()
+    assert idx.parts_dir.endswith(".g1")
+    assert _got(idx) == before
+    # old generation GC'd after the commit
+    assert not os.path.exists(os.path.join(root, "postings_parts"))
+    assert not os.path.exists(os.path.join(root, "version_manifest"))
+    # keeps absorbing + a second compact advances the pointer again
+    idx.absorb_batch(spark.createDataFrame(B2, VERS_SCHEMA), 2)
+    idx.compact()
+    assert idx.parts_dir.endswith(".g2")
+    assert _got(idx) == _expected(spark)

@@ -78,10 +78,12 @@ def test_parse_numeric_ops():
 
 
 def test_parse_colon_nonfield_is_term():
-    # unknown field names stay literal terms (Query.cpp unknown-field
-    # fallthrough [U][M])
+    # unknown field names fall through to content matching (Query.cpp
+    # unknown-field fallthrough [U][M]); the corpus tokenizer separates
+    # on ':', so the query compiles to the adjacency phrase the index
+    # can actually match — never the unmatchable literal 'foo:bar'
     pq = parse_query("foo:bar")
-    assert pq.units == [[Atom("term", ("foo:bar",))]]
+    assert pq.units == [[Atom("phrase", ("foo", "bar"))]]
 
 
 def test_parse_errors():

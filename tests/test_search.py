@@ -28,8 +28,10 @@ def test_postings_positions(spark):
     rows = {(r["term"], r["doc_id"], r["pos"]) for r in p.collect()}
     assert ("quick", 1, 1) in rows
     assert ("quick", 2, 1) in rows and ("quick", 2, 2) in rows
-    # normalization folds case; punctuation stays attached (whitespace tok)
-    assert ("quick", 4, 0) in rows and ("fox!", 4, 2) in rows
+    # normalization folds case; punctuation SEPARATES under the pinned
+    # Unicode rule set (rule 4: token chars are \p{L}\p{M}\p{N})
+    assert ("quick", 4, 0) in rows and ("fox", 4, 2) in rows
+    assert not any(t == "fox!" for t, _, _ in rows)
 
 
 def test_term_freqs(spark):
@@ -44,8 +46,9 @@ def test_search_and(spark):
     p = build_postings(_docs(spark))
     terms = p.sparkSession.createDataFrame([("quick",), ("fox",)], "term string")
     got = [(r["doc_id"], r["score"]) for r in search_and(p, terms, k=10).collect()]
-    # docs with BOTH terms: 1 (1+1), 2 (2+1), 5 (1+3); doc 4 has fox! not fox
-    assert got == [(5, 4), (2, 3), (1, 2)]
+    # docs with BOTH terms: 1 (1+1), 2 (2+1), 5 (1+3), 4 (1+1 — the
+    # pinned Unicode rule set separates the '!', so doc4 HAS fox now)
+    assert got == [(5, 4), (2, 3), (1, 2), (4, 2)]
 
 
 def test_search_or_and_not(spark):
@@ -131,14 +134,14 @@ def test_spell_correct(spark):
     vocab = vocab_freqs(p)
     qs = spark.createDataFrame(
         [("quik",),     # → quick (dist 1)
-         ("fox",),      # self-match, dist 0; 'fox' freq 5 beats 'fox!' freq 1
+         ("fox",),      # self-match, dist 0 ('fox!' no longer a term)
          ("lazi",),     # → lazy
          ("zzzzzz",)],  # no candidate within dist 1
         "qterm string")
     got = {r["qterm"]: (r["corrected"], r["freq"])
            for r in spell_correct(vocab, qs, max_dist=1).collect()}
     assert got["quik"] == ("quick", 5)
-    assert got["fox"] == ("fox", 5)
+    assert got["fox"] == ("fox", 6)    # doc4's "FOX!" now tokenizes to fox
     assert got["lazi"] == ("lazy", 2)
     assert got["zzzzzz"] == (None, None)
 
@@ -246,10 +249,9 @@ def test_pair_proximity_and_search(spark):
     got = [(r["doc_id"], r["score"])
            for r in search_proximity(p, terms, k=10).collect()]
     # score = tfsum + max(0, 16 - dmin):
-    # doc5: 4 + 15 = 19; doc2: 3 + 15 = 18; doc1: 2 + 14 = 16;
-    # doc4: 2 + 15 = 17 ("Quick Brown FOX!" -> fox! != fox)... doc4 tokens
-    # are quick/brown/fox! so fox doesn't match: doc4 absent.
-    assert got == [(5, 19), (2, 18), (1, 16)]
+    # doc5: 4 + 15 = 19; doc2: 3 + 15 = 18; doc4: 2 + 14 = 16 (quick@0
+    # fox@2 — '!' separates under the Unicode rule set); doc1: 2 + 14 = 16
+    assert got == [(5, 19), (2, 18), (1, 16), (4, 16)]
 
 
 def test_latest_doc_versions(spark):
@@ -278,8 +280,9 @@ def test_suggest_prefix(spark):
     pref = spark.createDataFrame([("qu",), ("fo",), ("zz",)], "prefix string")
     got = {(r["prefix"], r["rn"]): (r["term"], r["freq"])
            for r in suggest_prefix(vocab, pref, k=2).collect()}
-    # fox: docs 1,2,4(no: fox!),5(x3) -> freq 1+1+3=5; fox! freq 1
-    assert got[("fo", 1)] == ("fox", 5)
-    assert got[("fo", 2)] == ("fox!", 1)
+    # fox: docs 1,2,4,5(x3) -> freq 6 (doc4's '!' separates under the
+    # Unicode rule set, so 'fox!' is no longer in the vocabulary)
+    assert got[("fo", 1)] == ("fox", 6)
+    assert ("fo", 2) not in got
     assert got[("qu", 1)][0] == "quick"
     assert ("zz", 1) not in got
