@@ -1452,6 +1452,53 @@ SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.98
 """
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN ladder recall diagnostics: recall@5 of every approximate
+    rung (ivf / ivfpq / lsh / multiprobe / pq) against the exact
+    brute-force baseline on the SAME query set — (method, hits, total,
+    recall_bp) with recall in integer basis points.  The ladder's
+    recall knobs (nprobe, n_planes, probes) were previously asserted
+    only in pytest; this puts them in the oracle record."""
+    exact = q_ann_cosine_topk(spark, sf_dir).select("q_id", "n_id")
+    methods = {
+        "ivf": q_ann_ivf, "ivfpq": q_ann_ivfpq, "lsh": q_ann_lsh,
+        "multiprobe": q_ann_lsh_multiprobe, "pq": q_ann_pq,
+    }
+    out = None
+    for name in sorted(methods):
+        ap = methods[name](spark, sf_dir).select("q_id", "n_id")
+        hits = (ap.join(exact, ["q_id", "n_id"], "semi")
+                .agg(F.count("*").alias("hits")))
+        tot = exact.agg(F.count("*").alias("total"))
+        row = (hits.crossJoin(tot)
+               .select(F.lit(name).alias("method"),
+                       F.col("hits").cast("long").alias("hits"),
+                       F.col("total").cast("long").alias("total"),
+                       F.expr("(10000 * hits) DIV total").alias("recall_bp")))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_ann_recall() -> str:
+    methods = {
+        "ivf": SQL_ANN_IVF, "ivfpq": SQL_ANN_IVFPQ,
+        "lsh": _ann_lsh_sql(), "multiprobe": _ann_lsh_mp_sql(),
+        "pq": SQL_ANN_PQ,
+    }
+    parts = [f"WITH exact_r AS ({SQL_ANN})"]
+    sels = []
+    for name in sorted(methods):
+        parts.append(f", m_{name} AS ({methods[name]})")
+        hits = (f"(SELECT count(*) FROM m_{name} a JOIN exact_r e"
+                f" ON a.q_id = e.q_id AND a.n_id = e.n_id)")
+        sels.append(f"""
+SELECT '{name}' AS method, {hits}::BIGINT AS hits,
+       (SELECT count(*) FROM exact_r)::BIGINT AS total,
+       ((10000 * {hits}) // (SELECT count(*) FROM exact_r))::BIGINT
+         AS recall_bp""")
+    return "".join(parts) + " " + " UNION ALL ".join(sels)
+
+
 def q_fetch_validate(spark, sf_dir):
     """S4/J8/C8 — simulated fetch + the per-row payload invariant
     (BASELINE.json input_hint): schedule rows join their image payload,
@@ -2430,6 +2477,69 @@ GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_search_linkrank(spark, sf_dir):
+    """Msg25/LinkInfo composite [U][M]: body tf (2×) + inlink anchor
+    hits (1×) blended with integer-pinned PageRank over the SAME
+    deterministic doc graph (rank i → (7i+13) mod n) — score =
+    16·text + (pr·n) DIV 1e9, top-10."""
+    from gigaspark.operators.linkrank import pagerank
+    from gigaspark.operators.ordering import with_global_seq
+    from gigaspark.operators.search import anchor_postings, search_linkrank
+
+    postings, terms = _query_terms(spark, sf_dir, 3, 4)
+    docs = _t(spark, sf_dir, "documents")
+    d = with_global_seq(docs.select("doc_id"), [F.col("doc_id").asc()], "rk")
+    ncnt = d.agg(F.count("*").alias("n"))
+    src = (d.join(F.broadcast(ncnt))
+           .select(F.col("doc_id").alias("src"),
+                   ((F.col("rk") * 7 + 13) % F.col("n")).alias("dst_rk")))
+    edges = src.join(d.select(F.col("doc_id").alias("dst"),
+                              F.col("rk").alias("dst_rk")), "dst_rk") \
+               .select("src", "dst")
+    return search_linkrank(postings, anchor_postings(postings, edges),
+                           pagerank(edges, n_iter=3), terms, k=10)
+
+
+def _sql_search_linkrank(n_iter: int = 3, scale: int = 1_000_000_000) -> str:
+    parts = [f"""
+WITH {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r BETWEEN 3 AND 4),
+d AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk
+      FROM documents),
+nn AS (SELECT count(*) AS n FROM documents),
+e AS (SELECT s.doc_id AS src, t.doc_id AS dst
+      FROM d s CROSS JOIN nn JOIN d t ON t.rk = (s.rk * 7 + 13) % nn.n),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+pn AS (SELECT count(*) AS n FROM nodes),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT id, ({scale} // (SELECT n FROM pn))::BIGINT AS r FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+c{i} AS (SELECT dst, sum(r // outdeg) AS s
+         FROM e JOIN od USING (src) JOIN r{i-1} ON r{i-1}.id = e.src
+         GROUP BY dst),
+r{i} AS (SELECT id, ({15 * scale} // (100 * (SELECT n FROM pn))
+                     + (85 * coalesce(s, 0)) // 100)::BIGINT AS r
+         FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.id)""")
+    parts.append(f""",
+anch AS (SELECT e.dst AS doc_id, p.term, count(*) AS atf
+         FROM e JOIN p ON p.doc_id = e.src AND p.pos <= 2
+         GROUP BY e.dst, p.term),
+own AS (SELECT doc_id, p.term, count(*) AS tf FROM p JOIN q USING (term)
+        GROUP BY doc_id, p.term),
+sc AS (SELECT doc_id, 2 * tf AS s FROM own
+       UNION ALL
+       SELECT anch.doc_id, atf AS s FROM anch JOIN q USING (term)),
+txt AS (SELECT doc_id, sum(s) AS text FROM sc GROUP BY doc_id)
+SELECT t.doc_id,
+       (16 * t.text
+        + coalesce((r{n_iter}.r * (SELECT n FROM pn)) // {scale}, 0)
+       )::BIGINT AS score
+FROM txt t LEFT JOIN r{n_iter} ON r{n_iter}.id = t.doc_id
+ORDER BY score DESC, t.doc_id ASC LIMIT 10""")
+    return "".join(parts)
+
+
 def q_search_site(spark, sf_dir):
     """``site:`` restricted retrieval — AND query over the df-rank-3..4
     terms, limited to the busiest site (most docs, tie site-asc; the
@@ -3008,6 +3118,43 @@ bon AS (SELECT doc_id, sum(greatest(0, 16 - dmin)) AS bonus
         FROM pr GROUP BY doc_id)
 SELECT doc_id, (tfsum + coalesce(bonus, 0))::BIGINT AS score
 FROM tf LEFT JOIN bon USING (doc_id)
+WHERE nm = (SELECT count(*) FROM q)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_search_window(spark, sf_dir):
+    """All-term sliding-window ranking (``PosdbTable``'s minimal window
+    across every query termlist [U][H]; pinned to score = Σtf +
+    max(0, 32 − min_cover_span)) over the df-rank-3..5 query terms —
+    AND semantics, top-10 with the winning span exposed."""
+    from gigaspark.operators.search import search_window
+
+    postings, terms = _query_terms(spark, sf_dir, 3, 5)
+    return search_window(postings, terms, k=10)
+
+
+SQL_WINDOW = f"""
+WITH {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r BETWEEN 3 AND 5),
+occ AS (SELECT p.term, doc_id, pos FROM p JOIN q USING (term)),
+tf AS (SELECT doc_id, count(*) AS tfsum, count(DISTINCT term) AS nm
+       FROM occ GROUP BY doc_id),
+last_per_end AS (
+  SELECT e.doc_id, e.p_end, o.term, max(o.pos) AS lastp
+  FROM (SELECT doc_id, pos AS p_end FROM occ) e
+  JOIN occ o ON o.doc_id = e.doc_id AND o.pos <= e.p_end
+  GROUP BY e.doc_id, e.p_end, o.term),
+per_end AS (
+  SELECT doc_id, p_end, count(*) AS nt, min(lastp) AS w_start
+  FROM last_per_end GROUP BY doc_id, p_end),
+spans AS (
+  SELECT doc_id, min(p_end - w_start)::INT AS span
+  FROM per_end WHERE nt = (SELECT count(*) FROM q)
+  GROUP BY doc_id)
+SELECT doc_id,
+       (tfsum + greatest(0, 32 - span))::BIGINT AS score, span
+FROM tf JOIN spans USING (doc_id)
 WHERE nm = (SELECT count(*) FROM q)
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
@@ -4039,6 +4186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "video_scene_cuts": q_video_scene_cuts,
         "token_counts_unicode": q_token_counts_unicode,
+        "search_window_topk": q_search_window,
+        "search_linkrank_topk": q_search_linkrank,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -4091,6 +4241,9 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _sql_langid(),
         "token_counts": SQL_TOKENS,
         "token_counts_unicode": SQL_TOKENS_UNICODE,
+        "search_window_topk": SQL_WINDOW,
+        "search_linkrank_topk": _sql_search_linkrank(),
+        "ann_recall": _sql_ann_recall(),
         "doc_fingerprint": SQL_FINGERPRINT,
         "contamination_ngram": SQL_CONTAMINATION,
         "corpus_filter_pipeline": _sql_corpus_filter(),

@@ -93,6 +93,7 @@ class CrawlConfig:
     site_quota: int = 0              # >0 → per-firstip successful-fetch cap (step 10)
     unchanged_backoff: bool = False  # step 13 — EDOCUNCHANGED interval doubling
     backoff_cap: int = 32            # max interval multiplier (power-of-2 ladder)
+    keep_snapshots: "int | None" = 2  # StateStore GC horizon (None = keep all)
     ckpt_serialized: "bool | None" = None
     # checkpoint storage: None = size-adaptive (serialized+lz4 once
     # tracked state rows cross session.CKPT_SERIALIZED_MIN_ROWS);
@@ -142,10 +143,22 @@ class CrawlScheduler:
             c.select(F.col("url"),
                      F.col("content_hash").cast("long").alias("_ch_mapped"))
             .persist() if c is not None else None)
+        # steps 8'/13' — optional PER-GENERATION content hashes
+        # (url, gen, content_hash): respider change signals become
+        # content-driven (SpiderReply::m_percentChangedPerDay [U][M])
+        # instead of the pinned urlhash arithmetic; absent (url, gen)
+        # rows hash to urlhash48 (stable content).  Dimension-like:
+        # broadcast at the (tiny) re-entry join.
+        g = fixtures.get("content_gens")
+        self.content_gens = (
+            g.select("url", F.col("gen").cast("int").alias("gen"),
+                     F.col("content_hash").cast("long").alias("_chg"))
+            .persist() if g is not None else None)
         self.page_image = fixtures.get("page_image")
         self.images = fixtures.get("images")
         self.images_golden = fixtures.get("images_golden")
-        self.store = StateStore(state_dir) if state_dir else None
+        self.store = (StateStore(state_dir, keep_last=self.cfg.keep_snapshots)
+                      if state_dir else None)
 
         # LSM-style state (the Rdb memtable+tombstone model [U][H] mapped
         # to Spark): appends and removals are small materialized PARTS;
@@ -619,19 +632,42 @@ class CrawlScheduler:
             re_ = (winners.where(~err_cond & ~redir_cond & ~dup_cond)
                    .withColumn("spidered_ms",
                                F.col("scheduled_time_ms") + F.lit(self.cfg.fetch_ms))
-                   .withColumn("is_indexed", F.lit(True))
-                   .withColumn("percentchangedperday",
-                               (F.col("urlhash48") % 101).cast("int"))
+                   .withColumn("is_indexed", F.lit(True)))
+            if self.content_gens is not None:
+                # steps 8'/13' — content-driven change signals: hash at
+                # THIS generation vs the previous one (two broadcast
+                # joins on the tiny winners set); changed → pct =
+                # min(100, 100·MS_PER_DAY DIV elapsed), unchanged or
+                # first download → 0
+                cur = self.content_gens.select(
+                    "url", "gen", F.col("_chg").alias("_ch_cur"))
+                prev = self.content_gens.select(
+                    "url", (F.col("gen") + 1).alias("gen"),
+                    F.col("_chg").alias("_ch_prev"))
+                re_ = (re_.join(F.broadcast(cur), ["url", "gen"], "left")
+                       .join(F.broadcast(prev), ["url", "gen"], "left"))
+                unchanged = (
+                    (F.col("gen") > 0)
+                    & (F.coalesce(F.col("_ch_cur"), F.col("urlhash48"))
+                       == F.coalesce(F.col("_ch_prev"), F.col("urlhash48"))))
+                pct = (F.when((F.col("gen") == 0) | unchanged, F.lit(0))
+                       .otherwise(F.least(F.lit(100), F.expr(
+                           f"(100 * CAST({MS_PER_DAY} AS BIGINT)) DIV"
+                           " greatest(spidered_ms - added_ms, 1)"))))
+            else:
+                # pinned deterministic signals (no content fixture)
+                unchanged = ((F.col("gen") > 0)
+                             & ((F.col("urlhash48") + F.col("gen")) % 3 == 0))
+                pct = (F.col("urlhash48") % 101)
+            re_ = (re_.withColumn("percentchangedperday", pct.cast("int"))
                    .withColumn("errorcount", F.lit(0))
                    .withColumn("path", path_col(F.col("url")))
                    .drop(*ASSIGN_FIELDS))
             re_ = apply_url_filters(re_, self.rules)
             # step 13 — EDOCUNCHANGED backoff: an unchanged re-fetch
-            # (gen>0, pinned signal (urlhash48+gen)%3==0) doubles the
-            # carried interval multiplier (capped); change resets to 1
+            # doubles the carried interval multiplier (capped); change
+            # resets it to 1
             if self.cfg.unchanged_backoff:
-                unchanged = ((F.col("gen") > 0)
-                             & ((F.col("urlhash48") + F.col("gen")) % 3 == 0))
                 new_backoff = F.when(
                     unchanged,
                     F.least(F.col("backoff") * 2,

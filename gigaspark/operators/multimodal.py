@@ -17,7 +17,7 @@ perceptual hashes, nearest-neighbour resize, lossless WebP/VP8L
 lossy-VP8 webp keyframes (functions/vp8.py — bool coder, token trees,
 WHT+DCT, intra prediction; probability tables repo-pinned).  What is
 STUBBED (no ffmpeg in this container): compressed audio/video codecs
-(mp3/h264/vp9) surface as decode_ok=false rows, clearly marked, with
+(mp3 Layer II/III, h264/vp9) surface as decode_ok=false rows, clearly marked, with
 the dispatch and schema ready for a vendored codec.
 
 Scale notes: blob batches dominate memory — ``mapInPandas`` streams
@@ -229,14 +229,17 @@ def audio_features(audio: DataFrame) -> DataFrame:
     """(audio_id, bytes, fmt) → per-clip audio statistics.
 
     REAL for fmt='wav' (the pure-python RIFF/WAVE PCM codec in
-    functions/wav.py) AND fmt='flac' (the spec-exact lossless codec in
-    functions/flac.py — fixed/LPC prediction, Rice coding, mid/side);
-    lossy codecs (mp3/ogg/aac — no codec libs in this container)
-    surface as decode_ok=false, same error channel as image decode.
+    functions/wav.py), fmt='flac' (the spec-exact lossless codec in
+    functions/flac.py — fixed/LPC prediction, Rice coding, mid/side)
+    AND fmt='mp3' (MPEG-1 Layer I, functions/mpeg_audio.py — spec-exact
+    framing/allocation/scalefactors/requant, pinned DCT-IV filterbank;
+    Layer II/III + ogg/aac stay pinned out) — remaining stubs surface
+    as decode_ok=false, same error channel as image decode.
     zcr = zero-crossing rate per sample on the channel-mean signal;
     rms/peak over all channels.
     """
     from gigaspark.functions.flac import decode_flac
+    from gigaspark.functions.mpeg_audio import decode_mpeg1
     from gigaspark.functions.wav import decode_wav
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -250,6 +253,8 @@ def audio_features(audio: DataFrame) -> DataFrame:
                         samples, rate = decode_wav(bytes(blob))
                     elif fmt == "flac":
                         samples, rate = decode_flac(bytes(blob))
+                    elif fmt == "mp3":
+                        samples, rate = decode_mpeg1(bytes(blob))
                     else:
                         raise NotImplementedError(f"no {fmt!r} codec in sandbox")
                     mono = samples.mean(axis=1)

@@ -510,6 +510,74 @@ def search_proximity(postings: DataFrame, terms: DataFrame,
     )
 
 
+def min_cover_window(postings: DataFrame, terms: DataFrame) -> DataFrame:
+    """Per-doc minimal covering window: ``(doc_id, span)`` where span is
+    the smallest ``max(pos) − min(pos)`` over position sets containing
+    ≥1 occurrence of EVERY query term — ``PosdbTable``'s all-term
+    sliding-window score component (the window loop that advances the
+    minimum term cursor across all query termlists [U][H]), pinned to
+    the exact integer minimum.
+
+    Declarative formulation (terms are DATA, not plan literals): the
+    optimal window ends at some occurrence ``p_end``; for that end the
+    best start is ``min`` over terms of the LAST occurrence of the term
+    at-or-before ``p_end``.  Enumerate (end × term) via a per-doc range
+    join restricted to the query terms' occurrences, keep ends where
+    all n terms have a predecessor, and take the per-doc minimum span.
+
+    Scale: per-doc work is O(m²) in the doc's query-term occurrence
+    count m (tf-bounded, tiny), keyed and shuffled by uniform doc_id —
+    the same per-doc merge loop PosdbTable runs, Catalyst-planned; no
+    UDF, no collect, no window over a global sort."""
+    n_terms = terms.distinct().count()
+    occ = (postings.join(F.broadcast(terms), "term", "semi")
+           .select("doc_id", "term", "pos"))
+    ends = occ.select("doc_id", F.col("pos").alias("p_end"))
+    per_end = (
+        ends.join(occ, "doc_id")
+        .where(F.col("pos") <= F.col("p_end"))
+        .groupBy("doc_id", "p_end", "term")
+        .agg(F.max("pos").alias("lastp"))
+        .groupBy("doc_id", "p_end")
+        .agg(F.count("*").alias("nt"), F.min("lastp").alias("w_start"))
+        .where(F.col("nt") == F.lit(n_terms))
+    )
+    return per_end.groupBy("doc_id").agg(
+        F.min(F.col("p_end") - F.col("w_start")).cast("int").alias("span"))
+
+
+def search_window(postings: DataFrame, terms: DataFrame,
+                  k: int = 10, max_bonus: int = 32) -> DataFrame:
+    """AND retrieval with the all-term sliding-window mix (pinned):
+
+        score = Σ tf  +  max(0, max_bonus − min_cover_span)
+
+    — all query terms inside one tight window earn close to
+    ``max_bonus``; a doc whose terms never co-occur within
+    ``max_bonus`` positions earns only its tf sum.  This is the
+    multi-term generalization of :func:`search_proximity`'s pair rule,
+    matching PosdbTable's all-term window bonus shape [U][M] with a
+    pinned linear clamp for oracle parity."""
+    n_terms = terms.distinct().count()
+    tf = (postings.join(F.broadcast(terms), "term", "semi")
+          .groupBy("doc_id")
+          .agg(F.count("*").alias("tfsum"),
+               F.count_distinct("term").alias("nm")))
+    spans = min_cover_window(postings, terms)
+    return (
+        tf.where(F.col("nm") == F.lit(n_terms))
+        .join(spans, "doc_id")
+        .withColumn("score",
+                    (F.col("tfsum")
+                     + F.greatest(F.lit(0),
+                                  F.lit(max_bonus) - F.col("span")))
+                    .cast("long"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score", "span")
+    )
+
+
 def expand_synonyms(vocab: DataFrame, terms: DataFrame) -> DataFrame:
     """Synonym expansion (``Synonyms.cpp`` query-term expansion shape
     [U][M], pinned to corpus-derived morphology): each query term maps
@@ -604,6 +672,47 @@ def search_with_anchors(postings: DataFrame, anchors: DataFrame,
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
             .select("doc_id", "score"))
+
+
+def search_linkrank(postings: DataFrame, anchors: DataFrame,
+                    ranks: DataFrame, terms: DataFrame,
+                    k: int = 10, scale: int = 1_000_000_000) -> DataFrame:
+    """Composite ranking: body + inlink-anchor text evidence blended
+    with the link-graph rank — the Msg25/LinkInfo shape where inlink
+    evidence (anchor hits AND the linker-derived rank) enters the final
+    doc score next to body tf [U][M].  Pinned integer mix (documented
+    deviation from Gigablast's rank polynomial, oracle-exact):
+
+        text  = Σ 2·tf_body + Σ atf_anchor   (search_with_anchors mix)
+        lrk   = (pagerank · n_nodes) DIV scale   — rank relative to the
+                uniform mean (≈1 for average nodes, higher for hubs)
+        score = 16·text + lrk
+
+    ``ranks``: (id, pagerank) from :func:`gigaspark.operators.linkrank.
+    pagerank` over the SAME link graph that produced ``anchors``.
+
+    Plan: text evidence is the anchors mix (broadcast-semi-joined,
+    doc_id partial/final agg); the rank side is one broadcast 1-row
+    count + a doc_id equi-join; top-k is TakeOrderedAndProject."""
+    own = term_freqs(postings.join(F.broadcast(terms), "term", "semi")) \
+        .select("doc_id", (2 * F.col("tf")).alias("s"))
+    link = anchors.join(F.broadcast(terms), "term", "semi") \
+        .select("doc_id", F.col("atf").alias("s"))
+    text = (own.unionByName(link)
+            .groupBy("doc_id").agg(F.sum("s").alias("text")))
+    pn = ranks.agg(F.count("*").alias("n"))
+    lr = (ranks.join(F.broadcast(pn))
+          .select(F.col("id").alias("doc_id"),
+                  F.expr(f"(pagerank * n) DIV {scale}").alias("lrk")))
+    return (
+        text.join(lr, "doc_id", "left")
+        .withColumn("score",
+                    (16 * F.col("text")
+                     + F.coalesce(F.col("lrk"), F.lit(0))).cast("long"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
 
 
 def vocab_freqs(postings: DataFrame) -> DataFrame:

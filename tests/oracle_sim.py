@@ -199,6 +199,16 @@ class OracleSim:
             {r["url"]: int(r["content_hash"]) for r in _load(fix_dir, "content_map")}
             if os.path.exists(cpath) else None)
         self.indexed_ch: dict[int, int] = {}  # content_hash → owner urlhash48
+        # steps 8'/13' — optional PER-GENERATION content hashes (url,
+        # gen, content_hash): the change signals become content-driven
+        # (SpiderReply::m_percentChangedPerDay semantics [U][M]) instead
+        # of the pinned urlhash arithmetic; URLs/gens absent from the
+        # table hash to urlhash48 (stable content)
+        gpath = os.path.join(fix_dir, "content_gens.parquet")
+        self.content_gens: dict[tuple[str, int], int] | None = (
+            {(r["url"], int(r["gen"])): int(r["content_hash"])
+             for r in _load(fix_dir, "content_gens")}
+            if os.path.exists(gpath) else None)
         self.frontier: dict[tuple[int, int], Req] = {}
         self.seen: dict[tuple[int, int], tuple[int, int]] = {}
         self.next_ok: dict[int, int] = {}
@@ -348,7 +358,27 @@ class OracleSim:
                 for dst in self.link_graph.get(req.url, ()):
                     outlinks.append((dst, req.hopcount + 1, t + self.fetch_ms, False))
             if self.respider:  # step 8 — reply → re-entry
-                pct = req.urlhash48 % 101
+                if self.content_gens is not None:
+                    # content-driven signals (steps 8'/13'): compare the
+                    # hash observed at THIS fetch (gen) with the previous
+                    # generation's; percentchangedperday is the pinned
+                    # integer rate min(100, 100·MS_PER_DAY DIV elapsed)
+                    # when changed, 0 when unchanged or first download
+                    if req.gen == 0:
+                        unchanged, pct = False, 0
+                    else:
+                        cur = self.content_gens.get(
+                            (req.url, req.gen), req.urlhash48)
+                        prev = self.content_gens.get(
+                            (req.url, req.gen - 1), req.urlhash48)
+                        unchanged = cur == prev
+                        elapsed = max(spidered - req.added_ms, 1)
+                        pct = 0 if unchanged else min(
+                            100, (100 * MS_PER_DAY) // elapsed)
+                else:
+                    pct = req.urlhash48 % 101
+                    unchanged = (req.gen > 0
+                                 and (req.urlhash48 + req.gen) % 3 == 0)
                 a = eval_rules_py(self.rules, {
                     "url": req.url, "host": req.host, "path": req.path,
                     "hopcount": req.hopcount, "errorcount": 0,
@@ -360,8 +390,7 @@ class OracleSim:
                     # re-fetch (gen>0, pinned signal (urlhash48+gen)%3==0)
                     # doubles the carried interval multiplier (capped);
                     # any observed change resets it to 1
-                    if (self.unchanged_backoff and req.gen > 0
-                            and (req.urlhash48 + req.gen) % 3 == 0):
+                    if self.unchanged_backoff and req.gen > 0 and unchanged:
                         backoff = min(req.backoff * 2, self.backoff_cap)
                     else:
                         backoff = 1

@@ -66,9 +66,14 @@ def test_image_decoders_fuzz(fmt):
 def test_audio_decoders_fuzz():
     t = np.arange(1500) / 8000
     sig = np.sin(2 * np.pi * 440 * t) * 0.5
+    from gigaspark.functions.mpeg_audio import decode_mpeg1, encode_layer1
+
+    sig32 = np.sin(2 * np.pi * 440 * (np.arange(768) / 32000)) * 0.5
     for name, enc, dec in (
             ("wav", lambda: encode_wav(sig, 8000), decode_wav),
-            ("flac", lambda: encode_flac(sig, 8000), decode_flac)):
+            ("flac", lambda: encode_flac(sig, 8000), decode_flac),
+            ("mp3", lambda: encode_layer1(sig32, 32000, alloc=5),
+             decode_mpeg1)):
         blob = enc()
         rng = np.random.default_rng(len(name))
         for cut in (0, 4, 20, len(blob) // 2, len(blob) - 1):

@@ -264,3 +264,57 @@ def test_scene_cut_detection(spark):
     quiet = [r["mean_diff"] for r in out
              if r["decode_ok"] and not r["is_cut"]]
     assert quiet and max(quiet) < 12
+
+
+# ------------------------------------------------------------- mpeg-1 ---
+def test_mpeg1_layer1_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from gigaspark.functions.mpeg_audio import decode_mpeg1, encode_layer1
+
+    t = np.arange(3840) / 32000.0
+    sig = 0.6 * np.sin(2 * np.pi * 1000.0 * t)
+    out, rate = decode_mpeg1(encode_layer1(sig, 32000, alloc=7))
+    assert rate == 32000 and out.shape == (3840, 1)
+    assert np.abs(out[:, 0] - sig).max() < 0.005   # 8-bit codes ≈ 54 dB
+    st = np.stack([sig, 0.3 * np.sin(2 * np.pi * 440.0 * t)], axis=1)
+    o2, r2 = decode_mpeg1(encode_layer1(st, 32000, alloc=4))
+    assert r2 == 32000 and o2.shape == st.shape
+    assert np.abs(o2 - st).max() < 0.05            # 5-bit codes
+
+
+def test_mpeg1_rejects_garbage_and_pins_layers_out():
+    import numpy as np
+    import pytest
+
+    from gigaspark.functions.mpeg_audio import decode_mpeg1, encode_layer1
+
+    with pytest.raises(ValueError):
+        decode_mpeg1(b"\x00\x01\x02\x03\x04\x05")
+    with pytest.raises(ValueError):
+        decode_mpeg1(b"ID3\x04junkjunkjunk")
+    # flip the layer bits to II (0b10): pinned out, typed error
+    blob = bytearray(encode_layer1(np.zeros(384), 32000, alloc=2))
+    blob[1] = (blob[1] & ~0b110) | 0b100
+    with pytest.raises(NotImplementedError):
+        decode_mpeg1(bytes(blob))
+
+
+def test_audio_features_decodes_planted_mp3_tone(spark):
+    import numpy as np
+
+    from gigaspark.functions.mpeg_audio import encode_layer1
+    from gigaspark.operators.multimodal import audio_features
+
+    t = np.arange(32000) / 32000.0                 # 1 s
+    tone = 0.5 * np.sin(2 * np.pi * 1250.0 * t)
+    rows = [("m1", bytearray(encode_layer1(tone, 32000, alloc=7)), "mp3"),
+            ("bad", bytearray(b"\xff\xf0nope"), "mp3"),
+            ("oga", bytearray(b"OggS\x00junk"), "ogg")]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    got = {r["audio_id"]: r for r in audio_features(df).collect()}
+    assert got["m1"]["decode_ok"] is True
+    assert got["m1"]["sample_rate"] == 32000
+    assert abs(got["m1"]["dom_freq_hz"] - 1250.0) < 10.0
+    assert got["bad"]["decode_ok"] is False
+    assert got["oga"]["decode_ok"] is False

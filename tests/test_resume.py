@@ -63,3 +63,38 @@ def test_resume_equals_uninterrupted(spark, nano_dir, tmp_path):
     got_seen = {(r["firstip"], r["urlhash48"]) for r in resumed.seen.collect()}
     assert got == want
     assert got_seen == want_seen
+
+
+def test_time_travel_and_snapshot_gc(spark, nano_dir, tmp_path):
+    """Iceberg-shaped metadata: every checkpoint is a retained snapshot
+    readable via at(id) (time travel), and the GC horizon bounds the
+    state dir while NEVER dropping the current pointer's snapshot."""
+    import os
+
+    seeds = spark.read.parquet(f"{nano_dir}/seeds.parquet")
+    fx = load_fixtures(spark, nano_dir)
+    state = str(tmp_path / "state_tt")
+    sched = CrawlScheduler(spark, fx, CrawlConfig(keep_snapshots=2),
+                           state_dir=state)
+    sched.seed(seeds)
+    frontier_counts = {}
+    for _ in range(4):
+        sched.run_round()
+        sched.checkpoint()
+        frontier_counts[sched.round] = sched.pending_count
+    ids = sched.store.snapshots()
+    # GC horizon: only the newest 2 remain, snap dirs of expired ids gone
+    assert ids == sorted(frontier_counts)[-2:]
+    assert not os.path.exists(
+        sched.store._snap_dir(sorted(frontier_counts)[0]))
+    # time travel: the older retained snapshot reads back exactly
+    old_id = ids[0]
+    m = sched.store.at(old_id)
+    assert m["snapshot_id"] == old_id
+    tbl = sched.store.load_tables(spark, m)
+    assert tbl["frontier"].count() == frontier_counts[old_id]
+    # the current pointer always equals the newest retained manifest
+    assert sched.store.latest()["snapshot_id"] == ids[-1]
+    # resume still works after GC
+    resumed = CrawlScheduler.resume(spark, fx, state, CrawlConfig())
+    assert resumed.round == ids[-1]

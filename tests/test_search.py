@@ -286,3 +286,46 @@ def test_suggest_prefix(spark):
     assert ("fo", 2) not in got
     assert got[("qu", 1)][0] == "quick"
     assert ("zz", 1) not in got
+
+
+def test_min_cover_window_vs_bruteforce(spark):
+    """All-term minimal covering window equals the O(m^n) brute force
+    over every combination of one occurrence per term."""
+    import itertools
+
+    from gigaspark.operators.search import min_cover_window, search_window
+
+    docs = [
+        (1, "a x x b x c"),            # a@0 b@3 c@5 -> span 5
+        (2, "a b c"),                  # span 2
+        (3, "c x a b x x a x c"),      # best a@6? a@2,6 b@3 c@0,8: {a2,b3,c0}=3 {a6? b3 c8}=5 -> 3
+        (4, "a a a b b c"),            # a@2 b@4? best {a2,b3,c5}=3
+        (5, "a b x"),                  # missing c -> no row
+        (6, "c b a"),                  # span 2 (order-free)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    p = build_postings(df)
+    terms = spark.createDataFrame([("a",), ("b",), ("c",)], "term string")
+    got = {r["doc_id"]: r["span"]
+           for r in min_cover_window(p, terms).collect()}
+
+    # brute force on the same tokenization
+    toks = {d: t.split() for d, t in docs}
+    want = {}
+    for d, ts in toks.items():
+        occ = {w: [i for i, x in enumerate(ts) if x == w] for w in "abc"}
+        if all(occ[w] for w in "abc"):
+            want[d] = min(max(c) - min(c)
+                          for c in itertools.product(*occ.values()))
+    assert got == want
+
+    res = [(r["doc_id"], r["score"], r["span"])
+           for r in search_window(p, terms, k=10).collect()]
+    # scores: tfsum + max(0, 32 - span); AND semantics drop doc 5
+    tfs = {d: sum(len(v) for v in
+                  {w: [i for i, x in enumerate(toks[d]) if x == w]
+                   for w in "abc"}.values()) for d in want}
+    expect = sorted(((d, tfs[d] + max(0, 32 - s), s)
+                     for d, s in want.items()),
+                    key=lambda t: (-t[1], t[0]))
+    assert res == expect

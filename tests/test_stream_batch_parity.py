@@ -108,3 +108,91 @@ def test_streaming_matches_batch_schedule(spark, tmp_path):
     stream = _stream_schedule(spark, tmp_path)
     assert len(batch) == N
     assert stream == batch, (stream, batch)
+
+
+# ---------------------------------------------------------------- #
+# respider parity (VERDICT r2 item 9): gen-versioned re-entry       #
+# ---------------------------------------------------------------- #
+
+PREP_SCHEMA_R = PREP_SCHEMA + ", spider_freq_ms long"
+FREQ_DAYS = 2.0
+FREQ_MS = int(FREQ_DAYS * 86_400_000)
+N_R = 4
+ROUNDS_R = 11   # 4 gen-0 rounds + 7 re-spider rounds
+
+
+def _urls_r():
+    return [(f"http://{HOST}/r/{i}", i, 0, 50) for i in range(N_R)]
+
+
+def _batch_schedule_respider(spark):
+    fixtures = {
+        "url_filters": spark.createDataFrame(
+            [(0, "default", 50, FREQ_DAYS, 1, WAIT_MS, False, False)],
+            "rule_idx int, expression string, priority int,"
+            " spider_freq_days double, max_spiders_per_ip int,"
+            " same_ip_wait_ms long, harvest_links boolean,"
+            " force_delete boolean"),
+        "robots": spark.createDataFrame(
+            [], "host string, user_agent string, rule_type string,"
+                " path_prefix string, crawl_delay_ms long"),
+        "hostmap": spark.createDataFrame(
+            [(HOST, IP)], "host string, firstip int"),
+        "link_graph": spark.createDataFrame(
+            [], "src_url string, dst_urls array<string>"),
+    }
+    sched = CrawlScheduler(spark, fixtures, CrawlConfig(use_bloom=False,
+                                                        respider=True))
+    sched.enqueue(spark.createDataFrame(
+        [(u, a, h, False) for u, a, h, _ in _urls_r()],
+        "url string, added_ms long, hopcount int, is_seed boolean"))
+    for _ in range(ROUNDS_R):
+        sched.run_round()
+    return [(r.url, r.scheduled_time_ms)
+            for r in sched.emitted_df().orderBy("seq").collect()]
+
+
+def _stream_schedule_respider(spark, tmp_path):
+    src = str(tmp_path / "src_r")
+    os.makedirs(src, exist_ok=True)
+    prep = (spark.createDataFrame(
+        [(IP, 0, u, p, h, a, WAIT_MS, 1, 0, FREQ_MS)
+         for u, a, h, p in _urls_r()], PREP_SCHEMA_R)
+        .withColumn("urlhash48",
+                    F.xxhash64("url").bitwiseAND(F.lit((1 << 48) - 1))))
+
+    def write(df):
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    write(prep)
+    stream = spark.readStream.schema(PREP_SCHEMA_R).parquet(src)
+    out = streaming_schedule(stream, fetch_ms=100, respider=True)
+    q = (out.writeStream.format("memory").queryName("parity_resp")
+         .option("checkpointLocation", str(tmp_path / "chk_r"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        tick = prep.limit(1)
+        for _ in range(ROUNDS_R + 3):
+            n = spark.sql("select count(*) c from parity_resp").first().c
+            if n >= ROUNDS_R:
+                break
+            write(tick)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "select url, scheduled_time_ms, gen from parity_resp"
+        " order by scheduled_time_ms").collect()
+    return [(r.url, r.scheduled_time_ms) for r in rows[:ROUNDS_R]], \
+           [r.gen for r in rows[:ROUNDS_R]]
+
+
+def test_streaming_respider_matches_batch(spark, tmp_path):
+    batch = _batch_schedule_respider(spark)
+    stream, gens = _stream_schedule_respider(spark, tmp_path)
+    assert len(batch) == ROUNDS_R
+    assert stream == batch, (stream, batch)
+    # the tail emissions are genuine re-spiders (gen > 0)
+    assert gens[:N_R] == [0] * N_R
+    assert all(g >= 1 for g in gens[N_R:])
