@@ -4102,22 +4102,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_querylang_boolean": q_querylang_boolean,
         "search_querylang_trigram": q_querylang_trigram,
         "search_proximity_topk": q_search_proximity,
+        "search_window_topk": q_search_window,
         "search_fullrank_topk": q_search_fullrank,
         "search_bm25_topk": q_search_bm25,
         "search_anchors_topk": q_search_anchors,
+        "search_linkrank_topk": q_search_linkrank,
         "postings_reindex": q_postings_reindex,
         "t4_boolean_ops": q_t4_boolean_ops,
-        "search_phrase_topk": q_search_phrase,
         # -- dedup / corpus pipeline ----------------------------------- 30-38
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_list": q_dedup_keep,
+        "caption_phash_neardup": q_caption_phash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "corpus_filter_pipeline": q_corpus_filter,
         "substring_dup_spans": q_substring_dups,
-        "contamination_ngram": q_contamination,
+        "token_counts_unicode": q_token_counts_unicode,
         # -- ANN ladder + training ------------------------------------- 39-45
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -4125,15 +4126,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq,
         "ann_ivfpq_topk": q_ann_ivfpq,
         "ivf_kmeans_centroids": q_ivf_kmeans,
-        "pq_train_codebooks": q_pq_train,
+        "ann_recall": q_ann_recall,
         # -- training-data prep + link analysis ------------------------ 46-50
         "pack_blocks": q_pack_blocks,
         "sample_stratified": q_sample_stratified,
         "bpe_tokens": q_bpe_tokens,
         "pagerank": q_pagerank,
-        "caption_phash_neardup": q_caption_phash_neardup,
         # ==== slot 51+: scalar/diagnostic tier (driver-invisible; =======
         # ==== verified by tools/check_oracle.py at sf0.01 + sf0.1) ======
+        "search_phrase_topk": q_search_phrase,
+        "contamination_ngram": q_contamination,
+        "pq_train_codebooks": q_pq_train,
+        "dedup_keep_list": q_dedup_keep,
         "simhash32": q_simhash,
         "a4_min_hopcount": q_a4_min_hopcount,
         "a5_facet_counts": q_a5_facet_counts,
@@ -4185,10 +4189,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "video_scene_cuts": q_video_scene_cuts,
-        "token_counts_unicode": q_token_counts_unicode,
-        "search_window_topk": q_search_window,
-        "search_linkrank_topk": q_search_linkrank,
-        "ann_recall": q_ann_recall,
     }
 
 

@@ -27,10 +27,17 @@ PINNED DEVIATIONS (documented, swap-for-spec noted in place):
     pinned filterbank, so output vs a real encoder is band-correct, not
     bit-true.  Swapping in the two ISO tables restores bit-true
     behaviour without touching any bitstream code.
-  * Layers II and III raise ``NotImplementedError``: Layer II needs
-    the B.2 allocation-table family (a genuine table transcription this
-    sandbox cannot verify), Layer III needs Huffman tables + IMDCT —
-    both PINNED OUT, surfaced through the decode_ok=false channel.
+  * Layer II is implemented with ALL its spec mechanisms — 1152-sample
+    frames, per-subband variable-width allocation fields, scfsi
+    scalefactor sharing, granule GROUPING for the 3/5/9-level classes
+    (one 5/7/10-bit code for 3 samples), ``slots = 144·bitrate/fs``
+    framing — but the B.2 allocation-table FAMILY (which of a/b/c/d
+    applies, and the exact per-subband step lists) is PINNED to the
+    single table below (``_L2_NBAL``/``_L2_STEPS``, shape mirrors
+    B.2a); swap those two constants for the ISO tables to be bit-true
+    against real encoders.  sblimit pinned to 30.
+  * Layer III raises ``NotImplementedError`` (Huffman tables + IMDCT —
+    PINNED OUT, surfaced through the decode_ok=false channel).
   * joint-stereo intensity coding is pinned out (modes supported:
     stereo, dual, single).
 """
@@ -185,11 +192,202 @@ def encode_layer1(samples: np.ndarray, sample_rate: int = 32000,
     return bytes(out)
 
 
+# ------------------------------------------------------------ Layer II ---
+BITRATES_L2 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+               256, 320, 384]                          # kbit/s, index 1..14
+L2_SBLIMIT = 30                                        # pinned (B.2a shape)
+L2_GRANULES = 12                                       # triplets per frame
+L2_FRAME_SAMPLES = SBANDS * L2_GRANULES * 3            # 1152
+
+# PINNED TABLES — swap for ISO 11172-3 Table B.2a to be bit-true against
+# real encoders.  _L2_NBAL[sb] = allocation field width; _L2_STEPS[nbal]
+# = the step (level) count per allocation code 1.. (code 0 = silent).
+_L2_NBAL = [4] * 11 + [3] * 12 + [2] * 7               # 30 subbands
+_L2_STEPS = {
+    4: [3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+        65535],
+    3: [3, 5, 7, 9, 15, 31, 65535],
+    2: [3, 5, 65535],
+}
+_L2_GROUP_BITS = {3: 5, 5: 7, 9: 10}                   # grouped triplets
+
+
+def _l2_frame_bytes(bitrate_kbps: int, fs: int, padding: int) -> int:
+    return 144 * bitrate_kbps * 1000 // fs + padding
+
+
+def _l2_alloc_code(sb: int) -> tuple[int, int]:
+    """Encoder's pinned flat allocation: a mid-resolution code per
+    subband — (code, steps)."""
+    nbal = _L2_NBAL[sb]
+    steps_list = _L2_STEPS[nbal]
+    code = min(7, len(steps_list)) if nbal == 4 else \
+        (6 if nbal == 3 else 2)
+    return code, steps_list[code - 1]
+
+
+def encode_layer2(samples: np.ndarray, sample_rate: int = 32000) -> bytes:
+    """Encode float PCM in [-1, 1] (shape [n] or [n, ch], ch ≤ 2) as
+    MPEG-1 Layer II: 1152-sample frames, pinned per-subband allocation
+    (see _l2_alloc_code), scfsi scalefactor sharing, grouping for the
+    3/5/9-level classes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    if ch > 2:
+        raise ValueError("at most 2 channels")
+    if sample_rate not in SAMPLE_RATES:
+        raise ValueError(f"unsupported rate {sample_rate}")
+    pad = (-n) % L2_FRAME_SAMPLES
+    if pad:
+        samples = np.vstack([samples, np.zeros((pad, ch))])
+    sr_idx = SAMPLE_RATES.index(sample_rate)
+    mode = 3 if ch == 1 else 0
+
+    # worst-case bit need (no scfsi sharing) to pick the bitrate
+    alloc_bits = ch * sum(_L2_NBAL[sb] for sb in range(L2_SBLIMIT))
+    scfsi_bits = ch * 2 * L2_SBLIMIT
+    sf_bits = ch * 3 * 6 * L2_SBLIMIT
+    smp_bits = 0
+    for sb in range(L2_SBLIMIT):
+        _, steps = _l2_alloc_code(sb)
+        if steps in _L2_GROUP_BITS:
+            smp_bits += ch * L2_GRANULES * _L2_GROUP_BITS[steps]
+        else:
+            smp_bits += ch * L2_GRANULES * 3 * max(1, steps.bit_length())
+    need = 4 + (alloc_bits + scfsi_bits + sf_bits + smp_bits + 7) // 8
+    br_idx = next((i for i in range(1, 15)
+                   if _l2_frame_bytes(BITRATES_L2[i], sample_rate, 0) >= need),
+                  None)
+    if br_idx is None:
+        raise ValueError("frame does not fit max Layer II bitrate")
+    frame_len = _l2_frame_bytes(BITRATES_L2[br_idx], sample_rate, 0)
+
+    out = bytearray()
+    for f0 in range(0, samples.shape[0], L2_FRAME_SAMPLES):
+        sub = np.stack([_analysis(samples[f0:f0 + L2_FRAME_SAMPLES, c])
+                        for c in range(ch)])          # [ch, 36, 32]
+        w = _BitWriter()
+        w.write(0xFFF, 12); w.write(1, 1); w.write(0b10, 2); w.write(1, 1)
+        w.write(br_idx, 4); w.write(sr_idx, 2); w.write(0, 1); w.write(0, 1)
+        w.write(mode, 2); w.write(0, 2); w.write(0, 1); w.write(1, 1)
+        w.write(0, 2)
+        # allocation
+        for c in range(ch):
+            for sb in range(L2_SBLIMIT):
+                w.write(_l2_alloc_code(sb)[0], _L2_NBAL[sb])
+        # scalefactors: one per 12-sample third; scfsi picks sharing
+        sf_idx = np.zeros((ch, L2_SBLIMIT, 3), np.int32)
+        scfsi = np.zeros((ch, L2_SBLIMIT), np.int32)
+        for c in range(ch):
+            for sb in range(L2_SBLIMIT):
+                for part in range(3):
+                    peak = float(np.abs(
+                        sub[c, part * 12:(part + 1) * 12, sb]).max())
+                    idx = 0
+                    while idx < 62 and _sf_value(idx + 1) >= peak + 1e-12:
+                        idx += 1
+                    sf_idx[c, sb, part] = idx
+                a, b, d = sf_idx[c, sb]
+                scfsi[c, sb] = (2 if a == b == d
+                                else 1 if a == b else 3 if b == d else 0)
+        for c in range(ch):
+            for sb in range(L2_SBLIMIT):
+                w.write(int(scfsi[c, sb]), 2)
+        for c in range(ch):
+            for sb in range(L2_SBLIMIT):
+                a, b, d = (int(x) for x in sf_idx[c, sb])
+                if scfsi[c, sb] == 2:
+                    w.write(a, 6)
+                elif scfsi[c, sb] == 1:
+                    w.write(a, 6); w.write(d, 6)
+                elif scfsi[c, sb] == 3:
+                    w.write(a, 6); w.write(b, 6)
+                else:
+                    w.write(a, 6); w.write(b, 6); w.write(d, 6)
+        # samples: 12 granules of 3
+        for g in range(L2_GRANULES):
+            for sb in range(L2_SBLIMIT):
+                for c in range(ch):
+                    _, steps = _l2_alloc_code(sb)
+                    codes = []
+                    for j in range(3):
+                        t = 3 * g + j
+                        sf = _sf_value(int(sf_idx[c, sb, t // 12]))
+                        x = sub[c, t, sb] / sf
+                        cc = int(np.floor((steps - 1) * (x + 1.0) / 2.0
+                                          + 0.5))
+                        codes.append(max(0, min(steps - 1, cc)))
+                    if steps in _L2_GROUP_BITS:
+                        grouped = (codes[0] + steps * codes[1]
+                                   + steps * steps * codes[2])
+                        w.write(grouped, _L2_GROUP_BITS[steps])
+                    else:
+                        nb = max(1, steps.bit_length())
+                        for cc in codes:
+                            w.write(cc, nb)
+        w.pad_to(frame_len)
+        out.extend(w.buf)
+    return bytes(out)
+
+
+def _decode_layer2_frame(r: _BitReader, ch: int) -> np.ndarray:
+    allocs = [[r.read(_L2_NBAL[sb]) for sb in range(L2_SBLIMIT)]
+              for _ in range(ch)]
+    for c in range(ch):
+        for sb in range(L2_SBLIMIT):
+            if allocs[c][sb] >= len(_L2_STEPS[_L2_NBAL[sb]]) + 1:
+                raise ValueError("allocation code out of table")
+    scfsi = [[r.read(2) if allocs[c][sb] else 0
+              for sb in range(L2_SBLIMIT)] for c in range(ch)]
+    sfs = np.ones((ch, L2_SBLIMIT, 3))
+    for c in range(ch):
+        for sb in range(L2_SBLIMIT):
+            if not allocs[c][sb]:
+                continue
+            pat = scfsi[c][sb]
+            if pat == 2:
+                v = _sf_value(r.read(6))
+                sfs[c, sb] = (v, v, v)
+            elif pat == 1:
+                v0, v2 = _sf_value(r.read(6)), _sf_value(r.read(6))
+                sfs[c, sb] = (v0, v0, v2)
+            elif pat == 3:
+                v0, v1 = _sf_value(r.read(6)), _sf_value(r.read(6))
+                sfs[c, sb] = (v0, v1, v1)
+            else:
+                sfs[c, sb] = (_sf_value(r.read(6)), _sf_value(r.read(6)),
+                              _sf_value(r.read(6)))
+    sub = np.zeros((ch, L2_GRANULES * 3, SBANDS))
+    for g in range(L2_GRANULES):
+        for sb in range(L2_SBLIMIT):
+            for c in range(ch):
+                a = allocs[c][sb]
+                if not a:
+                    continue
+                steps = _L2_STEPS[_L2_NBAL[sb]][a - 1]
+                if steps in _L2_GROUP_BITS:
+                    v = r.read(_L2_GROUP_BITS[steps])
+                    codes = [v % steps, (v // steps) % steps,
+                             v // (steps * steps)]
+                    if codes[2] >= steps:
+                        raise ValueError("grouped code out of range")
+                else:
+                    nb = max(1, steps.bit_length())
+                    codes = [r.read(nb) for _ in range(3)]
+                for j, cc in enumerate(codes):
+                    t = 3 * g + j
+                    frac = (2 * cc + 1 - steps) / steps
+                    sub[c, t, sb] = (frac * steps / (steps - 1)
+                                     * sfs[c, sb, t // 12])
+    return sub
+
+
 def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode consecutive MPEG-1 Layer I frames → (samples [n, ch]
-    float in [-1, 1], sample_rate).  Raises ValueError on garbage,
-    NotImplementedError on Layer II/III or joint stereo (pinned out —
-    see module header)."""
+    """Decode consecutive MPEG-1 Layer I or Layer II frames →
+    (samples [n, ch] float in [-1, 1], sample_rate).  Raises ValueError
+    on garbage, NotImplementedError on Layer III or joint stereo
+    (pinned out — see module header)."""
     if len(data) < 4:
         raise ValueError("too short for an MPEG audio frame")
     pos = 0
@@ -203,9 +401,11 @@ def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
                 break  # trailing junk after valid frames — stop cleanly
             raise ValueError("bad sync word")
         layer = (h >> 17) & 3
-        if layer != 0b11:
+        if layer == 0b01:
             raise NotImplementedError(
-                "MPEG-1 Layer II/III pinned out (see mpeg_audio header)")
+                "MPEG-1 Layer III pinned out (see mpeg_audio header)")
+        if layer == 0:
+            raise ValueError("reserved layer")
         br_idx = (h >> 12) & 0xF
         sr_idx = (h >> 10) & 3
         padding = (h >> 9) & 1
@@ -221,13 +421,22 @@ def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
             rate, nch = fs, ch
         elif (fs, ch) != (rate, nch):
             break  # stream parameter change — stop at the clean prefix
-        flen = _frame_bytes(BITRATES_L1[br_idx], fs, padding)
+        if layer == 0b11:
+            flen = _frame_bytes(BITRATES_L1[br_idx], fs, padding)
+        else:
+            flen = _l2_frame_bytes(BITRATES_L2[br_idx], fs, padding)
         if pos + flen > len(data):
             break  # truncated final frame
         r = _BitReader(data[pos:pos + flen])
         r.pos = 32
         if protection == 0:
             r.pos += 16  # CRC16 — parsed over, not checked (pinned)
+        if layer == 0b10:
+            sub2 = _decode_layer2_frame(r, ch)
+            pcm = np.stack([_synthesis(sub2[c]) for c in range(ch)], axis=1)
+            chunks.append(pcm)
+            pos += flen
+            continue
         allocs = [[r.read(4) for _ in range(SBANDS)] for _ in range(ch)]
         if any(a == 15 for row in allocs for a in row):
             raise ValueError("forbidden allocation 15")

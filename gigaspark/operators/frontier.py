@@ -338,6 +338,14 @@ class CrawlScheduler:
             .when(~F.col("robots_allowed"), "robots_denied")
             .otherwise("pass"),
         )
+        # NARROW before the checkpoint: host/path/robots_allowed and the
+        # other rule-eval inputs are consumed above; serializing them
+        # into the (lz4) checkpoint would pay string bytes per row for
+        # columns every consumer re-derives — at 10^7-row seed batches
+        # the checkpoint write is the enqueue bottleneck (state bytes
+        # are the scaling currency)
+        df = df.select(*[f.name for f in self._frontier_schema().fields],
+                       "_disposition")
         # disposition tallies ride the materialization job itself
         # (CollectMetrics / Observation — no second pass over the batch)
         obs = Observation()

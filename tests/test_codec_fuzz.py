@@ -66,14 +66,17 @@ def test_image_decoders_fuzz(fmt):
 def test_audio_decoders_fuzz():
     t = np.arange(1500) / 8000
     sig = np.sin(2 * np.pi * 440 * t) * 0.5
-    from gigaspark.functions.mpeg_audio import decode_mpeg1, encode_layer1
+    from gigaspark.functions.mpeg_audio import (decode_mpeg1, encode_layer1, encode_layer2)
 
     sig32 = np.sin(2 * np.pi * 440 * (np.arange(768) / 32000)) * 0.5
     for name, enc, dec in (
             ("wav", lambda: encode_wav(sig, 8000), decode_wav),
             ("flac", lambda: encode_flac(sig, 8000), decode_flac),
             ("mp3", lambda: encode_layer1(sig32, 32000, alloc=5),
-             decode_mpeg1)):
+             decode_mpeg1),
+            ("mp2", lambda: encode_layer2(
+                np.sin(2 * np.pi * 440 * (np.arange(1152) / 32000)) * 0.5,
+                32000), decode_mpeg1)):
         blob = enc()
         rng = np.random.default_rng(len(name))
         for cut in (0, 4, 20, len(blob) // 2, len(blob) - 1):

