@@ -36,8 +36,30 @@ PINNED DEVIATIONS (documented, swap-for-spec noted in place):
     single table below (``_L2_NBAL``/``_L2_STEPS``, shape mirrors
     B.2a); swap those two constants for the ISO tables to be bit-true
     against real encoders.  sblimit pinned to 30.
-  * Layer III raises ``NotImplementedError`` (Huffman tables + IMDCT —
-    PINNED OUT, surfaced through the decode_ok=false channel).
+  * Layer III is implemented with ALL its spec mechanisms — the exact
+    MPEG-1 side-info layout (17/32 bytes: main_data_begin(9), scfsi,
+    and per granule/channel part2_3_length(12)/big_values(9)/
+    global_gain(8)/scalefac_compress(4)/window_switching(1)/
+    table_select(3×5)/region counts(4+3)/preflag/scalefac_scale/
+    count1table_select), the spec slen1/slen2 scalefactor-compress
+    table with scfsi granule sharing, big_values (x,y)-pair Huffman
+    coding with the 15+linbits ESC mechanism, the count1 (v,w,x,y)
+    quadruple region, per-line sign bits, part2_3_length-bounded main
+    data, the x^(4/3)·2^((global_gain−210)/4) requantization law, the
+    SPEC-EXACT alias-reduction butterflies (the published 8-coefficient
+    ci rotation at each subband boundary), the SPEC-EXACT 18-point
+    IMDCT + sine window + TDAC overlap-add (verified to reconstruct at
+    the analytic ×9 factor), and odd-subband frequency inversion —
+    but the 32-table B.7 Huffman FAMILY is PINNED to one canonical
+    code generated from a fixed weight law (``_l3_pair_table`` — swap
+    for the ISO tables to be bit-true against real encoders), the
+    count1 table is pinned to the 4-bit raw form (table-B shape), the
+    scalefactor-band partition is pinned (``_L3_SFB_LONG``), and the
+    encoder always emits long blocks (block_type 0) with
+    main_data_begin=0 (no bit reservoir — spec-legal, every frame
+    self-contained).  Decoding streams that USE the reservoir, short/
+    mixed blocks, or joint stereo raises typed NotImplementedError
+    through the decode_ok=false channel.
   * joint-stereo intensity coding is pinned out (modes supported:
     stereo, dual, single).
 """
@@ -383,17 +405,357 @@ def _decode_layer2_frame(r: _BitReader, ch: int) -> np.ndarray:
     return sub
 
 
+# ----------------------------------------------------------- Layer III ---
+BITRATES_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+               256, 320]                               # kbit/s, index 1..14
+L3_GRANULE_LINES = 576                                 # 32 subbands × 18
+L3_FRAME_SAMPLES = 2 * L3_GRANULE_LINES                # 1152
+
+# SPEC-EXACT: slen1/slen2 per scalefac_compress (ISO 11172-3 table).
+_L3_SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+            (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3)]
+# PINNED: long-block scalefactor-band widths (22 bands summing to 576;
+# sfbs 0..20 carry scalefactors — slen1 for 0..10, slen2 for 11..20 —
+# band 21 is the spec's scalefactor-less tail).  Swap for the ISO
+# per-sample-rate partition to be bit-true against real encoders.
+_L3_SFB_LONG = [4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10, 12, 16, 20, 24, 30, 38,
+                46, 54, 62, 70, 142]
+_L3_PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2]
+# SPEC-EXACT: alias-reduction butterfly coefficients.
+_L3_CI = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
+                   -0.0037])
+_L3_CS = 1.0 / np.sqrt(1.0 + _L3_CI ** 2)
+_L3_CA = _L3_CI * _L3_CS
+# SPEC-EXACT: 18-point IMDCT kernel + sine window (TDAC reconstructs at
+# exactly ×9 with 50% overlap-add — encoder folds the 1/9 in).
+_L3_N = 36
+_L3_WIN = np.sin(np.pi / _L3_N * (np.arange(_L3_N) + 0.5))
+_L3_COS = np.cos(np.pi / 72.0 * np.outer(2 * np.arange(_L3_N) + 1 + 18,
+                                         2 * np.arange(18) + 1))
+_L3_LINBITS = 13                                       # ESC extra (pinned)
+
+
+def _l3_build_pair_table():
+    """PINNED Huffman pair-code family: ONE canonical code over the 256
+    (x, y) symbols (x, y ∈ 0..15, 15 = ESC marker carrying
+    ``15 + linbits`` magnitudes), generated from the fixed weight law
+    w = 3^−(x+y) with deterministic tie-breaks.  Mechanism (prefix code
+    + linbits escapes + per-value sign bits) is spec-exact; swap this
+    table for ISO B.7's table family (and honor table_select) to be
+    bit-true against real encoders."""
+    import heapq
+    heap = [(3.0 ** -((s >> 4) + (s & 15)), s, ("leaf", s))
+            for s in range(256)]
+    heapq.heapify(heap)
+    tick = 256
+    while len(heap) > 1:
+        wa, _, a = heapq.heappop(heap)
+        wb, _, b = heapq.heappop(heap)
+        heapq.heappush(heap, (wa + wb, tick, ("node", a, b)))
+        tick += 1
+    depths = {}
+
+    def walk(node, d):
+        if node[0] == "leaf":
+            depths[node[1]] = max(d, 1)
+        else:
+            walk(node[1], d + 1)
+            walk(node[2], d + 1)
+    walk(heap[0][2], 0)
+    # canonical assignment ordered by (length, symbol)
+    enc = {}
+    code = 0
+    prev_len = 0
+    for length, sym in sorted((depths[s], s) for s in range(256)):
+        code <<= (length - prev_len)
+        enc[sym] = (code, length)
+        code += 1
+        prev_len = length
+    tree = {}
+    for sym, (c, length) in enc.items():
+        node = tree
+        for i in range(length - 1, 0, -1):
+            node = node.setdefault((c >> i) & 1, {})
+        node[c & 1] = sym
+    return enc, tree
+
+
+_L3_ENC, _L3_TREE = _l3_build_pair_table()
+
+
+def _l3_frame_bytes(bitrate_kbps: int, fs: int, padding: int) -> int:
+    return 144 * bitrate_kbps * 1000 // fs + padding
+
+
+def _l3_alias(lines: np.ndarray, inverse: bool = False) -> np.ndarray:
+    """Spec alias-reduction butterflies (8 rotations at each of the 31
+    subband boundaries); ``inverse`` is the encoder-side transpose."""
+    out = lines.copy()
+    ca = -_L3_CA if inverse else _L3_CA
+    for sb in range(1, SBANDS):
+        lo = 18 * sb - 1 - np.arange(8)
+        hi = 18 * sb + np.arange(8)
+        a, b = out[lo].copy(), out[hi].copy()
+        out[lo] = a * _L3_CS - b * ca
+        out[hi] = b * _L3_CS + a * ca
+    return out
+
+
+def _l3_quantize(lines: np.ndarray, gg: int) -> np.ndarray:
+    step = 2.0 ** ((gg - 210) / 4.0)
+    ix = np.floor(np.abs(lines / step) ** 0.75 + 0.5).astype(np.int64)
+    return np.sign(lines).astype(np.int64) * np.minimum(ix, 15 + (1 << _L3_LINBITS) - 1)
+
+
+def _l3_granule_bits(ix: np.ndarray) -> tuple[int, int, list]:
+    """(big_values, part2_3_length, bit ops) for one quantized granule.
+    Bit ops are (value, nbits) pairs ready for a _BitWriter."""
+    nz = np.nonzero(ix)[0]
+    big = np.nonzero(np.abs(ix) > 1)[0]
+    bv_lines = (int(big[-1]) + 2) & ~1 if len(big) else 0
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    c1_len = (max(0, last - bv_lines) + 3) & ~3
+    if bv_lines + c1_len > L3_GRANULE_LINES:
+        # quad padding would overrun the granule: fold the ±1 tail into
+        # the big_values region instead (pairs encode ±1 fine)
+        bv_lines = min(L3_GRANULE_LINES, (last + 1) & ~1)
+        c1_len = 0
+    bv = bv_lines // 2
+    c1_end = bv_lines + c1_len
+    ops: list[tuple[int, int]] = []
+    for i in range(bv):
+        x, y = int(ix[2 * i]), int(ix[2 * i + 1])
+        xa, ya = min(abs(x), 15 + (1 << _L3_LINBITS) - 1), \
+            min(abs(y), 15 + (1 << _L3_LINBITS) - 1)
+        xc, yc = min(xa, 15), min(ya, 15)
+        code, ln = _L3_ENC[xc * 16 + yc]
+        ops.append((code, ln))
+        if xc == 15:
+            ops.append((xa - 15, _L3_LINBITS))
+        if xa:
+            ops.append((1 if x < 0 else 0, 1))
+        if yc == 15:
+            ops.append((ya - 15, _L3_LINBITS))
+        if ya:
+            ops.append((1 if y < 0 else 0, 1))
+    for q0 in range(bv_lines, c1_end, 4):
+        quad = [int(ix[q0 + j]) for j in range(4)]
+        ops.append((sum((1 if abs(v) else 0) << (3 - j)
+                        for j, v in enumerate(quad)), 4))
+        for v in quad:
+            if v:
+                ops.append((1 if v < 0 else 0, 1))
+    return bv, sum(n for _, n in ops), ops
+
+
+def encode_layer3(samples: np.ndarray, sample_rate: int = 32000) -> bytes:
+    """Encode float PCM in [-1, 1] (shape [n] or [n, ch], ch ≤ 2) as
+    MPEG-1 Layer III: spec side-info layout, long blocks, MDCT over the
+    subband filterbank with TDAC overlap (output is therefore delayed
+    by one granule = 576 samples vs the input), inverse alias
+    butterflies, x^(3/4) quantization against a per-granule
+    global_gain rate loop, pinned pair-Huffman + count1 coding,
+    main_data_begin = 0 (self-contained frames)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    if ch > 2:
+        raise ValueError("at most 2 channels")
+    if sample_rate not in SAMPLE_RATES:
+        raise ValueError(f"unsupported rate {sample_rate}")
+    pad = (-n) % L3_FRAME_SAMPLES
+    if pad:
+        samples = np.vstack([samples, np.zeros((pad, ch))])
+    sr_idx = SAMPLE_RATES.index(sample_rate)
+    mode = 3 if ch == 1 else 0
+    side_bits = 136 if ch == 1 else 256
+    inv = np.ones((18, SBANDS))
+    inv[1::2, 1::2] = -1.0                 # odd subband, odd sample
+
+    prev = np.zeros((ch, SBANDS, 18))
+    out = bytearray()
+    for f0 in range(0, samples.shape[0], L3_FRAME_SAMPLES):
+        gr_data = []                       # per (granule, ch): dict
+        for g in range(2):
+            for c in range(ch):
+                s0 = f0 + g * L3_GRANULE_LINES
+                sub = (_analysis(samples[s0:s0 + L3_GRANULE_LINES, c])
+                       * inv).T            # [32 sb, 18 t]
+                z = np.concatenate([prev[c], sub], axis=1)   # [32, 36]
+                prev[c] = sub
+                spec = ((z * _L3_WIN) @ _L3_COS / 9.0).reshape(-1)
+                spec = _l3_alias(spec, inverse=True)
+                peak = float(np.abs(spec).max())
+                if peak == 0.0:
+                    gg = 210
+                else:
+                    # max ix ≈ 4000 → gg; raised by the rate loop below
+                    gg = int(np.clip(round(
+                        210 + 4 * np.log2(peak / 4000.0 ** (4.0 / 3.0))),
+                        0, 255))
+                bv, p23, ops = _l3_granule_bits(_l3_quantize(spec, gg))
+                gr_data.append({"spec": spec, "gg": gg, "bv": bv,
+                                "p23": p23, "ops": ops})
+        # rate loop: the frame must fit the max bitrate AND each granule
+        # must fit part2_3_length's 12-bit field (spec-real cap: 4095)
+        budget_max = (_l3_frame_bytes(BITRATES_L3[14], sample_rate, 0) * 8
+                      - 32 - side_bits)
+        while (sum(d["p23"] for d in gr_data) > budget_max
+               or any(d["p23"] > 4095 for d in gr_data)):
+            over = [d for d in gr_data if d["p23"] > 4095]
+            big = max(over or gr_data, key=lambda d: d["p23"])
+            if big["gg"] >= 255:
+                raise ValueError("granule does not fit max Layer III rate")
+            big["gg"] = min(255, big["gg"] + 4)
+            big["bv"], big["p23"], big["ops"] = _l3_granule_bits(
+                _l3_quantize(big["spec"], big["gg"]))
+        need_bits = 32 + side_bits + sum(d["p23"] for d in gr_data)
+        br_idx = next(i for i in range(1, 15)
+                      if _l3_frame_bytes(BITRATES_L3[i], sample_rate, 0) * 8
+                      >= need_bits)
+        frame_len = _l3_frame_bytes(BITRATES_L3[br_idx], sample_rate, 0)
+
+        w = _BitWriter()
+        w.write(0xFFF, 12); w.write(1, 1); w.write(0b01, 2); w.write(1, 1)
+        w.write(br_idx, 4); w.write(sr_idx, 2); w.write(0, 1); w.write(0, 1)
+        w.write(mode, 2); w.write(0, 2); w.write(0, 1); w.write(1, 1)
+        w.write(0, 2)
+        # side info (spec-exact layout)
+        w.write(0, 9)                      # main_data_begin = 0
+        w.write(0, 5 if ch == 1 else 3)    # private bits
+        for _c in range(ch):
+            w.write(0, 4)                  # scfsi: no sharing
+        for g in range(2):
+            for c in range(ch):
+                d = gr_data[g * ch + c]
+                w.write(d["p23"], 12)
+                w.write(d["bv"], 9)
+                w.write(d["gg"], 8)
+                w.write(0, 4)              # scalefac_compress 0 → 0 bits
+                w.write(0, 1)              # long blocks only
+                for _r in range(3):
+                    w.write(1, 5)          # table_select: pinned table
+                w.write(7, 4); w.write(7, 3)  # region counts (parsed only)
+                w.write(0, 1); w.write(0, 1); w.write(0, 1)
+        for d in gr_data:                  # main data, gr0 ch0 … gr1 chN
+            for val, nb in d["ops"]:
+                w.write(val, nb)
+        w.pad_to(frame_len)
+        out.extend(w.buf)
+    return bytes(out)
+
+
+def _l3_read_side_info(r: _BitReader, ch: int) -> list[dict]:
+    if r.read(9):
+        raise NotImplementedError(
+            "Layer III bit reservoir pinned out (main_data_begin != 0)")
+    r.read(5 if ch == 1 else 3)
+    scfsi = [[r.read(1) for _ in range(4)] for _ in range(ch)]
+    grs = []
+    for g in range(2):
+        for c in range(ch):
+            d = {"gr": g, "ch": c, "scfsi": scfsi[c]}
+            d["p23"] = r.read(12)
+            d["bv"] = r.read(9)
+            if d["bv"] > 288:
+                raise ValueError("big_values out of range")
+            d["gg"] = r.read(8)
+            d["scomp"] = r.read(4)
+            if r.read(1):
+                raise NotImplementedError(
+                    "Layer III short/mixed blocks pinned out")
+            d["tables"] = [r.read(5) for _ in range(3)]
+            r.read(4); r.read(3)           # region counts (pinned family)
+            d["preflag"] = r.read(1)
+            d["sfscale"] = r.read(1)
+            d["c1table"] = r.read(1)
+            grs.append(d)
+    return grs
+
+
+def _l3_decode_granule(r: _BitReader, d: dict, shared_sf) -> tuple[np.ndarray, list]:
+    start = r.pos
+    slen1, slen2 = _L3_SLEN[d["scomp"]]
+    sf = [0] * 21
+    # spec scfsi groups over long sfbs: 0-5, 6-10, 11-15, 16-20
+    groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2)]
+    for gi, (lo, hi, slen) in enumerate(groups):
+        if d["gr"] == 1 and d["scfsi"][gi]:
+            sf[lo:hi] = shared_sf[d["ch"]][lo:hi]
+        elif slen:
+            for b in range(lo, hi):
+                sf[b] = r.read(slen)
+    ix = np.zeros(L3_GRANULE_LINES, np.int64)
+    for i in range(d["bv"]):
+        node = _L3_TREE
+        while isinstance(node, dict):
+            node = node.get(r.read(1))
+            if node is None:
+                raise ValueError("bad Layer III Huffman code")
+        xc, yc = node >> 4, node & 15
+        vals = []
+        for vcomp in (xc, yc):
+            v = vcomp + (r.read(_L3_LINBITS) if vcomp == 15 else 0)
+            if v and r.read(1):
+                v = -v
+            vals.append(v)
+        if 2 * i + 1 >= L3_GRANULE_LINES:
+            raise ValueError("big_values overruns the granule")
+        ix[2 * i], ix[2 * i + 1] = vals
+    line = 2 * d["bv"]
+    while r.pos - start < d["p23"] and line + 3 < L3_GRANULE_LINES:
+        quad = r.read(4)
+        for j in range(4):
+            v = (quad >> (3 - j)) & 1
+            if v and r.read(1):
+                v = -v
+            ix[line + j] = v
+        line += 4
+    if r.pos - start > d["p23"]:
+        raise ValueError("Layer III main data overrun")
+    r.pos = start + d["p23"]
+    # requantize: x^(4/3) law with global gain + scalefactor multipliers
+    step = 2.0 ** ((d["gg"] - 210) / 4.0)
+    xr = np.sign(ix) * np.abs(ix).astype(np.float64) ** (4.0 / 3.0) * step
+    if any(sf) or d["preflag"]:
+        mult = np.ones(L3_GRANULE_LINES)
+        pos = 0
+        for b, width in enumerate(_L3_SFB_LONG):
+            if b < 21:
+                tot = sf[b] + (d["preflag"] * _L3_PRETAB[b])
+                mult[pos:pos + width] = 2.0 ** (
+                    -0.5 * (1 + d["sfscale"]) * tot)
+            pos += width
+        xr *= mult
+    return xr, sf
+
+
+def _l3_synth_granule(xr: np.ndarray, overlap: np.ndarray) -> np.ndarray:
+    """Requantized lines → 576 PCM: alias reduction, per-subband
+    18-point IMDCT + sine window + overlap-add (state in ``overlap``
+    [32, 18], updated in place), odd-subband frequency inversion,
+    polyphase synthesis."""
+    lines = _l3_alias(xr).reshape(SBANDS, 18)
+    y = np.einsum("nk,sk->sn", _L3_COS, lines) * _L3_WIN   # [32, 36]
+    block = y[:, :18] + overlap
+    overlap[:] = y[:, 18:]
+    sub = block.T.copy()                                   # [18 t, 32 sb]
+    sub[1::2, 1::2] *= -1.0
+    return _synthesis(sub)
+
+
 def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode consecutive MPEG-1 Layer I or Layer II frames →
+    """Decode consecutive MPEG-1 Layer I, II or III frames →
     (samples [n, ch] float in [-1, 1], sample_rate).  Raises ValueError
-    on garbage, NotImplementedError on Layer III or joint stereo
-    (pinned out — see module header)."""
+    on garbage, NotImplementedError on joint stereo / L3 bit reservoir /
+    L3 short blocks (pinned out — see module header)."""
     if len(data) < 4:
         raise ValueError("too short for an MPEG audio frame")
     pos = 0
     chunks = []
     rate = None
     nch = None
+    l3_overlap = None                      # per-channel IMDCT OLA state
     while pos + 4 <= len(data):
         h = struct.unpack(">I", data[pos:pos + 4])[0]
         if h >> 20 != 0xFFF:
@@ -401,9 +763,6 @@ def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
                 break  # trailing junk after valid frames — stop cleanly
             raise ValueError("bad sync word")
         layer = (h >> 17) & 3
-        if layer == 0b01:
-            raise NotImplementedError(
-                "MPEG-1 Layer III pinned out (see mpeg_audio header)")
         if layer == 0:
             raise ValueError("reserved layer")
         br_idx = (h >> 12) & 0xF
@@ -423,14 +782,33 @@ def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
             break  # stream parameter change — stop at the clean prefix
         if layer == 0b11:
             flen = _frame_bytes(BITRATES_L1[br_idx], fs, padding)
-        else:
+        elif layer == 0b10:
             flen = _l2_frame_bytes(BITRATES_L2[br_idx], fs, padding)
+        else:
+            flen = _l3_frame_bytes(BITRATES_L3[br_idx], fs, padding)
         if pos + flen > len(data):
             break  # truncated final frame
         r = _BitReader(data[pos:pos + flen])
         r.pos = 32
         if protection == 0:
             r.pos += 16  # CRC16 — parsed over, not checked (pinned)
+        if layer == 0b01:
+            if l3_overlap is None:
+                l3_overlap = np.zeros((ch, SBANDS, 18))
+            grs = _l3_read_side_info(r, ch)
+            shared_sf = [[0] * 21 for _ in range(ch)]
+            gpcm = {0: [], 1: []}
+            for d in grs:
+                xr, sf = _l3_decode_granule(r, d, shared_sf)
+                if d["gr"] == 0:
+                    shared_sf[d["ch"]] = sf
+                gpcm[d["gr"]].append(
+                    _l3_synth_granule(xr, l3_overlap[d["ch"]]))
+            pcm = np.vstack([np.stack(gpcm[0], axis=1),
+                             np.stack(gpcm[1], axis=1)])
+            chunks.append(pcm)
+            pos += flen
+            continue
         if layer == 0b10:
             sub2 = _decode_layer2_frame(r, ch)
             pcm = np.stack([_synthesis(sub2[c]) for c in range(ch)], axis=1)

@@ -16,9 +16,11 @@ perceptual hashes, nearest-neighbour resize, lossless WebP/VP8L
 (functions/webp.py — canonical-Huffman + LZ77 + color-cache), and
 lossy-VP8 webp keyframes (functions/vp8.py — bool coder, token trees,
 WHT+DCT, intra prediction; probability tables repo-pinned).  What is
-STUBBED (no ffmpeg in this container): compressed audio/video codecs
-(mp3 Layer II/III, h264/vp9) surface as decode_ok=false rows, clearly marked, with
-the dispatch and schema ready for a vendored codec.
+STUBBED (no ffmpeg in this container): compressed video codecs
+(h264/vp9) plus the MPEG-audio corners pinned out in
+functions/mpeg_audio.py (L3 bit reservoir, short blocks, joint stereo)
+surface as decode_ok=false rows, clearly marked, with the dispatch and
+schema ready for a vendored codec.
 
 Scale notes: blob batches dominate memory — ``mapInPandas`` streams
 Arrow batches so an executor never holds a partition of blobs at once;
@@ -231,10 +233,12 @@ def audio_features(audio: DataFrame) -> DataFrame:
     REAL for fmt='wav' (the pure-python RIFF/WAVE PCM codec in
     functions/wav.py), fmt='flac' (the spec-exact lossless codec in
     functions/flac.py — fixed/LPC prediction, Rice coding, mid/side)
-    AND fmt='mp3' (MPEG-1 Layer I, functions/mpeg_audio.py — spec-exact
-    framing/allocation/scalefactors/requant, pinned DCT-IV filterbank;
-    Layer II/III + ogg/aac stay pinned out) — remaining stubs surface
-    as decode_ok=false, same error channel as image decode.
+    AND fmt='mp3' (MPEG-1 Layers I, II and III, functions/mpeg_audio.py
+    — spec-exact framing/allocation/scalefactors/requant, L3 side info/
+    Huffman-ESC/alias/IMDCT; pinned DCT-IV filterbank + pinned L2/L3
+    table families; L3 bit reservoir, short blocks, joint stereo and
+    ogg/aac stay pinned out) — remaining stubs surface as
+    decode_ok=false, same error channel as image decode.
     zcr = zero-crossing rate per sample on the channel-mean signal;
     rms/peak over all channels.
     """

@@ -66,7 +66,8 @@ def test_image_decoders_fuzz(fmt):
 def test_audio_decoders_fuzz():
     t = np.arange(1500) / 8000
     sig = np.sin(2 * np.pi * 440 * t) * 0.5
-    from gigaspark.functions.mpeg_audio import (decode_mpeg1, encode_layer1, encode_layer2)
+    from gigaspark.functions.mpeg_audio import (
+        decode_mpeg1, encode_layer1, encode_layer2, encode_layer3)
 
     sig32 = np.sin(2 * np.pi * 440 * (np.arange(768) / 32000)) * 0.5
     for name, enc, dec in (
@@ -75,6 +76,9 @@ def test_audio_decoders_fuzz():
             ("mp3", lambda: encode_layer1(sig32, 32000, alloc=5),
              decode_mpeg1),
             ("mp2", lambda: encode_layer2(
+                np.sin(2 * np.pi * 440 * (np.arange(1152) / 32000)) * 0.5,
+                32000), decode_mpeg1),
+            ("mp3-l3", lambda: encode_layer3(
                 np.sin(2 * np.pi * 440 * (np.arange(1152) / 32000)) * 0.5,
                 32000), decode_mpeg1)):
         blob = enc()

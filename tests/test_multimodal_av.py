@@ -289,15 +289,29 @@ def test_mpeg1_rejects_garbage_and_pins_layers_out():
 
     from gigaspark.functions.mpeg_audio import decode_mpeg1, encode_layer1
 
+    from gigaspark.functions.mpeg_audio import encode_layer3
+
     with pytest.raises(ValueError):
         decode_mpeg1(b"\x00\x01\x02\x03\x04\x05")
     with pytest.raises(ValueError):
         decode_mpeg1(b"ID3\x04junkjunkjunk")
-    # flip the layer bits to III (0b01): pinned out, typed error
+    # flip the layer bits to reserved (0b00): typed ValueError
     blob = bytearray(encode_layer1(np.zeros(384), 32000, alloc=2))
-    blob[1] = (blob[1] & ~0b110) | 0b010
-    with pytest.raises(NotImplementedError):
+    blob[1] = blob[1] & ~0b110
+    with pytest.raises(ValueError):
         decode_mpeg1(bytes(blob))
+    # L3 bit reservoir (main_data_begin != 0): pinned out, typed error
+    l3 = bytearray(encode_layer3(np.zeros(1152), 32000))
+    l3[4] = 0xFF                       # first 9 side-info bits
+    with pytest.raises(NotImplementedError):
+        decode_mpeg1(bytes(l3))
+    # L3 short blocks (window_switching_flag): pinned out, typed error.
+    # wsf is bit 34 of the mono side info (9+5+4+12+9+8+4 = 51 bits in
+    # → byte 4+6, bit offset 51%8=3)
+    l3b = bytearray(encode_layer3(np.zeros(1152), 32000))
+    l3b[4 + 51 // 8] |= 1 << (7 - 51 % 8)
+    with pytest.raises(NotImplementedError):
+        decode_mpeg1(bytes(l3b))
 
 
 def test_audio_features_decodes_planted_mp3_tone(spark):
@@ -342,3 +356,39 @@ def test_mpeg1_layer2_roundtrip_and_mechanisms():
     # quiet signal exercises high scalefactor indices + scfsi=2 sharing
     o3, _ = decode_mpeg1(encode_layer2(sig * 1e-3, 32000))
     assert np.abs(o3[:, 0] - sig * 1e-3).max() < 1e-4
+
+
+def test_mpeg1_layer3_roundtrip_and_mechanisms():
+    """Layer III: spec side-info layout, pair-Huffman + linbits ESC +
+    count1 quadruples, x^(4/3) requantization, alias butterflies,
+    18-point IMDCT with TDAC overlap-add — round-trip through the SAME
+    decode_mpeg1 entry.  The decoder output lags the input by one
+    granule (576 samples, the MDCT overlap delay), so comparisons are
+    shifted and edge granules excluded."""
+    import numpy as np
+
+    from gigaspark.functions.mpeg_audio import decode_mpeg1, encode_layer3
+
+    D = 576
+    t = np.arange(1152 * 4) / 32000.0
+    sig = 0.6 * np.sin(2 * np.pi * 1000.0 * t)
+    out, rate = decode_mpeg1(encode_layer3(sig, 32000))
+    assert rate == 32000 and out.shape == (1152 * 4, 1)
+    assert np.abs(out[D + 576:-576, 0]
+                  - sig[576:len(out) - D - 576]).max() < 2e-3
+    st = np.stack([sig, 0.3 * np.sin(2 * np.pi * 440.0 * t)], axis=1)
+    o2, _ = decode_mpeg1(encode_layer3(st, 32000))
+    assert np.abs(o2[D + 576:-576]
+                  - st[576:len(o2) - D - 576]).max() < 0.02
+    # quiet signal: global_gain bottoms out, error stays proportional
+    o3, _ = decode_mpeg1(encode_layer3(sig * 1e-3, 32000))
+    assert np.abs(o3[D + 576:-576, 0]
+                  - sig[576:len(o3) - D - 576] * 1e-3).max() < 1e-4
+    # noise: the 12-bit part2_3_length cap forces the rate loop to
+    # coarsen — decode must stay sane (bounded error, exact framing)
+    rng = np.random.default_rng(7)
+    nz = np.clip(rng.standard_normal(1152 * 2) * 0.2, -0.95, 0.95)
+    o4, _ = decode_mpeg1(encode_layer3(nz, 32000))
+    assert o4.shape == (1152 * 2, 1)
+    assert np.abs(o4[D + 576:-576, 0]
+                  - nz[576:len(o4) - D - 576]).max() < 0.2
