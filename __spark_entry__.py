@@ -1420,6 +1420,57 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_neardup_pairs(corpus, threshold=0.98, n_planes=8, dim=64)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023 shape): cluster the embedding space
+    with the deterministic md5-seeded coarse quantizer, then drop every
+    vector with an exact-integer cosine ≥ 0.98 to a lower-id vector of
+    the SAME cluster (first-id keep rule).  Corpus = embeddings ∪ a
+    scaled copy (vec_id+100000, ×1.1) so real near-dups exist; the
+    oracle reproduces quantizer, assignment and keep decision
+    bit-for-bit — including which planted pairs the cluster partition
+    separates (the SemDeDup approximation, mirrored exactly)."""
+    from gigaspark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.1)).alias("embedding"))
+    corpus = emb.unionByName(pert)
+    return semantic_dedup(corpus, n_centroids=16, threshold=0.98)
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+corpus AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(e, x -> x * 1.1) FROM base),
+vecs AS (SELECT vec_id,
+                list_transform(e, x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS v
+         FROM corpus),
+cent AS (
+  SELECT row_number() OVER (ORDER BY h) AS cid, v AS cvec
+  FROM (SELECT md5(vec_id::VARCHAR) AS h, v FROM vecs ORDER BY h LIMIT 16)),
+cass AS (
+  SELECT vec_id, cid, v FROM (
+    SELECT vecs.vec_id, vecs.v, cent.cid,
+           row_number() OVER (PARTITION BY vecs.vec_id ORDER BY
+             list_sum(list_transform(list_zip(vecs.v, cent.cvec),
+                                     z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC,
+             cent.cid ASC) AS rn
+    FROM vecs CROSS JOIN cent) WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM cass a JOIN cass b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+      / sqrt(list_sum(list_transform(a.v, x -> x * x))::DOUBLE
+           * list_sum(list_transform(b.v, x -> x * x))::DOUBLE), 4) >= 0.98)
+SELECT cass.vec_id, cid, dup.vec_id IS NULL AS keep
+FROM cass LEFT JOIN dup ON cass.vec_id = dup.vec_id
+"""
+
+
 def _dedup_embedding_sql(n_planes: int = 8, dim: int = 64) -> str:
     from gigaspark.operators.similarity import hyperplanes
 
@@ -4110,7 +4161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_reindex": q_postings_reindex,
         "t4_boolean_ops": q_t4_boolean_ops,
         # -- dedup / corpus pipeline ----------------------------------- 30-38
-        "dedup_exact": q_dedup_exact,
+        "semantic_dedup": q_semantic_dedup,
         "minhash_signatures": q_minhash_signatures,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -4156,6 +4207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c7_json": q_c7_json,
         "ann_lsh_bucketed": q_ann_lsh,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "token_counts": q_token_counts,
@@ -4236,6 +4288,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_multiprobe": _ann_lsh_mp_sql(8, 64),
         "ann_ivf_topk": SQL_ANN_IVF,
         "dedup_embedding": _dedup_embedding_sql(8, 64),
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "fetch_validate": SQL_FETCH_VALIDATE,
         "text_quality": _sql_text_quality(),
         "text_langid": _sql_langid(),

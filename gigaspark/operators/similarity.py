@@ -482,3 +482,43 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .where(F.col("rank") <= k)
             .select("q_id", "n_id", F.col("adist").cast("long").alias("adist"),
                     "rank"))
+
+
+def semantic_dedup(corpus: DataFrame, n_centroids: int = 16,
+                   threshold: float = 0.95) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540; the embedding-space generalization of the
+    clusterdb similarity collapse, ``Msg40.cpp`` dedup pass [U][M]):
+    partition the embedding space with the deterministic coarse
+    quantizer, then WITHIN each cluster drop every vector whose
+    exact-integer cosine with a LOWER-id vector of the same cluster
+    reaches ``threshold``.  Returns (vec_id, cid, keep).
+
+    Pinned keep rule: first-id wins (x is dropped iff ∃ y < x in x's
+    cluster with cos(x, y) ≥ threshold) — deterministic and engine-
+    portable; compose with :func:`gigaspark.operators.dedup.
+    connected_components` when transitive-closure groups are wanted.
+
+    Scale: candidate generation IS the cluster partition — the corpus
+    shuffles ONCE on cid (with k-means-sized K the lists are
+    corpus/K ≈ bounded), pairs are per-list self-joins, never
+    all-pairs; the decision is a distinct + left-anti within the list.
+    Approximate by design exactly where SemDeDup is: cross-cluster
+    near-dups are not compared (raise n_assign/centroid overlap to
+    trade cost for recall).
+    """
+    cent = ivf_centroids(corpus, n_centroids)
+    assign = ivf_assign(corpus, cent, "vec_id", 1)   # (vec_id, cid, v)
+    a = assign.select(F.col("vec_id").alias("a_id"), "cid",
+                      F.col("v").alias("va"))
+    b = assign.select(F.col("vec_id").alias("b_id"), "cid",
+                      F.col("v").alias("vb"))
+    dup = (a.join(b, "cid")
+           .where(F.col("a_id") < F.col("b_id"))
+           .where(cosine(F.col("va"), F.col("vb")) >= threshold)
+           .select(F.col("b_id").alias("vec_id"))
+           .distinct()
+           .withColumn("_dup", F.lit(True)))
+    return (assign.join(dup, "vec_id", "left")
+            .select("vec_id", "cid",
+                    F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")))

@@ -248,3 +248,23 @@ def test_pq_training_reduces_quantization_error(spark):
 
     e0, e1 = qerr(seed), qerr(trained)
     assert e1 < e0  # Lloyd strictly improves the md5-sampled seed here
+
+
+def test_semantic_dedup_drops_coclustered_copies(vecs):
+    """SemDeDup: the planted near-copy (vec 100 ≈ vec 0) lands in vec
+    0's cluster and is dropped (first-id keep rule); the negation (101)
+    is never a near-dup of anything; every vector appears exactly once
+    with its cluster id."""
+    from gigaspark.operators.similarity import semantic_dedup
+
+    res = {r["vec_id"]: r for r in
+           semantic_dedup(vecs, n_centroids=4, threshold=0.98).collect()}
+    assert len(res) == 42
+    assert res[0]["keep"] is True
+    assert res[100]["keep"] is False          # near-copy of a lower id
+    assert res[100]["cid"] == res[0]["cid"]   # L2-co-clustered
+    assert res[101]["keep"] is True           # negation: cos = -1
+    # keep-set is deterministic across recomputation
+    again = {r["vec_id"]: r["keep"] for r in
+             semantic_dedup(vecs, n_centroids=4, threshold=0.98).collect()}
+    assert again == {k: v["keep"] for k, v in res.items()}
