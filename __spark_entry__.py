@@ -1437,7 +1437,9 @@ def q_semantic_dedup(spark, sf_dir):
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.1)).alias("embedding"))
     corpus = emb.unionByName(pert)
-    return semantic_dedup(corpus, n_centroids=16, threshold=0.98)
+    return semantic_dedup(
+        corpus, n_centroids=16, threshold=0.98,
+        cache=lambda df: _cache_slot("semdedup_assign", df))
 
 
 SQL_SEMANTIC_DEDUP = """

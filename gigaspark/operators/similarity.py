@@ -485,7 +485,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def semantic_dedup(corpus: DataFrame, n_centroids: int = 16,
-                   threshold: float = 0.95) -> DataFrame:
+                   threshold: float = 0.95,
+                   cache=lambda df: df) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540; the embedding-space generalization of the
     clusterdb similarity collapse, ``Msg40.cpp`` dedup pass [U][M]):
@@ -506,9 +507,14 @@ def semantic_dedup(corpus: DataFrame, n_centroids: int = 16,
     Approximate by design exactly where SemDeDup is: cross-cluster
     near-dups are not compared (raise n_assign/centroid overlap to
     trade cost for recall).
+
+    ``cache``: the assignment feeds THREE plan branches (keep side +
+    both pair sides) — pass a persist hook (e.g. the entry's
+    ``_cache_slot``) so the corpus is scanned and assigned ONCE, not
+    three times.
     """
     cent = ivf_centroids(corpus, n_centroids)
-    assign = ivf_assign(corpus, cent, "vec_id", 1)   # (vec_id, cid, v)
+    assign = cache(ivf_assign(corpus, cent, "vec_id", 1))  # (vec_id, cid, v)
     a = assign.select(F.col("vec_id").alias("a_id"), "cid",
                       F.col("v").alias("va"))
     b = assign.select(F.col("vec_id").alias("b_id"), "cid",
