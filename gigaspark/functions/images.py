@@ -196,7 +196,34 @@ def encode_image(fmt: str, pix: np.ndarray) -> bytes:
     return _ENC[fmt](pix)
 
 
+# Native-codec fast path (the 100 TB answer to the per-blob Python
+# entropy loops): when GIGASPARK_NATIVE_CODECS=1 AND Pillow is
+# importable, container formats decode through libjpeg/zlib-turbo via
+# PIL; the pure-numpy codecs above stay the no-deps default AND the
+# fallback for anything PIL rejects.  OPT-IN by env var, not
+# auto-detected: PIL's lossy color-conversion rounding differs from the
+# pinned pure-numpy path by ±1 LSB, which is invisible to the PSNR≥40
+# fetch gate but would break bit-exact oracle parity if it switched on
+# implicitly.
+_PIL = None
+if __import__("os").environ.get("GIGASPARK_NATIVE_CODECS") == "1":
+    try:
+        from PIL import Image as _PIL  # type: ignore[no-redef]
+    except Exception:
+        _PIL = None
+_PIL_FMTS = {"png", "jpg", "jpgp", "jpg420", "gif", "webp", "webpv",
+             "bmp", "ico", "tiff"}
+
+
 def decode_image(fmt: str, data: bytes) -> np.ndarray:
+    if _PIL is not None and fmt in _PIL_FMTS:
+        import io
+        try:
+            im = _PIL.open(io.BytesIO(data))
+            im.load()
+            return np.asarray(im.convert("RGB"))
+        except Exception:
+            pass  # fall through to the pure-numpy decoder
     return _DEC[fmt](data)
 
 

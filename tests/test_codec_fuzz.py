@@ -105,3 +105,43 @@ def test_container_decoders_fuzz():
             for _ in range(rng.integers(1, 6)):
                 b[rng.integers(0, len(b))] ^= 1 << rng.integers(0, 8)
             _assert_contract(dec, bytes(b))
+
+
+def test_native_codec_dispatch_plumbing(monkeypatch):
+    """GIGASPARK_NATIVE_CODECS routes container formats through the
+    PIL-shaped fast path when one is importable (no real PIL in this
+    sandbox — a stub proves the dispatch + RGB contract + fallback)."""
+    from gigaspark.functions import images as I
+
+    pix = _pix(3)
+    blob = I.encode_image("png", pix)
+
+    class _FakeIm:
+        def load(self):
+            pass
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return pix
+
+    class _FakePIL:
+        @staticmethod
+        def open(fp):
+            return _FakeIm()
+
+    monkeypatch.setattr(I, "_PIL", _FakePIL)
+    assert np.array_equal(I.decode_image("png", blob), pix)
+    # ppm is not a PIL format — still the pure-numpy path
+    assert np.array_equal(
+        I.decode_image("ppm", I.encode_image("ppm", pix)), pix)
+
+    class _Rejecting:
+        @staticmethod
+        def open(fp):
+            raise ValueError("not my format")
+
+    monkeypatch.setattr(I, "_PIL", _Rejecting)
+    # PIL rejection falls back to the pure-numpy decoder
+    assert np.array_equal(I.decode_image("png", blob), pix)
+    monkeypatch.setattr(I, "_PIL", None)
+    assert np.array_equal(I.decode_image("png", blob), pix)
