@@ -4061,6 +4061,140 @@ def q_caption_phash_neardup(spark, sf_dir):
     return image_caption_neardup(imgs, bits=60, n_bands=6, max_dist=4)
 
 
+def _images_meta(spark, sf_dir):
+    """Deterministic image+caption metadata universe (the north-rule
+    input shape: image_id, w, h, caption, phash) derived from
+    `documents` so the DuckDB oracle reproduces it bit-for-bit: dims
+    from a pinned 6-value ladder keyed by md5, caption = 80-char
+    normalized-text prefix, phash = 60-bit md5 int; rows gated by
+    md5%13 get an exact-phash twin (planted duplicates for the dedup
+    rule).  Metadata-only on purpose — the real `bytes` column never
+    exists here, mirroring the pipeline's promise to never read it."""
+    from gigaspark.functions.text import md5_int
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    dims = F.array(*[F.lit(d) for d in (16, 32, 64, 128, 256, 512)])
+    w = F.element_at(
+        dims, (md5_int(F.concat(F.lit("iw:"), did)) % 6 + 1).cast("int"))
+    h = F.element_at(
+        dims, (md5_int(F.concat(F.lit("ih:"), did)) % 6 + 1).cast("int"))
+    # caption length varies 20..99 chars (md5-keyed) so the token-count
+    # rule produces a real keep/drop mix rather than a constant
+    cap = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")) \
+        .substr(F.lit(1),
+                (md5_int(F.concat(F.lit("cl:"), did)) % 80 + 20).cast("int"))
+    ph = F.conv(F.substring(F.md5(F.concat(F.lit("iph:"), did)), 1, 15),
+                16, 10).cast("long")
+    base = docs.select(F.concat(F.lit("img"), did).alias("image_id"),
+                       w.alias("w"), h.alias("h"), cap.alias("caption"),
+                       ph.alias("phash"))
+    twins = (docs.where(md5_int(F.concat(F.lit("tw:"), did)) % 13 == 5)
+             .select(F.concat(F.lit("d-"), did).alias("image_id"),
+                     w.alias("w"), h.alias("h"),
+                     F.concat(cap, F.lit(" copy")).alias("caption"),
+                     ph.alias("phash")))
+    return base.unionByName(twins)
+
+
+def q_image_filter(spark, sf_dir):
+    """LAION-style image-corpus keep/drop decision as ONE plan
+    (image-payload counterpart of corpus_filter_pipeline): size /
+    aspect / caption-token rules as pure Column exprs riding the scan,
+    exact-phash dedup as a uniform-key groupBy with a canonical-winner
+    min rule, pinned reason precedence size->aspect->caption->
+    duplicate->keep.  The (100 TB) bytes column is never touched."""
+    from gigaspark.operators.image_pipeline import image_corpus_filter
+
+    return image_corpus_filter(_images_meta(spark, sf_dir))
+
+
+def q_image_shard_pack(spark, sf_dir):
+    """Webdataset-style shard assignment over the KEPT images: exclusive
+    prefix sum of sample bytes over the image_id total order (two-level
+    range-sort + broadcast offsets — no single-task window), sample ->
+    shard whose aligned 256 KiB byte window contains its start offset.
+    nbytes is the pinned w*h*3+64 metadata estimate so the blobs are
+    never read to plan the shards."""
+    from gigaspark.operators.image_pipeline import (image_corpus_filter,
+                                                    image_shard_pack)
+
+    kept = (image_corpus_filter(_images_meta(spark, sf_dir))
+            .where(F.col("keep")))
+    nb = F.col("w").cast("long") * F.col("h").cast("long") * 3 + 64
+    return image_shard_pack(kept, shard_bytes=1 << 18, nbytes=nb)
+
+
+_SQL_IMAGES_META = """
+d AS (
+  SELECT doc_id::VARCHAR AS k,
+         substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1,
+                (('0x' || substr(md5('cl:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                 % 80 + 20)::INT) AS caption
+  FROM documents),
+m0 AS (
+  SELECT k, caption,
+    CASE (('0x' || substr(md5('iw:' || k), 1, 8))::BIGINT % 6)
+      WHEN 0 THEN 16 WHEN 1 THEN 32 WHEN 2 THEN 64
+      WHEN 3 THEN 128 WHEN 4 THEN 256 ELSE 512 END AS w,
+    CASE (('0x' || substr(md5('ih:' || k), 1, 8))::BIGINT % 6)
+      WHEN 0 THEN 16 WHEN 1 THEN 32 WHEN 2 THEN 64
+      WHEN 3 THEN 128 WHEN 4 THEN 256 ELSE 512 END AS h,
+    ('0x' || substr(md5('iph:' || k), 1, 15))::BIGINT AS phash
+  FROM d),
+imgs AS (
+  SELECT 'img' || k AS image_id, w, h, caption, phash FROM m0
+  UNION ALL
+  SELECT 'd-' || k, w, h, caption || ' copy', phash FROM m0
+  WHERE ('0x' || substr(md5('tw:' || k), 1, 8))::BIGINT % 13 = 5),
+f AS (
+  SELECT image_id, w, h, phash,
+    (CASE WHEN trim(caption) = '' THEN 0
+          ELSE len(regexp_split_to_array(trim(caption), '\\s+')) END)::BIGINT
+      AS cap_tokens,
+    least(w, h) < 32 AS too_small,
+    greatest(w, h) * 10 > least(w, h) * 40 AS bad_aspect
+  FROM imgs),
+canon AS (SELECT phash, min(image_id) AS canon_id FROM f GROUP BY phash),
+dec AS (
+  SELECT image_id, w, h, cap_tokens, too_small, bad_aspect,
+         (cap_tokens < 3 OR cap_tokens > 12) AS bad_caption,
+         (f.image_id <> canon.canon_id) AS duplicate
+  FROM f JOIN canon ON f.phash = canon.phash),
+decision AS (
+  SELECT *, CASE WHEN too_small THEN 'size'
+                 WHEN bad_aspect THEN 'aspect'
+                 WHEN bad_caption THEN 'caption'
+                 WHEN duplicate THEN 'duplicate'
+                 ELSE 'keep' END AS reason
+  FROM dec)
+"""
+
+SQL_IMAGE_FILTER = f"""
+WITH {_SQL_IMAGES_META}
+SELECT image_id, w, h, cap_tokens, too_small, bad_aspect, bad_caption,
+       duplicate, (reason = 'keep') AS keep, reason
+FROM decision
+"""
+
+SQL_IMAGE_SHARD_PACK = f"""
+WITH {_SQL_IMAGES_META},
+t AS (
+  SELECT image_id, (w::BIGINT * h::BIGINT * 3 + 64)::BIGINT AS nbytes
+  FROM decision WHERE reason = 'keep'),
+c AS (
+  SELECT image_id, nbytes,
+         coalesce(sum(nbytes) OVER (ORDER BY image_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS start_off
+  FROM t WHERE nbytes > 0)
+SELECT image_id, nbytes, start_off,
+       (start_off // 262144)::BIGINT AS shard_id,
+       (start_off % 262144)::BIGINT AS offset_in_shard
+FROM c
+"""
+
+
 def q_search_numeric_range(spark, sf_dir):
     """Gigablast numeric field operators gbmin:/gbmax:/gbsortby:
     (PosdbTable numeric termlists over JSON fields [U][M]): restrict to
@@ -4153,7 +4287,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_querylang_title": q_querylang_title,
         "search_querylang_numeric": q_querylang_numeric,
         "search_querylang_boolean": q_querylang_boolean,
-        "search_querylang_trigram": q_querylang_trigram,
         "search_proximity_topk": q_search_proximity,
         "search_window_topk": q_search_window,
         "search_fullrank_topk": q_search_fullrank,
@@ -4162,9 +4295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_linkrank_topk": q_search_linkrank,
         "postings_reindex": q_postings_reindex,
         "t4_boolean_ops": q_t4_boolean_ops,
-        # -- dedup / corpus pipeline ----------------------------------- 30-38
+        # -- dedup / corpus / image pipeline --------------------------- 29-38
         "semantic_dedup": q_semantic_dedup,
-        "minhash_signatures": q_minhash_signatures,
+        "image_filter_pipeline": q_image_filter,
+        "image_shard_pack": q_image_shard_pack,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "caption_phash_neardup": q_caption_phash_neardup,
@@ -4187,6 +4321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         # ==== slot 51+: scalar/diagnostic tier (driver-invisible; =======
         # ==== verified by tools/check_oracle.py at sf0.01 + sf0.1) ======
+        "search_querylang_trigram": q_querylang_trigram,
+        "minhash_signatures": q_minhash_signatures,
         "search_phrase_topk": q_search_phrase,
         "contamination_ngram": q_contamination,
         "pq_train_codebooks": q_pq_train,
@@ -4337,6 +4473,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": _sql_sample_stratified(),
         "sample_weighted_repeat": _sql_sample_weighted_repeat(),
         "caption_phash_neardup": SQL_CAPTION_PHASH,
+        "image_filter_pipeline": SQL_IMAGE_FILTER,
+        "image_shard_pack": SQL_IMAGE_SHARD_PACK,
         "search_numeric_range": SQL_SEARCH_NUMRANGE,
         "pagerank": _sql_pagerank(),
         "termlist_stats": SQL_TERMLIST_STATS,

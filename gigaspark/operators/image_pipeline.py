@@ -1,0 +1,111 @@
+"""Image-corpus curation pipeline (the image-payload counterpart of
+:mod:`gigaspark.operators.pipeline` — beyond-reference training-pipeline
+mandate; the north-rule input shape is the image+caption table).
+
+Two operators a 100 TB image+caption corpus run actually needs:
+
+``image_corpus_filter`` — the LAION-style keep/drop decision as ONE
+declarative plan over the (image_id, w, h, caption, phash) metadata:
+
+  * size / aspect / caption-length rules are pure Column expressions —
+    they ride the first parquet scan inside whole-stage codegen, with
+    ``w``/``h``/``caption`` pushed down so ``bytes`` (the 100 TB column)
+    is NEVER read;
+  * exact-phash dedup groups on ``phash`` (a 64-bit perceptual hash —
+    uniform key, no skew) and keeps the min image_id per group
+    (canonical-winner rule, same shape as the text corpus filter).
+
+  Rule precedence is PINNED (first failing rule names the reason):
+  ``size`` -> ``aspect`` -> ``caption`` -> ``duplicate`` -> ``keep``.
+  All thresholds are integers (aspect is compared at x10 fixed point)
+  so a SQL oracle reproduces the decision bit-for-bit.
+
+``image_shard_pack`` — webdataset-style shard assignment: lay the kept
+samples on a byte stream in image_id total order and assign each sample
+to the shard whose aligned byte window ``[s*B, (s+1)*B)`` contains its
+start offset.  PINNED deviation from a sequential close-after-exceed
+writer: windows are aligned multiples of the budget (drift-free), so the
+assignment is a pure function of the exclusive prefix sum — a sample
+larger than the budget occupies several windows' span but belongs to
+the window containing its start.  The only global state is that prefix
+sum, computed with the two-level range-sort + broadcast-offsets pattern
+(:func:`gigaspark.operators.ordering.with_global_cumsum`) — no
+single-task window, one range shuffle, O(P) driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from gigaspark.operators.ordering import with_global_cumsum
+
+
+def caption_tokens(c: Column) -> Column:
+    """Token count of a single-space-normalized caption (pinned rule:
+    split on runs of whitespace after trim; '' counts 0).  DuckDB
+    mirror: ``len(string_split_regex(trim(caption), '\\s+'))`` guarded
+    by the empty case."""
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)) \
+        .otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def image_corpus_filter(imgs: DataFrame, min_dim: int = 32,
+                        max_aspect_x10: int = 40,
+                        min_cap_tokens: int = 3,
+                        max_cap_tokens: int = 12) -> DataFrame:
+    """(image_id, w, h, cap_tokens, too_small, bad_aspect, bad_caption,
+    duplicate, keep, reason) — the full decision per image.
+
+    Only metadata columns are touched: the plan's ReadSchema must not
+    include ``bytes`` (asserted in tests/test_image_pipeline.py).
+    """
+    w, h = F.col("w").cast("long"), F.col("h").cast("long")
+    base = imgs.select(
+        "image_id", "w", "h", "phash",
+        caption_tokens(F.col("caption")).alias("cap_tokens"),
+        (F.least(w, h) < min_dim).alias("too_small"),
+        (F.greatest(w, h) * 10 > F.least(w, h) * max_aspect_x10)
+        .alias("bad_aspect"))
+    base = base.withColumn(
+        "bad_caption",
+        (F.col("cap_tokens") < min_cap_tokens)
+        | (F.col("cap_tokens") > max_cap_tokens))
+
+    # canonical-winner exact-phash dedup: min image_id per phash group
+    canon = base.groupBy("phash").agg(F.min("image_id").alias("canon_id"))
+    j = (base.join(canon, "phash")
+         .withColumn("duplicate", F.col("image_id") != F.col("canon_id")))
+
+    reason = (
+        F.when(F.col("too_small"), F.lit("size"))
+        .when(F.col("bad_aspect"), F.lit("aspect"))
+        .when(F.col("bad_caption"), F.lit("caption"))
+        .when(F.col("duplicate"), F.lit("duplicate"))
+        .otherwise(F.lit("keep")))
+    return (j.withColumn("reason", reason)
+            .withColumn("keep", F.col("reason") == "keep")
+            .select("image_id", "w", "h", "cap_tokens", "too_small",
+                    "bad_aspect", "bad_caption", "duplicate", "keep",
+                    "reason"))
+
+
+def image_shard_pack(imgs: DataFrame, shard_bytes: int = 1 << 18,
+                     nbytes: Column | None = None,
+                     small_count: int | None = None) -> DataFrame:
+    """Shard assignment over the image_id-ordered byte stream.
+
+    ``nbytes`` defaults to ``length(bytes)``; pass an expression when
+    the payload column is elsewhere (e.g. a pinned ``w*h*3 + header``
+    estimate so the scan never reads the blobs).  Output: (image_id,
+    nbytes, start_off, shard_id, offset_in_shard), all bigint.
+    """
+    nb = (F.length("bytes") if nbytes is None else nbytes).cast("long")
+    t = imgs.select("image_id", nb.alias("nbytes")) \
+        .where(F.col("nbytes") > 0)
+    c = with_global_cumsum(t, [F.col("image_id").asc()], "nbytes",
+                           "start_off", small_count)
+    shard = F.floor(F.col("start_off") / shard_bytes).cast("long")
+    return c.select(
+        "image_id", "nbytes", "start_off", shard.alias("shard_id"),
+        (F.col("start_off") - shard * shard_bytes).alias("offset_in_shard"))

@@ -1,0 +1,140 @@
+"""image_corpus_filter + image_shard_pack (image-payload pipeline).
+
+Covers: pinned reason precedence, planted-duplicate detection, the
+bytes-column-never-read promise (ReadSchema audit), shard-window
+assignment invariants, and parallelism invariance of the prefix-sum
+packing (the two-level cumsum must be bit-identical at any partitioning).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gigaspark.operators.image_pipeline import (image_corpus_filter,
+                                                image_shard_pack)
+
+
+def _imgs(spark, rows):
+    return spark.createDataFrame(
+        rows, "image_id string, w int, h int, caption string, phash long")
+
+
+def test_reason_precedence_pinned(spark):
+    rows = [
+        # too small AND bad aspect AND bad caption -> 'size' wins
+        ("a", 16, 512, "x", 1),
+        # aspect 4.1 > 4.0 -> 'aspect'
+        ("b", 512, 123, "three token caption", 2),
+        # caption too short (2 < 3) -> 'caption'
+        ("c", 128, 128, "two tokens", 3),
+        # duplicate of e (same phash, higher id) -> 'duplicate'
+        ("e", 128, 128, "a good caption here", 4),
+        ("f", 128, 128, "another good caption", 4),
+        # clean keep
+        ("g", 256, 128, "perfectly fine caption text", 5),
+    ]
+    out = {r["image_id"]: r for r in
+           image_corpus_filter(_imgs(spark, rows)).collect()}
+    assert out["a"]["reason"] == "size" and not out["a"]["keep"]
+    assert out["b"]["reason"] == "aspect"
+    assert out["c"]["reason"] == "caption"
+    assert out["e"]["reason"] == "keep"      # canonical winner (min id)
+    assert out["f"]["reason"] == "duplicate" and out["f"]["duplicate"]
+    assert out["g"]["reason"] == "keep" and out["g"]["keep"]
+
+
+def test_caption_token_rule(spark):
+    rows = [("a", 128, 128, "", 1),
+            ("b", 128, 128, "   ", 2),
+            ("c", 128, 128, "one  two\tthree", 3)]
+    out = {r["image_id"]: r for r in
+           image_corpus_filter(_imgs(spark, rows)).collect()}
+    assert out["a"]["cap_tokens"] == 0 and out["a"]["reason"] == "caption"
+    assert out["b"]["cap_tokens"] == 0
+    assert out["c"]["cap_tokens"] == 3 and out["c"]["reason"] == "keep"
+
+
+def test_filter_never_reads_bytes(spark):
+    """The decision is metadata-only: the optimized plan's parquet scan
+    must not include the (100 TB) bytes column."""
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "imgs")
+        _imgs(spark, [("a", 128, 128, "a decent caption text", 7)]) \
+            .withColumn("bytes", F.lit(b"\x00" * 64)) \
+            .write.parquet(p)
+        df = image_corpus_filter(spark.read.parquet(p))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bytes" not in plan, plan
+
+
+def test_shard_pack_windows(spark):
+    rows = [(f"i{k:02d}", 1, 1, "c", k) for k in range(10)]
+    imgs = _imgs(spark, rows).withColumn("bytes", F.lit(b"x" * 100))
+    out = image_shard_pack(imgs, shard_bytes=250).orderBy("image_id") \
+        .collect()
+    # stream offsets 0,100,...,900; windows of 250 bytes
+    assert [r["start_off"] for r in out] == [100 * k for k in range(10)]
+    assert [r["shard_id"] for r in out] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    assert [r["offset_in_shard"] for r in out] == \
+        [0, 100, 200, 50, 150, 0, 100, 200, 50, 150]
+
+
+def test_shard_pack_oversized_sample(spark):
+    """A sample larger than the budget owns several windows' span; the
+    next sample lands in the window containing ITS start (pinned rule)."""
+    imgs = spark.createDataFrame(
+        [("a", b"x" * 900), ("b", b"y" * 100)],
+        "image_id string, bytes binary")
+    out = {r["image_id"]: r for r in
+           image_shard_pack(imgs, shard_bytes=250).collect()}
+    assert out["a"]["shard_id"] == 0
+    assert out["b"]["shard_id"] == 3 and out["b"]["offset_in_shard"] == 150
+
+
+def test_shard_pack_parallelism_invariant(spark):
+    rows = [(f"i{k:04d}", 1, 1, "c", k) for k in range(500)]
+    imgs = _imgs(spark, rows).withColumn(
+        "bytes", F.repeat(F.lit("x"), (F.col("phash") % 97 + 1).cast("int"))
+        .cast("binary"))
+    a = image_shard_pack(imgs, shard_bytes=1000).collect()
+    b = image_shard_pack(imgs.repartition(13), shard_bytes=1000,
+                         small_count=None).collect()
+    c = image_shard_pack(imgs.coalesce(1), shard_bytes=1000).collect()
+    key = lambda r: r["image_id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key) == sorted(c, key=key)
+
+
+def test_filter_feeds_pack_composition(spark):
+    """Kept set -> shard pack end to end with a metadata nbytes expr."""
+    rows = [("a", 16, 16, "tiny dropped", 1),
+            ("b", 128, 128, "kept caption number one", 2),
+            ("c", 128, 128, "kept caption number two", 3)]
+    kept = image_corpus_filter(_imgs(spark, rows)).where("keep")
+    nb = F.col("w").cast("long") * F.col("h") * 3 + 64
+    out = image_shard_pack(kept, shard_bytes=1 << 18, nbytes=nb) \
+        .orderBy("image_id").collect()
+    assert [r["image_id"] for r in out] == ["b", "c"]
+    assert out[0]["nbytes"] == 128 * 128 * 3 + 64
+    assert out[1]["start_off"] == out[0]["nbytes"]
+
+
+def test_synth_images_table_roundtrip(spark, tmp_path):
+    """The operators run over the REAL synthesized images table (binary
+    blobs present) — filter decisions and pack offsets are consistent."""
+    from gigaspark.synth import SynthParams, gen_images
+
+    gen_images(str(tmp_path), SynthParams(n_images=60))
+    imgs = spark.read.parquet(str(tmp_path / "images.parquet"))
+    dec = image_corpus_filter(imgs, min_dim=32, max_aspect_x10=40,
+                              min_cap_tokens=3, max_cap_tokens=12)
+    assert dec.count() == 60
+    # synth dims are 32..128 so nothing is too_small/bad_aspect
+    assert dec.where("too_small or bad_aspect").count() == 0
+    packed = image_shard_pack(imgs, shard_bytes=1 << 16)
+    rows = packed.orderBy("start_off").collect()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["start_off"] == prev["start_off"] + prev["nbytes"]
