@@ -35,7 +35,7 @@ single-task window, one range shuffle, O(P) driver state.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from gigaspark.operators.ordering import with_global_cumsum
 
@@ -72,10 +72,13 @@ def image_corpus_filter(imgs: DataFrame, min_dim: int = 32,
         (F.col("cap_tokens") < min_cap_tokens)
         | (F.col("cap_tokens") > max_cap_tokens))
 
-    # canonical-winner exact-phash dedup: min image_id per phash group
-    canon = base.groupBy("phash").agg(F.min("image_id").alias("canon_id"))
-    j = (base.join(canon, "phash")
-         .withColumn("duplicate", F.col("image_id") != F.col("canon_id")))
+    # canonical-winner exact-phash dedup: min image_id per phash group.
+    # A whole-partition window-min (no ORDER BY -> no sort, just one
+    # exchange on the uniform phash key) beats groupBy+join-back, which
+    # would re-scan the (100 TB) source for the agg branch.
+    wmin = Window.partitionBy("phash")
+    j = base.withColumn(
+        "duplicate", F.col("image_id") != F.min("image_id").over(wmin))
 
     reason = (
         F.when(F.col("too_small"), F.lit("size"))
