@@ -4195,6 +4195,60 @@ FROM c
 """
 
 
+def q_image_dedup_keep(spark, sf_dir):
+    """The image-dedup ACTION (LAION keep-one-per-group): cross-modal
+    near-dup pairs (phash hamming ≤4 via lossless banded LSH ∪ verbatim
+    caption equality) → connected components (min-label propagation) →
+    keep the highest-resolution member per cluster (argmax w*h, ties to
+    min image_id); singletons keep themselves.  Output (image_id,
+    cluster_id, keep) over the whole image universe."""
+    from gigaspark.operators.dedup import (connected_components,
+                                           image_caption_neardup)
+
+    imgs = _cache_slot("images_meta", _images_meta(spark, sf_dir))
+    pairs = image_caption_neardup(imgs, bits=60, n_bands=6, max_dist=4)
+    cc = connected_components(pairs).select(
+        F.col("id").alias("image_id"), F.col("label").alias("cluster_id"))
+    full = (imgs.select("image_id",
+                        (F.col("w").cast("long") * F.col("h")).alias("res"))
+            .join(cc, "image_id", "left")
+            .withColumn("cluster_id", F.coalesce("cluster_id", "image_id")))
+    br = full.groupBy("cluster_id").agg(F.max("res").alias("mr"))
+    keepers = (full.join(br, "cluster_id")
+               .where(F.col("res") == F.col("mr"))
+               .groupBy("cluster_id").agg(F.min("image_id").alias("keep_id")))
+    return (full.join(keepers, "cluster_id")
+            .select("image_id", "cluster_id",
+                    (F.col("image_id") == F.col("keep_id")).alias("keep")))
+
+
+SQL_IMAGE_DEDUP_KEEP = f"""
+WITH RECURSIVE {_SQL_IMAGES_META},
+pairs AS (
+  SELECT a.image_id AS a_id, b.image_id AS b_id
+  FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 4 OR a.caption = b.caption),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+reach(u, v) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+cc AS (SELECT u AS image_id, min(v) AS cluster_id FROM reach GROUP BY u),
+allm AS (
+  SELECT i.image_id, coalesce(cc.cluster_id, i.image_id) AS cluster_id,
+         (i.w::BIGINT * i.h::BIGINT) AS res
+  FROM imgs i LEFT JOIN cc ON cc.image_id = i.image_id),
+br AS (SELECT cluster_id, max(res) AS mr FROM allm GROUP BY cluster_id),
+keepers AS (
+  SELECT a.cluster_id, min(a.image_id) AS keep_id
+  FROM allm a JOIN br ON br.cluster_id = a.cluster_id AND a.res = br.mr
+  GROUP BY a.cluster_id)
+SELECT a.image_id, a.cluster_id, a.image_id = k.keep_id AS keep
+FROM allm a JOIN keepers k USING (cluster_id)
+"""
+
+
 def q_search_numeric_range(spark, sf_dir):
     """Gigablast numeric field operators gbmin:/gbmax:/gbsortby:
     (PosdbTable numeric termlists over JSON fields [U][M]): restrict to
@@ -4299,10 +4353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "image_filter_pipeline": q_image_filter,
         "image_shard_pack": q_image_shard_pack,
+        "image_dedup_keep": q_image_dedup_keep,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "caption_phash_neardup": q_caption_phash_neardup,
-        "simhash_neardup": q_simhash_neardup,
         "corpus_filter_pipeline": q_corpus_filter,
         "substring_dup_spans": q_substring_dups,
         "token_counts_unicode": q_token_counts_unicode,
@@ -4323,6 +4377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== verified by tools/check_oracle.py at sf0.01 + sf0.1) ======
         "search_querylang_trigram": q_querylang_trigram,
         "minhash_signatures": q_minhash_signatures,
+        "simhash_neardup": q_simhash_neardup,
         "search_phrase_topk": q_search_phrase,
         "contamination_ngram": q_contamination,
         "pq_train_codebooks": q_pq_train,
@@ -4475,6 +4530,7 @@ def oracle_sql() -> dict[str, str]:
         "caption_phash_neardup": SQL_CAPTION_PHASH,
         "image_filter_pipeline": SQL_IMAGE_FILTER,
         "image_shard_pack": SQL_IMAGE_SHARD_PACK,
+        "image_dedup_keep": SQL_IMAGE_DEDUP_KEEP,
         "search_numeric_range": SQL_SEARCH_NUMRANGE,
         "pagerank": _sql_pagerank(),
         "termlist_stats": SQL_TERMLIST_STATS,
