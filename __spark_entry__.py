@@ -4222,6 +4222,28 @@ def q_image_dedup_keep(spark, sf_dir):
                     (F.col("image_id") == F.col("keep_id")).alias("keep")))
 
 
+def q_image_shard_manifest(spark, sf_dir):
+    """Per-shard manifest the webdataset writer emits alongside the tar
+    shards: sample count, payload bytes, and the [first, last] image_id
+    range per shard (readers use the range for pruning).  One map-side-
+    combinable groupBy over the shard assignment — O(#shards) output."""
+    pk = q_image_shard_pack(spark, sf_dir)
+    return (pk.groupBy("shard_id")
+            .agg(F.count("*").alias("n_samples"),
+                 F.sum("nbytes").alias("payload_bytes"),
+                 F.min("image_id").alias("first_id"),
+                 F.max("image_id").alias("last_id")))
+
+
+SQL_IMAGE_SHARD_MANIFEST = f"""
+SELECT shard_id, count(*)::BIGINT AS n_samples,
+       sum(nbytes)::BIGINT AS payload_bytes,
+       min(image_id) AS first_id, max(image_id) AS last_id
+FROM ({SQL_IMAGE_SHARD_PACK}) p
+GROUP BY shard_id
+"""
+
+
 SQL_IMAGE_DEDUP_KEEP = f"""
 WITH RECURSIVE {_SQL_IMAGES_META},
 pairs AS (
@@ -4354,12 +4376,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_filter_pipeline": q_image_filter,
         "image_shard_pack": q_image_shard_pack,
         "image_dedup_keep": q_image_dedup_keep,
+        "image_shard_manifest": q_image_shard_manifest,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "caption_phash_neardup": q_caption_phash_neardup,
         "corpus_filter_pipeline": q_corpus_filter,
         "substring_dup_spans": q_substring_dups,
-        "token_counts_unicode": q_token_counts_unicode,
         # -- ANN ladder + training ------------------------------------- 39-45
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -4378,6 +4400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_querylang_trigram": q_querylang_trigram,
         "minhash_signatures": q_minhash_signatures,
         "simhash_neardup": q_simhash_neardup,
+        "token_counts_unicode": q_token_counts_unicode,
         "search_phrase_topk": q_search_phrase,
         "contamination_ngram": q_contamination,
         "pq_train_codebooks": q_pq_train,
@@ -4531,6 +4554,7 @@ def oracle_sql() -> dict[str, str]:
         "image_filter_pipeline": SQL_IMAGE_FILTER,
         "image_shard_pack": SQL_IMAGE_SHARD_PACK,
         "image_dedup_keep": SQL_IMAGE_DEDUP_KEEP,
+        "image_shard_manifest": SQL_IMAGE_SHARD_MANIFEST,
         "search_numeric_range": SQL_SEARCH_NUMRANGE,
         "pagerank": _sql_pagerank(),
         "termlist_stats": SQL_TERMLIST_STATS,

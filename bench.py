@@ -39,6 +39,7 @@ HEADLINE = [
     "search_querylang_topk", "search_proximity_topk",
     "corpus_filter_pipeline", "postings_reindex",
     "ivf_kmeans_centroids", "substring_dup_spans", "shard_balance",
+    "image_filter_pipeline", "image_shard_pack",
 ]
 
 

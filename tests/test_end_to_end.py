@@ -88,3 +88,44 @@ def test_crawl_index_search(spark, micro_dir):
         assert got == _brute(corpus, q, k=10), f"mismatch for {q!r}"
     # at least one query returned rows (the universe contains otters)
     assert _brute(corpus, '"caption of" otter OR harbor')
+
+
+def test_crawl_filter_pack_images(spark, micro_dir):
+    """The image-payload pipeline end to end: crawl → validated fetch →
+    corpus filter over the fetched images' metadata → webdataset shard
+    assignment.  Every fetched-and-kept image is packed exactly once on
+    a contiguous byte stream."""
+    from gigaspark.operators.image_pipeline import (image_corpus_filter,
+                                                    image_shard_pack)
+    from tests.conftest import load_fixtures as _lf
+
+    fx = _lf(spark, micro_dir)
+    sched = CrawlScheduler(spark, fx, CrawlConfig(validate_fetch=True))
+    sched.seed(spark.read.parquet(f"{micro_dir}/seeds.parquet"))
+    for _ in range(3):
+        sched.run_round()
+
+    fetched = sched.fetched_df().where(F.col("image_id").isNotNull())
+    assert fetched.where(~F.col("pixels_ok") | ~F.col("caption_ok")).count() == 0
+
+    imgs = (fetched.select("image_id").distinct()
+            .join(spark.read.parquet(f"{micro_dir}/images.parquet"),
+                  "image_id"))
+    n_imgs = imgs.count()
+    assert n_imgs > 10
+
+    dec = image_corpus_filter(imgs)
+    assert dec.count() == n_imgs
+    # synth dims are 32..128 and captions are 5-6 tokens: only the
+    # duplicate rule can drop anything here
+    assert dec.where("too_small or bad_aspect or bad_caption").count() == 0
+
+    kept = dec.where("keep")
+    nb = F.col("w").cast("long") * F.col("h").cast("long") * 3 + 64
+    packed = image_shard_pack(kept, shard_bytes=1 << 16, nbytes=nb)
+    rows = packed.orderBy("start_off").collect()
+    assert len(rows) == kept.count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["start_off"] == prev["start_off"] + prev["nbytes"]
+    # the kept stream crosses at least one shard boundary at this scale
+    assert len({r["shard_id"] for r in rows}) >= 2
