@@ -4271,6 +4271,96 @@ FROM allm a JOIN keepers k USING (cluster_id)
 """
 
 
+def q_image_align(spark, sf_dir):
+    """CLIP-score-style image↔caption alignment gate (the LAION recipe's
+    central filter, pinned stand-in for clip_sim >= 0.28): integer-
+    lattice cosine between the image embedding and the caption embedding,
+    floor(cos*10000+0.5) as an exact bigint, aligned = >= 2800.  Pure
+    per-row map — rides the scan, NO shuffle, NO UDF.  Pair universe is
+    deterministic from `embeddings`: img_vec = the stored vector;
+    cap_vec by md5 class — 0: identical (aligned), 1: reversed
+    (unaligned), 2: half-match (borderline ~0.5)."""
+    from gigaspark.functions.text import md5_int
+    from gigaspark.operators.image_pipeline import image_caption_align
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id").cast("string")
+    cls = md5_int(F.concat(F.lit("al:"), vid)) % 3
+    rev = F.reverse(F.col("embedding"))
+    cap = (F.when(cls == 0, F.col("embedding"))
+           .when(cls == 1, rev)
+           .otherwise(F.concat(F.slice(F.col("embedding"), 1, 32),
+                               F.slice(rev, 33, 32))))
+    pairs = emb.select(F.concat(F.lit("img"), vid).alias("image_id"),
+                       F.col("embedding").alias("img_vec"),
+                       cap.alias("cap_vec"))
+    return image_caption_align(pairs, threshold_x10k=2800)
+
+
+SQL_IMAGE_ALIGN = """
+WITH e AS (
+  SELECT 'img' || vec_id::VARCHAR AS image_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS iv,
+         (('0x' || substr(md5('al:' || vec_id::VARCHAR), 1, 8))::BIGINT % 3)
+           AS cls,
+         embedding
+  FROM embeddings),
+p AS (
+  SELECT image_id, iv,
+    list_transform(
+      CASE cls WHEN 0 THEN embedding
+               WHEN 1 THEN list_reverse(embedding)
+               ELSE list_concat(embedding[1:32], list_reverse(embedding)[33:64])
+      END, x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS cv
+  FROM e),
+s AS (
+  SELECT image_id,
+    floor(list_sum(list_transform(list_zip(iv, cv), z -> z[1] * z[2]))
+      / sqrt(list_sum(list_transform(iv, x -> x * x))::DOUBLE
+           * list_sum(list_transform(cv, x -> x * x))::DOUBLE)
+      * 10000 + 0.5)::BIGINT AS align_x10k
+  FROM p)
+SELECT image_id, align_x10k, align_x10k >= 2800 AS aligned FROM s
+"""
+
+
+def q_image_aspect_batches(spark, sf_dir):
+    """Aspect-ratio bucket batching (SDXL/NaViT dataloader prep): pinned
+    integer bucket from (w*10) div h, fixed-size batches of 16 within
+    each bucket in image_id order.  Buckets are few and huge, so the
+    per-bucket index comes from the two-level global sequence over the
+    total order (bucket, image_id) rebased by a broadcast 5-row
+    min-per-bucket join — never row_number() over a 5-partition window."""
+    from gigaspark.operators.image_pipeline import image_aspect_batches
+
+    return image_aspect_batches(_images_meta(spark, sf_dir), batch_size=16)
+
+
+SQL_IMAGE_ASPECT = f"""
+WITH {_SQL_IMAGES_META},
+t AS (
+  SELECT image_id, ((w * 10) // h)::BIGINT AS aspect_x10 FROM imgs),
+b AS (
+  SELECT image_id, aspect_x10,
+    CASE WHEN aspect_x10 <= 5 THEN 'tall'
+         WHEN aspect_x10 <= 8 THEN 'portrait'
+         WHEN aspect_x10 <= 12 THEN 'square'
+         WHEN aspect_x10 <= 20 THEN 'landscape'
+         ELSE 'wide' END AS bucket
+  FROM t),
+r AS (
+  SELECT image_id, bucket, aspect_x10,
+         (row_number() OVER (PARTITION BY bucket ORDER BY image_id) - 1)
+           ::BIGINT AS idx_in_bucket
+  FROM b)
+SELECT image_id, bucket, aspect_x10, idx_in_bucket,
+       (idx_in_bucket // 16)::BIGINT AS batch_no,
+       bucket || '/' || (idx_in_bucket // 16)::VARCHAR AS batch_id
+FROM r
+"""
+
+
 def q_search_numeric_range(spark, sf_dir):
     """Gigablast numeric field operators gbmin:/gbmax:/gbsortby:
     (PosdbTable numeric termlists over JSON fields [U][M]): restrict to
@@ -4457,6 +4547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "video_scene_cuts": q_video_scene_cuts,
+        "image_caption_align": q_image_align,
+        "image_aspect_batches": q_image_aspect_batches,
     }
 
 
@@ -4555,6 +4647,8 @@ def oracle_sql() -> dict[str, str]:
         "image_shard_pack": SQL_IMAGE_SHARD_PACK,
         "image_dedup_keep": SQL_IMAGE_DEDUP_KEEP,
         "image_shard_manifest": SQL_IMAGE_SHARD_MANIFEST,
+        "image_caption_align": SQL_IMAGE_ALIGN,
+        "image_aspect_batches": SQL_IMAGE_ASPECT,
         "search_numeric_range": SQL_SEARCH_NUMRANGE,
         "pagerank": _sql_pagerank(),
         "termlist_stats": SQL_TERMLIST_STATS,

@@ -2,7 +2,7 @@
 :mod:`gigaspark.operators.pipeline` — beyond-reference training-pipeline
 mandate; the north-rule input shape is the image+caption table).
 
-Two operators a 100 TB image+caption corpus run actually needs:
+Operators a 100 TB image+caption corpus run actually needs:
 
 ``image_corpus_filter`` — the LAION-style keep/drop decision as ONE
 declarative plan over the (image_id, w, h, caption, phash) metadata:
@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from gigaspark.operators.ordering import with_global_cumsum
+from gigaspark.operators.ordering import with_global_cumsum, with_global_seq
 
 
 def caption_tokens(c: Column) -> Column:
@@ -112,3 +112,85 @@ def image_shard_pack(imgs: DataFrame, shard_bytes: int = 1 << 18,
     return c.select(
         "image_id", "nbytes", "start_off", shard.alias("shard_id"),
         (F.col("start_off") - shard * shard_bytes).alias("offset_in_shard"))
+
+
+def image_caption_align(pairs: DataFrame,
+                        threshold_x10k: int = 2800) -> DataFrame:
+    """CLIP-score-style image↔caption alignment gate (the LAION recipe's
+    central filter: drop pairs whose image embedding and caption
+    embedding disagree — the pinned stand-in for ``clip_sim >= 0.28``).
+
+    Input: (image_id, img_vec: array<float>, cap_vec: array<float>).
+    Output: (image_id, align_x10k: bigint, aligned: boolean).
+
+    ``align_x10k = floor(cosine(q(img), q(cap)) * 10000 + 0.5)`` where
+    ``q`` is the repo's pinned embedding quantizer
+    (:func:`gigaspark.operators.similarity.quantize` — integer lattice,
+    so the dot/norm products are exact and the single final rounding is
+    bit-identical cross-engine).  ``aligned = align_x10k >=
+    threshold_x10k`` compares integers — no float threshold ambiguity.
+
+    Scale shape: a pure per-row map — the score rides the parquet scan
+    inside one projection, NO shuffle, NO UDF (``zip_with``/``aggregate``
+    are JVM higher-order functions).  At 100 TB this is the cheapest
+    possible plan: embarrassingly parallel, bytes column untouched.
+    """
+    from gigaspark.operators.similarity import int_dot, quantize
+
+    iv, cv = quantize(F.col("img_vec")), quantize(F.col("cap_vec"))
+    align = F.floor(
+        int_dot(iv, cv)
+        / F.sqrt(int_dot(iv, iv).cast("double")
+                 * int_dot(cv, cv).cast("double"))
+        * 10000 + 0.5).cast("long")
+    return pairs.select(
+        "image_id", align.alias("align_x10k"),
+        (align >= threshold_x10k).alias("aligned"))
+
+
+def image_aspect_batches(imgs: DataFrame, batch_size: int = 64,
+                         small_count: int | None = None) -> DataFrame:
+    """Aspect-ratio bucket batching — group images of similar aspect
+    into fixed-size training batches so a resize-to-bucket-shape
+    dataloader never mixes portrait and panorama in one batch (the
+    SDXL/NaViT-style bucketing step every image trainer runs).
+
+    Bucket rule is PINNED integer math: ``aspect_x10 = (w*10) div h``,
+    bucket = tall(≤5) / portrait(≤8) / square(≤12) / landscape(≤20) /
+    wide(>20).  Within a bucket, images take their ``image_id`` total
+    order; ``batch_no = idx_in_bucket div batch_size``.
+
+    Scale shape: buckets are FEW (5) and huge, so
+    ``row_number() OVER (PARTITION BY bucket)`` would put a fifth of the
+    corpus in one task.  Instead the global two-level sequence
+    (:func:`gigaspark.operators.ordering.with_global_seq`) runs over the
+    total order ``(bucket, image_id)`` — bucket-contiguous by
+    construction — and a broadcast 5-row min-seq-per-bucket join rebases
+    each bucket to 0.  One range shuffle + one tiny agg, parallelism-
+    invariant output.
+
+    Output: (image_id, bucket, aspect_x10, idx_in_bucket, batch_no,
+    batch_id) — batch_id = '<bucket>/<batch_no>'.
+    """
+    w, h = F.col("w").cast("long"), F.col("h").cast("long")
+    a10 = F.expr("(w * 10) div h").cast("long")
+    bucket = (
+        F.when(a10 <= 5, F.lit("tall"))
+        .when(a10 <= 8, F.lit("portrait"))
+        .when(a10 <= 12, F.lit("square"))
+        .when(a10 <= 20, F.lit("landscape"))
+        .otherwise(F.lit("wide")))
+    t = imgs.select("image_id", w.alias("w"), h.alias("h")) \
+        .withColumn("aspect_x10", a10) \
+        .withColumn("bucket", bucket) \
+        .select("image_id", "bucket", "aspect_x10")
+    s = with_global_seq(t, [F.col("bucket").asc(), F.col("image_id").asc()],
+                        "_seq", small_count)
+    base = s.groupBy("bucket").agg(F.min("_seq").alias("_b0"))
+    idx = (F.col("_seq") - F.col("_b0")).cast("long")
+    bno = F.floor(idx / batch_size).cast("long")
+    return (s.join(F.broadcast(base), "bucket")
+            .select("image_id", "bucket", "aspect_x10",
+                    idx.alias("idx_in_bucket"), bno.alias("batch_no"),
+                    F.concat_ws("/", F.col("bucket"),
+                                bno.cast("string")).alias("batch_id")))

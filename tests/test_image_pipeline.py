@@ -138,3 +138,82 @@ def test_synth_images_table_roundtrip(spark, tmp_path):
     rows = packed.orderBy("start_off").collect()
     for prev, cur in zip(rows, rows[1:]):
         assert cur["start_off"] == prev["start_off"] + prev["nbytes"]
+
+
+def test_caption_align_classes(spark):
+    """Identical vectors score 10000; a vector vs its reverse scores low;
+    a half-match lands near 5000 — the pinned 2800 gate separates them."""
+    import numpy as np
+
+    from gigaspark.operators.image_pipeline import image_caption_align
+
+    rng = np.random.RandomState(7)
+    v = rng.randn(64).astype("float32").tolist()
+    rows = [
+        ("same", v, v),
+        ("rev", v, v[::-1]),
+        ("half", v, v[:32] + v[::-1][32:]),
+    ]
+    out = {r["image_id"]: r for r in image_caption_align(
+        spark.createDataFrame(
+            rows, "image_id string, img_vec array<float>, "
+                  "cap_vec array<float>")).collect()}
+    assert out["same"]["align_x10k"] == 10000 and out["same"]["aligned"]
+    assert abs(out["rev"]["align_x10k"]) < 2800 and not out["rev"]["aligned"]
+    assert 3000 < out["half"]["align_x10k"] < 7000 and out["half"]["aligned"]
+
+
+def test_caption_align_no_shuffle(spark):
+    """The alignment gate is a pure per-row map: the physical plan must
+    contain no Exchange and no python UDF — it rides the scan."""
+    from gigaspark.operators.image_pipeline import image_caption_align
+
+    pairs = spark.createDataFrame(
+        [("a", [1.0] * 4, [1.0] * 4)],
+        "image_id string, img_vec array<float>, cap_vec array<float>")
+    plan = image_caption_align(pairs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_aspect_batches_rule_and_fill(spark):
+    """Pinned bucket boundaries; batches fill to batch_size in image_id
+    order within each bucket; only the last batch per bucket is short."""
+    from collections import Counter
+
+    from gigaspark.operators.image_pipeline import image_aspect_batches
+
+    rows = ([(f"sq{k:02d}", 100, 100, "c", k) for k in range(7)]
+            + [(f"wd{k:02d}", 512, 16, "c", k) for k in range(5)]
+            + [("tl00", 16, 512, "c", 99)])
+    out = image_aspect_batches(_imgs(spark, rows), batch_size=3).collect()
+    by_id = {r["image_id"]: r for r in out}
+    assert by_id["sq00"]["bucket"] == "square"     # a10 = 10
+    assert by_id["wd00"]["bucket"] == "wide"       # a10 = 320
+    assert by_id["tl00"]["bucket"] == "tall"       # a10 = 0
+    # within-bucket contiguous 0-based index in image_id order
+    sq = sorted((r for r in out if r["bucket"] == "square"),
+                key=lambda r: r["image_id"])
+    assert [r["idx_in_bucket"] for r in sq] == list(range(7))
+    assert [r["batch_no"] for r in sq] == [0, 0, 0, 1, 1, 1, 2]
+    # every non-final batch is exactly full
+    sizes = Counter((r["bucket"], r["batch_no"]) for r in out)
+    for bucket in {r["bucket"] for r in out}:
+        batches = sorted(b for (bk, b) in sizes if bk == bucket)
+        for b in batches[:-1]:
+            assert sizes[(bucket, b)] == 3
+
+
+def test_aspect_batches_parallelism_invariant(spark):
+    from gigaspark.operators.image_pipeline import image_aspect_batches
+
+    rows = [(f"i{k:04d}", 16 * (1 + k % 5), 16 * (1 + (k * 7) % 5),
+             "c", k) for k in range(400)]
+    imgs = _imgs(spark, rows)
+    key = lambda r: r["image_id"]  # noqa: E731
+    a = sorted(image_aspect_batches(imgs, 16).collect(), key=key)
+    b = sorted(image_aspect_batches(imgs.repartition(13), 16).collect(),
+               key=key)
+    c = sorted(image_aspect_batches(imgs.coalesce(1), 16).collect(), key=key)
+    assert a == b == c
