@@ -3614,6 +3614,59 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(images).orderBy("image_id")
 
 
+def q_image_exif(spark, sf_dir):
+    """EXIF provenance + orientation normalization over a planted
+    camera-style corpus: 48 JPEGs cycling through all 8 EXIF
+    orientations (each storing the pre-rotated frame of the same
+    display content family), 12 bare JPEGs (no EXIF), 6 with truncated
+    EXIF (corrupt-data channel).  One mapInPandas pass extracts
+    (orientation, make, taken_at) and the orientation-NORMALIZED
+    geometry + dhash — the hash near-dup detection must use on a real
+    camera corpus.  Rows-only driver check (binary IFD parse is not
+    SQL); the normalized-hash invariant is asserted in
+    tests/test_exif.py."""
+    import numpy as np
+
+    from gigaspark.functions.exif import build_exif_tiff, insert_app1
+    from gigaspark.functions.jpeg import encode_jpeg
+    from gigaspark.operators.multimodal import exif_metadata
+
+    # inverse transforms: stored = inv(o)(display) so that
+    # apply_orientation(stored, o) == display
+    inv = {1: lambda p: p, 2: lambda p: p[:, ::-1],
+           3: lambda p: p[::-1, ::-1], 4: lambda p: p[::-1],
+           5: lambda p: np.swapaxes(p, 0, 1),
+           6: lambda p: np.rot90(p, 1),
+           7: lambda p: np.swapaxes(p, 0, 1)[::-1, ::-1],
+           8: lambda p: np.rot90(p, 3)}
+    rows = []
+    for i in range(48):
+        rng = np.random.default_rng(7000 + i // 8)
+        blocks = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+        display = np.kron(blocks, np.ones((8, 8, 1), dtype=np.uint8))
+        o = i % 8 + 1
+        stored = np.ascontiguousarray(inv[o](display))
+        blob = insert_app1(
+            encode_jpeg(stored, quality=95),
+            build_exif_tiff(orientation=o, make=f"Vendor{i % 3}",
+                            datetime=f"2026:08:{i % 28 + 1:02d} 12:00:00"))
+        rows.append((f"ex{i:04d}", bytearray(blob), "jpg"))
+    for i in range(12):
+        rng = np.random.default_rng(7200 + i)
+        pix = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+        rows.append((f"bare{i:02d}", bytearray(encode_jpeg(pix, quality=95)),
+                     "jpg"))
+    for i in range(6):
+        rng = np.random.default_rng(7300 + i)
+        pix = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        blob = insert_app1(encode_jpeg(pix, quality=95),
+                           build_exif_tiff(orientation=3)[:14])
+        rows.append((f"bad{i:02d}", bytearray(blob), "jpg"))
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string")
+    return exif_metadata(images).orderBy("image_id")
+
+
 def q_image_neardup(spark, sf_dir):
     """Image near-dup detection end-to-end: decode → dHash64
     (functions/phash.py) → banded hamming-LSH pairs.  60 base images
@@ -4549,6 +4602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_scene_cuts": q_video_scene_cuts,
         "image_caption_align": q_image_align,
         "image_aspect_batches": q_image_aspect_batches,
+        "image_exif_orientation": q_image_exif,
     }
 
 

@@ -212,6 +212,72 @@ def image_phash(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(_run, PHASH_SCHEMA)
 
 
+EXIF_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("decode_ok", T.BooleanType()),
+    T.StructField("has_exif", T.BooleanType()),
+    T.StructField("orientation", T.IntegerType()),
+    T.StructField("make", T.StringType()),
+    T.StructField("model", T.StringType()),
+    T.StructField("taken_at", T.StringType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("norm_w", T.IntegerType()),
+    T.StructField("norm_h", T.IntegerType()),
+    T.StructField("norm_dhash64", T.LongType()),
+])
+
+
+def exif_metadata(images: DataFrame) -> DataFrame:
+    """(image_id, bytes, fmt) → EXIF provenance + orientation-normalized
+    geometry and perceptual hash (functions/exif.py).
+
+    The curation point: two phone photos of the same scene stored at
+    orientations 6 and 1 hash DIFFERENTLY raw but identically after
+    :func:`gigaspark.functions.exif.apply_orientation` — near-dup
+    detection over a real camera corpus must run on ``norm_dhash64``,
+    not the raw-pixel hash.  Blobs without EXIF report has_exif=false,
+    orientation 1, norm == raw.  Same Arrow-batched mapInPandas shape
+    and typed decode-error channel as every multimodal op here.
+    """
+    from gigaspark.functions.exif import apply_orientation, parse_exif
+    from gigaspark.functions.phash import dhash64
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in EXIF_SCHEMA.fieldNames()}
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                row = dict.fromkeys(out, None)
+                row["image_id"], row["fmt"] = iid, fmt
+                row["decode_ok"], row["has_exif"] = False, False
+                try:
+                    data = bytes(blob)
+                    meta = parse_exif(data)
+                    ori = 1
+                    if meta is not None:
+                        ori = meta["orientation"]
+                        row.update(has_exif=True, make=meta["make"],
+                                   model=meta["model"],
+                                   taken_at=meta["datetime"])
+                    row["orientation"] = ori
+                    pix = decode_stub(fmt, data)
+                    norm = apply_orientation(pix, ori)
+                    row.update(decode_ok=True,
+                               w=int(pix.shape[1]), h=int(pix.shape[0]),
+                               norm_w=int(norm.shape[1]),
+                               norm_h=int(norm.shape[0]),
+                               norm_dhash64=dhash64(norm))
+                except (NotImplementedError, ValueError, KeyError,
+                        IndexError, struct.error, zlib.error):
+                    pass
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(_run, EXIF_SCHEMA)
+
+
 AUDIO_SCHEMA = T.StructType([
     T.StructField("audio_id", T.StringType()),
     T.StructField("fmt", T.StringType()),

@@ -15,6 +15,7 @@ ROWS_ONLY = {
     "audio_features",
     "video_frames",
     "video_scene_cuts",
+    "image_exif_orientation",
 }
 
 
