@@ -4414,6 +4414,114 @@ FROM r
 """
 
 
+def q_image_curation_e2e(spark, sf_dir):
+    """The WHOLE image-curation pipeline as one composed plan — the
+    LAION recipe end to end: metadata filter (size/aspect/caption/
+    phash-dedup) → CLIP-style alignment gate (embedding cosine,
+    'unaligned' reason slots after the metadata reasons in the pinned
+    precedence) → aspect-ratio bucket batching AND webdataset shard
+    assignment over the surviving set.  Per image: the final
+    disposition plus its batch and shard placement (NULL when dropped).
+    Shuffle budget: one exchange for the phash dedup, one range sort
+    each for the batch seq and the pack cumsum; the align gate and all
+    rule columns ride scans; every small side broadcasts."""
+    from gigaspark.operators.image_pipeline import (image_aspect_batches,
+                                                    image_corpus_filter,
+                                                    image_shard_pack)
+
+    meta = _cache_slot("images_meta_e2e", _images_meta(spark, sf_dir))
+    dec = image_corpus_filter(meta)
+    align = q_image_align(spark, sf_dir).select("image_id", "aligned")
+    reason2 = (
+        F.when(F.col("reason") != "keep", F.col("reason"))
+        .when(~F.coalesce(F.col("aligned"), F.lit(True)), F.lit("unaligned"))
+        .otherwise(F.lit("keep")))
+    disp = (dec.join(align, "image_id", "left")
+            .select("image_id", reason2.alias("reason"))
+            .withColumn("keep", F.col("reason") == "keep"))
+    kept = meta.join(disp.where("keep").select("image_id"), "image_id") \
+        .select("image_id", "w", "h")
+    batches = image_aspect_batches(kept) \
+        .select("image_id", "bucket", "batch_id")
+    nb = F.col("w").cast("long") * F.col("h").cast("long") * 3 + 64
+    pack = image_shard_pack(kept, shard_bytes=1 << 18, nbytes=nb) \
+        .select("image_id", "shard_id")
+    return (disp.join(batches, "image_id", "left")
+            .join(pack, "image_id", "left")
+            .select("image_id", "reason", "keep", "bucket", "batch_id",
+                    "shard_id"))
+
+
+SQL_IMAGE_E2E = f"""
+WITH {_SQL_IMAGES_META},
+ev AS (
+  SELECT 'img' || vec_id::VARCHAR AS image_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS iv,
+         (('0x' || substr(md5('al:' || vec_id::VARCHAR), 1, 8))::BIGINT % 3)
+           AS cls,
+         embedding
+  FROM embeddings),
+ep AS (
+  SELECT image_id, iv,
+    list_transform(
+      CASE cls WHEN 0 THEN embedding
+               WHEN 1 THEN list_reverse(embedding)
+               ELSE list_concat(embedding[1:32], list_reverse(embedding)[33:64])
+      END, x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS cv
+  FROM ev),
+al AS (
+  SELECT image_id,
+    floor(list_sum(list_transform(list_zip(iv, cv), z -> z[1] * z[2]))
+      / sqrt(list_sum(list_transform(iv, x -> x * x))::DOUBLE
+           * list_sum(list_transform(cv, x -> x * x))::DOUBLE)
+      * 10000 + 0.5)::BIGINT >= 2800 AS aligned
+  FROM ep),
+disp AS (
+  SELECT d.image_id,
+    CASE WHEN d.reason <> 'keep' THEN d.reason
+         WHEN NOT coalesce(al.aligned, TRUE) THEN 'unaligned'
+         ELSE 'keep' END AS reason
+  FROM decision d LEFT JOIN al USING (image_id)),
+kept AS (
+  SELECT i.image_id, i.w, i.h
+  FROM imgs i JOIN disp USING (image_id) WHERE disp.reason = 'keep'),
+kb AS (
+  SELECT image_id, ((w * 10) // h)::BIGINT AS aspect_x10 FROM kept),
+kbb AS (
+  SELECT image_id,
+    CASE WHEN aspect_x10 <= 5 THEN 'tall'
+         WHEN aspect_x10 <= 8 THEN 'portrait'
+         WHEN aspect_x10 <= 12 THEN 'square'
+         WHEN aspect_x10 <= 20 THEN 'landscape'
+         ELSE 'wide' END AS bucket
+  FROM kb),
+kr AS (
+  SELECT image_id, bucket,
+         (row_number() OVER (PARTITION BY bucket ORDER BY image_id) - 1)
+           ::BIGINT AS idx_in_bucket
+  FROM kbb),
+kbatch AS (
+  SELECT image_id, bucket,
+         bucket || '/' || (idx_in_bucket // 64)::VARCHAR AS batch_id
+  FROM kr),
+kt AS (
+  SELECT image_id, (w::BIGINT * h::BIGINT * 3 + 64)::BIGINT AS nbytes
+  FROM kept),
+kc AS (
+  SELECT image_id,
+         (coalesce(sum(nbytes) OVER (ORDER BY image_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // 262144)::BIGINT AS shard_id
+  FROM kt WHERE nbytes > 0)
+SELECT disp.image_id, disp.reason, disp.reason = 'keep' AS keep,
+       kbatch.bucket, kbatch.batch_id, kc.shard_id
+FROM disp
+LEFT JOIN kbatch USING (image_id)
+LEFT JOIN kc USING (image_id)
+"""
+
+
 def q_search_numeric_range(spark, sf_dir):
     """Gigablast numeric field operators gbmin:/gbmax:/gbsortby:
     (PosdbTable numeric termlists over JSON fields [U][M]): restrict to
@@ -4603,6 +4711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_align": q_image_align,
         "image_aspect_batches": q_image_aspect_batches,
         "image_exif_orientation": q_image_exif,
+        "image_curation_e2e": q_image_curation_e2e,
     }
 
 
@@ -4703,6 +4812,7 @@ def oracle_sql() -> dict[str, str]:
         "image_shard_manifest": SQL_IMAGE_SHARD_MANIFEST,
         "image_caption_align": SQL_IMAGE_ALIGN,
         "image_aspect_batches": SQL_IMAGE_ASPECT,
+        "image_curation_e2e": SQL_IMAGE_E2E,
         "search_numeric_range": SQL_SEARCH_NUMRANGE,
         "pagerank": _sql_pagerank(),
         "termlist_stats": SQL_TERMLIST_STATS,
