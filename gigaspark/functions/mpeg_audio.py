@@ -55,12 +55,17 @@ PINNED DEVIATIONS (documented, swap-for-spec noted in place):
     for the ISO tables to be bit-true against real encoders), the
     count1 table is pinned to the 4-bit raw form (table-B shape), the
     scalefactor-band partition is pinned (``_L3_SFB_LONG``), and the
-    encoder always emits long blocks (block_type 0) with
-    main_data_begin=0 (no bit reservoir — spec-legal, every frame
-    self-contained).  Decoding streams that USE the reservoir, short/
-    mixed blocks, or joint stereo raises typed NotImplementedError
+    encoder always emits long blocks (block_type 0).  The BIT RESERVOIR
+    is real on both sides: the decoder maintains the 511-byte
+    main-data store and honors any main_data_begin; the encoder's
+    ``reservoir=True`` framing packs byte-aligned per-frame main data
+    back-to-back at one fixed bitrate with stuffing exactly at the
+    pointer's 9-bit cap.  MS JOINT STEREO is real on both sides
+    (mode 01 / mode_extension bit 1, (L±R)/√2 spectral matrixing).
+    Decoding short/mixed blocks raises typed NotImplementedError
     through the decode_ok=false channel.
-  * joint-stereo intensity coding is pinned out (modes supported:
+  * joint-stereo INTENSITY coding is pinned out (mode_extension bit 0
+    raises); L1/L2 joint stereo is pinned out (modes supported there:
     stereo, dual, single).
 """
 
@@ -548,14 +553,102 @@ def _l3_granule_bits(ix: np.ndarray) -> tuple[int, int, list]:
     return bv, sum(n for _, n in ops), ops
 
 
-def encode_layer3(samples: np.ndarray, sample_rate: int = 32000) -> bytes:
+def _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo):
+    """Per-frame granule data (granule-major, channel-minor dicts with
+    spec/gg/bv/p23/ops), MDCT + optional MS matrixing + initial
+    quantization; the caller runs the rate loop."""
+    gr_data = []
+    for g in range(2):
+        specs = []
+        for c in range(ch):
+            s0 = f0 + g * L3_GRANULE_LINES
+            sub = (_analysis(samples[s0:s0 + L3_GRANULE_LINES, c])
+                   * inv).T                # [32 sb, 18 t]
+            z = np.concatenate([prev[c], sub], axis=1)       # [32, 36]
+            prev[c] = sub
+            spec = ((z * _L3_WIN) @ _L3_COS / 9.0).reshape(-1)
+            specs.append(_l3_alias(spec, inverse=True))
+        if ms_stereo and ch == 2:
+            l, r_ = specs
+            specs = [(l + r_) / np.sqrt(2.0), (l - r_) / np.sqrt(2.0)]
+        for spec in specs:
+            peak = float(np.abs(spec).max())
+            if peak == 0.0:
+                gg = 210
+            else:
+                # max ix ≈ 4000 → gg; raised by the rate loop below
+                gg = int(np.clip(round(
+                    210 + 4 * np.log2(peak / 4000.0 ** (4.0 / 3.0))),
+                    0, 255))
+            bv, p23, ops = _l3_granule_bits(_l3_quantize(spec, gg))
+            gr_data.append({"spec": spec, "gg": gg, "bv": bv,
+                            "p23": p23, "ops": ops})
+    return gr_data
+
+
+def _l3_rate_loop(gr_data, sample_rate, side_bits):
+    """Raise global_gain until the frame fits the max bitrate AND each
+    granule fits part2_3_length's 12-bit field (spec-real cap: 4095)."""
+    budget_max = (_l3_frame_bytes(BITRATES_L3[14], sample_rate, 0) * 8
+                  - 32 - side_bits)
+    while (sum(d["p23"] for d in gr_data) > budget_max
+           or any(d["p23"] > 4095 for d in gr_data)):
+        over = [d for d in gr_data if d["p23"] > 4095]
+        big = max(over or gr_data, key=lambda d: d["p23"])
+        if big["gg"] >= 255:
+            raise ValueError("granule does not fit max Layer III rate")
+        big["gg"] = min(255, big["gg"] + 4)
+        big["bv"], big["p23"], big["ops"] = _l3_granule_bits(
+            _l3_quantize(big["spec"], big["gg"]))
+
+
+def _l3_write_header_side(w, br_idx, sr_idx, mode, mode_ext, ch, mdb,
+                          gr_data):
+    """32-bit header + spec-exact side info for one frame."""
+    w.write(0xFFF, 12); w.write(1, 1); w.write(0b01, 2); w.write(1, 1)
+    w.write(br_idx, 4); w.write(sr_idx, 2); w.write(0, 1); w.write(0, 1)
+    w.write(mode, 2); w.write(mode_ext, 2); w.write(0, 1); w.write(1, 1)
+    w.write(0, 2)
+    w.write(mdb, 9)                        # main_data_begin
+    w.write(0, 5 if ch == 1 else 3)        # private bits
+    for _c in range(ch):
+        w.write(0, 4)                      # scfsi: no sharing
+    for g in range(2):
+        for c in range(ch):
+            d = gr_data[g * ch + c]
+            w.write(d["p23"], 12)
+            w.write(d["bv"], 9)
+            w.write(d["gg"], 8)
+            w.write(0, 4)                  # scalefac_compress 0 → 0 bits
+            w.write(0, 1)                  # long blocks only
+            for _r in range(3):
+                w.write(1, 5)              # table_select: pinned table
+            w.write(7, 4); w.write(7, 3)   # region counts (parsed only)
+            w.write(0, 1); w.write(0, 1); w.write(0, 1)
+
+
+def encode_layer3(samples: np.ndarray, sample_rate: int = 32000,
+                  ms_stereo: bool = False,
+                  reservoir: bool = False) -> bytes:
     """Encode float PCM in [-1, 1] (shape [n] or [n, ch], ch ≤ 2) as
     MPEG-1 Layer III: spec side-info layout, long blocks, MDCT over the
     subband filterbank with TDAC overlap (output is therefore delayed
     by one granule = 576 samples vs the input), inverse alias
     butterflies, x^(3/4) quantization against a per-granule
-    global_gain rate loop, pinned pair-Huffman + count1 coding,
-    main_data_begin = 0 (self-contained frames)."""
+    global_gain rate loop, pinned pair-Huffman + count1 coding.
+
+    ``ms_stereo``: joint-stereo MS matrixing (mode 01, mode_extension
+    bit 1) — spectra carry (L±R)/√2 mid/side channels.
+
+    ``reservoir``: bit-reservoir framing — ONE fixed bitrate for the
+    whole stream (the smallest feasible), each frame's byte-aligned
+    main data placed back-to-back in the physical main-data stream so
+    a loud frame borrows slack from its predecessors;
+    ``main_data_begin`` points each frame at its data (≤511 bytes
+    back, the field's 9-bit cap), stuffing bytes inserted exactly when
+    the pointer would otherwise overflow.  Default keeps the
+    self-contained main_data_begin=0 framing with a per-frame bitrate.
+    """
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
@@ -563,92 +656,90 @@ def encode_layer3(samples: np.ndarray, sample_rate: int = 32000) -> bytes:
         raise ValueError("at most 2 channels")
     if sample_rate not in SAMPLE_RATES:
         raise ValueError(f"unsupported rate {sample_rate}")
+    if ms_stereo and ch != 2:
+        raise ValueError("ms_stereo needs 2 channels")
     pad = (-n) % L3_FRAME_SAMPLES
     if pad:
         samples = np.vstack([samples, np.zeros((pad, ch))])
     sr_idx = SAMPLE_RATES.index(sample_rate)
-    mode = 3 if ch == 1 else 0
+    mode = 3 if ch == 1 else (1 if ms_stereo else 0)
+    mode_ext = 2 if ms_stereo else 0       # bit1 = ms_stereo, bit0 = off
     side_bits = 136 if ch == 1 else 256
     inv = np.ones((18, SBANDS))
     inv[1::2, 1::2] = -1.0                 # odd subband, odd sample
 
     prev = np.zeros((ch, SBANDS, 18))
-    out = bytearray()
+    frames = []                            # (gr_data, main-data bytes)
     for f0 in range(0, samples.shape[0], L3_FRAME_SAMPLES):
-        gr_data = []                       # per (granule, ch): dict
-        for g in range(2):
-            for c in range(ch):
-                s0 = f0 + g * L3_GRANULE_LINES
-                sub = (_analysis(samples[s0:s0 + L3_GRANULE_LINES, c])
-                       * inv).T            # [32 sb, 18 t]
-                z = np.concatenate([prev[c], sub], axis=1)   # [32, 36]
-                prev[c] = sub
-                spec = ((z * _L3_WIN) @ _L3_COS / 9.0).reshape(-1)
-                spec = _l3_alias(spec, inverse=True)
-                peak = float(np.abs(spec).max())
-                if peak == 0.0:
-                    gg = 210
-                else:
-                    # max ix ≈ 4000 → gg; raised by the rate loop below
-                    gg = int(np.clip(round(
-                        210 + 4 * np.log2(peak / 4000.0 ** (4.0 / 3.0))),
-                        0, 255))
-                bv, p23, ops = _l3_granule_bits(_l3_quantize(spec, gg))
-                gr_data.append({"spec": spec, "gg": gg, "bv": bv,
-                                "p23": p23, "ops": ops})
-        # rate loop: the frame must fit the max bitrate AND each granule
-        # must fit part2_3_length's 12-bit field (spec-real cap: 4095)
-        budget_max = (_l3_frame_bytes(BITRATES_L3[14], sample_rate, 0) * 8
-                      - 32 - side_bits)
-        while (sum(d["p23"] for d in gr_data) > budget_max
-               or any(d["p23"] > 4095 for d in gr_data)):
-            over = [d for d in gr_data if d["p23"] > 4095]
-            big = max(over or gr_data, key=lambda d: d["p23"])
-            if big["gg"] >= 255:
-                raise ValueError("granule does not fit max Layer III rate")
-            big["gg"] = min(255, big["gg"] + 4)
-            big["bv"], big["p23"], big["ops"] = _l3_granule_bits(
-                _l3_quantize(big["spec"], big["gg"]))
-        need_bits = 32 + side_bits + sum(d["p23"] for d in gr_data)
-        br_idx = next(i for i in range(1, 15)
-                      if _l3_frame_bytes(BITRATES_L3[i], sample_rate, 0) * 8
-                      >= need_bits)
-        frame_len = _l3_frame_bytes(BITRATES_L3[br_idx], sample_rate, 0)
+        gr_data = _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo)
+        _l3_rate_loop(gr_data, sample_rate, side_bits)
+        frames.append(gr_data)
 
-        w = _BitWriter()
-        w.write(0xFFF, 12); w.write(1, 1); w.write(0b01, 2); w.write(1, 1)
-        w.write(br_idx, 4); w.write(sr_idx, 2); w.write(0, 1); w.write(0, 1)
-        w.write(mode, 2); w.write(0, 2); w.write(0, 1); w.write(1, 1)
-        w.write(0, 2)
-        # side info (spec-exact layout)
-        w.write(0, 9)                      # main_data_begin = 0
-        w.write(0, 5 if ch == 1 else 3)    # private bits
-        for _c in range(ch):
-            w.write(0, 4)                  # scfsi: no sharing
-        for g in range(2):
-            for c in range(ch):
-                d = gr_data[g * ch + c]
-                w.write(d["p23"], 12)
-                w.write(d["bv"], 9)
-                w.write(d["gg"], 8)
-                w.write(0, 4)              # scalefac_compress 0 → 0 bits
-                w.write(0, 1)              # long blocks only
-                for _r in range(3):
-                    w.write(1, 5)          # table_select: pinned table
-                w.write(7, 4); w.write(7, 3)  # region counts (parsed only)
-                w.write(0, 1); w.write(0, 1); w.write(0, 1)
-        for d in gr_data:                  # main data, gr0 ch0 … gr1 chN
+    out = bytearray()
+    if not reservoir:
+        for gr_data in frames:
+            need_bits = 32 + side_bits + sum(d["p23"] for d in gr_data)
+            br_idx = next(
+                i for i in range(1, 15)
+                if _l3_frame_bytes(BITRATES_L3[i], sample_rate, 0) * 8
+                >= need_bits)
+            frame_len = _l3_frame_bytes(BITRATES_L3[br_idx], sample_rate, 0)
+            w = _BitWriter()
+            _l3_write_header_side(w, br_idx, sr_idx, mode, mode_ext, ch, 0,
+                                  gr_data)
+            for d in gr_data:              # main data, gr0 ch0 … gr1 chN
+                for val, nb in d["ops"]:
+                    w.write(val, nb)
+            w.pad_to(frame_len)
+            out.extend(w.buf)
+        return bytes(out)
+
+    # reservoir framing: byte-align each frame's main data, then find
+    # the smallest FIXED bitrate whose per-frame capacity admits a
+    # back-to-back layout under the two reservoir constraints
+    # (data complete by its own frame's end; pointer ≤ 511 back)
+    datas = []
+    for gr_data in frames:
+        mw = _BitWriter()
+        for d in gr_data:
             for val, nb in d["ops"]:
-                w.write(val, nb)
-        w.pad_to(frame_len)
-        out.extend(w.buf)
-    return bytes(out)
+                mw.write(val, nb)
+        mw.pad_to((sum(d["p23"] for d in gr_data) + 7) // 8)
+        datas.append(bytes(mw.buf))
+    side_bytes = side_bits // 8
+    for br_idx in range(1, 15):
+        cap = _l3_frame_bytes(BITRATES_L3[br_idx], sample_rate, 0) \
+            - 4 - side_bytes
+        if cap <= 0:
+            continue
+        stream = bytearray()
+        mdbs = []
+        c_prev = 0                         # physical capacity before frame
+        ok = True
+        for dk in datas:
+            o_k = max(len(stream), c_prev - 511)
+            stream.extend(b"\x00" * (o_k - len(stream)))  # stuffing
+            mdbs.append(c_prev - o_k)
+            stream.extend(dk)
+            c_prev += cap
+            if len(stream) > c_prev:       # data not available in time
+                ok = False
+                break
+        if not ok:
+            continue
+        stream.extend(b"\x00" * (c_prev - len(stream)))
+        for k, gr_data in enumerate(frames):
+            w = _BitWriter()
+            _l3_write_header_side(w, br_idx, sr_idx, mode, mode_ext, ch,
+                                  mdbs[k], gr_data)
+            out.extend(w.buf)
+            out.extend(stream[k * cap:(k + 1) * cap])
+        return bytes(out)
+    raise ValueError("stream does not fit max Layer III rate")
 
 
-def _l3_read_side_info(r: _BitReader, ch: int) -> list[dict]:
-    if r.read(9):
-        raise NotImplementedError(
-            "Layer III bit reservoir pinned out (main_data_begin != 0)")
+def _l3_read_side_info(r: _BitReader, ch: int) -> tuple[int, list[dict]]:
+    mdb = r.read(9)                        # main_data_begin (reservoir)
     r.read(5 if ch == 1 else 3)
     scfsi = [[r.read(1) for _ in range(4)] for _ in range(ch)]
     grs = []
@@ -670,7 +761,7 @@ def _l3_read_side_info(r: _BitReader, ch: int) -> list[dict]:
             d["sfscale"] = r.read(1)
             d["c1table"] = r.read(1)
             grs.append(d)
-    return grs
+    return mdb, grs
 
 
 def _l3_decode_granule(r: _BitReader, d: dict, shared_sf) -> tuple[np.ndarray, list]:
@@ -746,9 +837,11 @@ def _l3_synth_granule(xr: np.ndarray, overlap: np.ndarray) -> np.ndarray:
 
 def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
     """Decode consecutive MPEG-1 Layer I, II or III frames →
-    (samples [n, ch] float in [-1, 1], sample_rate).  Raises ValueError
-    on garbage, NotImplementedError on joint stereo / L3 bit reservoir /
-    L3 short blocks (pinned out — see module header)."""
+    (samples [n, ch] float in [-1, 1], sample_rate).  Layer III decodes
+    the bit reservoir (main_data_begin, up to the 9-bit 511-byte reach)
+    and MS joint stereo.  Raises ValueError on garbage,
+    NotImplementedError on intensity stereo / L1-L2 joint stereo / L3
+    short blocks (pinned out — see module header)."""
     if len(data) < 4:
         raise ValueError("too short for an MPEG audio frame")
     pos = 0
@@ -756,6 +849,7 @@ def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
     rate = None
     nch = None
     l3_overlap = None                      # per-channel IMDCT OLA state
+    md_store = bytearray()                 # L3 bit-reservoir bytes
     while pos + 4 <= len(data):
         h = struct.unpack(">I", data[pos:pos + 4])[0]
         if h >> 20 != 0xFFF:
@@ -769,11 +863,17 @@ def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
         sr_idx = (h >> 10) & 3
         padding = (h >> 9) & 1
         mode = (h >> 6) & 3
+        mode_ext = (h >> 4) & 3
         protection = (h >> 16) & 1
         if br_idx in (0, 15) or sr_idx == 3:
             raise ValueError("free-format/invalid bitrate or rate")
+        ms = False
         if mode == 1:
-            raise NotImplementedError("joint stereo pinned out")
+            if layer != 0b01:
+                raise NotImplementedError("L1/L2 joint stereo pinned out")
+            if mode_ext & 1:
+                raise NotImplementedError("intensity stereo pinned out")
+            ms = bool(mode_ext & 2)
         fs = SAMPLE_RATES[sr_idx]
         ch = 1 if mode == 3 else 2
         if rate is None:
@@ -795,18 +895,41 @@ def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
         if layer == 0b01:
             if l3_overlap is None:
                 l3_overlap = np.zeros((ch, SBANDS, 18))
-            grs = _l3_read_side_info(r, ch)
+            mdb, grs = _l3_read_side_info(r, ch)
+            # main data sits after the (byte-aligned) side info; the
+            # granule stream begins mdb bytes back into the reservoir
+            md_frame = data[pos + r.pos // 8:pos + flen]
+            if mdb > len(md_store):
+                raise ValueError("Layer III reservoir underrun")
+            if mdb:
+                stream = bytes(md_store[len(md_store) - mdb:]) + md_frame
+            else:
+                stream = md_frame
+            mr = _BitReader(stream)
             shared_sf = [[0] * 21 for _ in range(ch)]
             gpcm = {0: [], 1: []}
-            for d in grs:
-                xr, sf = _l3_decode_granule(r, d, shared_sf)
-                if d["gr"] == 0:
-                    shared_sf[d["ch"]] = sf
-                gpcm[d["gr"]].append(
-                    _l3_synth_granule(xr, l3_overlap[d["ch"]]))
+            for g in range(2):
+                xrs, sfs_g = [], []
+                for c in range(ch):
+                    d = grs[g * ch + c]
+                    xr, sf = _l3_decode_granule(mr, d, shared_sf)
+                    xrs.append(xr)
+                    sfs_g.append(sf)
+                if g == 0:
+                    for c in range(ch):
+                        shared_sf[c] = sfs_g[c]
+                if ms:
+                    m, s_ = xrs
+                    xrs = [(m + s_) / np.sqrt(2.0),
+                           (m - s_) / np.sqrt(2.0)]
+                for c in range(ch):
+                    gpcm[g].append(
+                        _l3_synth_granule(xrs[c], l3_overlap[c]))
             pcm = np.vstack([np.stack(gpcm[0], axis=1),
                              np.stack(gpcm[1], axis=1)])
             chunks.append(pcm)
+            md_store.extend(md_frame)
+            del md_store[:-511]            # the pointer's 9-bit reach
             pos += flen
             continue
         if layer == 0b10:

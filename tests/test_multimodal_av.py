@@ -300,10 +300,11 @@ def test_mpeg1_rejects_garbage_and_pins_layers_out():
     blob[1] = blob[1] & ~0b110
     with pytest.raises(ValueError):
         decode_mpeg1(bytes(blob))
-    # L3 bit reservoir (main_data_begin != 0): pinned out, typed error
+    # L3 main_data_begin pointing past the (empty) reservoir: the
+    # reservoir is implemented now, so this is a typed DATA error
     l3 = bytearray(encode_layer3(np.zeros(1152), 32000))
     l3[4] = 0xFF                       # first 9 side-info bits
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_mpeg1(bytes(l3))
     # L3 short blocks (window_switching_flag): pinned out, typed error.
     # wsf is bit 34 of the mono side info (9+5+4+12+9+8+4 = 51 bits in
@@ -392,3 +393,96 @@ def test_mpeg1_layer3_roundtrip_and_mechanisms():
     assert o4.shape == (1152 * 2, 1)
     assert np.abs(o4[D + 576:-576, 0]
                   - nz[576:len(o4) - D - 576]).max() < 0.2
+
+
+def test_mpeg1_layer3_ms_stereo_roundtrip():
+    """MS joint stereo (mode 01, mode_extension bit 1): header bits
+    correct, (L±R)/√2 spectral matrixing inverts through decode, and
+    an intensity-flagged stream takes the typed pinned-out path."""
+    import numpy as np
+    import pytest
+
+    from gigaspark.functions.mpeg_audio import decode_mpeg1, encode_layer3
+
+    D = 576
+    t = np.arange(1152 * 4) / 32000.0
+    st = np.stack([0.6 * np.sin(2 * np.pi * 1000.0 * t),
+                   0.3 * np.sin(2 * np.pi * 440.0 * t)], axis=1)
+    enc = encode_layer3(st, 32000, ms_stereo=True)
+    assert (enc[3] >> 6) & 3 == 1 and (enc[3] >> 4) & 3 == 2
+    out, rate = decode_mpeg1(enc)
+    assert rate == 32000 and out.shape == (1152 * 4, 2)
+    assert np.abs(out[D + 576:-576]
+                  - st[576:len(out) - D - 576]).max() < 0.02
+    # strongly correlated channels: MS must not break either side
+    corr = np.stack([st[:, 0], st[:, 0] * 0.98], axis=1)
+    oc, _ = decode_mpeg1(encode_layer3(corr, 32000, ms_stereo=True))
+    assert np.abs(oc[D + 576:-576]
+                  - corr[576:len(oc) - D - 576]).max() < 0.02
+    # intensity bit (mode_extension bit 0) is pinned out, typed
+    bad = bytearray(enc)
+    bad[3] = (bad[3] & ~0x30) | 0x10
+    with pytest.raises(NotImplementedError):
+        decode_mpeg1(bytes(bad))
+    with pytest.raises(ValueError):
+        encode_layer3(st[:, 0], 32000, ms_stereo=True)  # needs 2 ch
+
+
+def test_mpeg1_layer3_bit_reservoir():
+    """reservoir=True framing: one fixed bitrate, main_data_begin
+    ACTUALLY borrows (quiet frames bank slack, the loud frame spends
+    it), the pointer respects its 9-bit/511-byte cap, and the decode
+    round-trips through the reservoir store."""
+    import struct
+
+    import numpy as np
+
+    from gigaspark.functions.mpeg_audio import (BITRATES_L3, decode_mpeg1,
+                                                encode_layer3)
+
+    D = 576
+    t = np.arange(1152) / 32000.0
+    quiet = 0.001 * np.sin(2 * np.pi * 440.0 * t)
+    loud = (0.9 * np.sin(2 * np.pi * 700.0 * t)
+            + 0.3 * np.sin(2 * np.pi * 1900.0 * t))
+    sig = np.concatenate([quiet, loud, quiet, 0.8 * loud])
+    enc = encode_layer3(sig, 32000, reservoir=True)
+
+    pos, hdrs = 0, []
+    while pos + 4 <= len(enc):
+        h = struct.unpack(">I", enc[pos:pos + 4])[0]
+        assert h >> 20 == 0xFFF
+        br = (h >> 12) & 0xF
+        mdb = ((enc[pos + 4] << 1) | (enc[pos + 5] >> 7)) & 0x1FF
+        hdrs.append((br, mdb))
+        pos += 144 * BITRATES_L3[br] * 1000 // 32000
+    assert len(hdrs) == 4
+    assert len({br for br, _ in hdrs}) == 1          # ONE fixed bitrate
+    assert hdrs[0][1] == 0                            # nothing to borrow yet
+    assert any(mdb > 0 for _, mdb in hdrs[1:])        # reservoir USED
+    assert all(mdb <= 511 for _, mdb in hdrs)
+
+    out, rate = decode_mpeg1(enc)
+    assert rate == 32000 and out.shape == (1152 * 4, 1)
+    # the reservoir only re-FRAMES the identical quantized granules, so
+    # its decode must equal the self-contained framing's decode EXACTLY
+    plain, _ = decode_mpeg1(encode_layer3(sig, 32000))
+    assert np.array_equal(out, plain)
+    # and that shared decode is a faithful round-trip (loud multi-tone
+    # at the 12-bit p23 cap — same bound as the noise case above)
+    assert np.abs(out[D + 576:-576, 0]
+                  - sig[576:len(out) - D - 576]).max() < 0.2
+
+    # reservoir + MS compose
+    st = np.stack([sig, sig * 0.5], axis=1)
+    o2, _ = decode_mpeg1(encode_layer3(st, 32000, ms_stereo=True,
+                                       reservoir=True))
+    p2, _ = decode_mpeg1(encode_layer3(st, 32000, ms_stereo=True))
+    assert np.array_equal(o2, p2)
+
+    # a stream STARTING with a borrowing frame underruns, typed
+    first_len = 144 * BITRATES_L3[hdrs[0][0]] * 1000 // 32000
+    borrower = next(i for i, (_, mdb) in enumerate(hdrs) if mdb > 0)
+    import pytest
+    with pytest.raises(ValueError):
+        decode_mpeg1(enc[first_len * borrower:])
