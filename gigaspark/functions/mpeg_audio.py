@@ -53,17 +53,23 @@ PINNED DEVIATIONS (documented, swap-for-spec noted in place):
     but the 32-table B.7 Huffman FAMILY is PINNED to one canonical
     code generated from a fixed weight law (``_l3_pair_table`` — swap
     for the ISO tables to be bit-true against real encoders), the
-    count1 table is pinned to the 4-bit raw form (table-B shape), the
-    scalefactor-band partition is pinned (``_L3_SFB_LONG``), and the
-    encoder always emits long blocks (block_type 0).  The BIT RESERVOIR
-    is real on both sides: the decoder maintains the 511-byte
-    main-data store and honors any main_data_begin; the encoder's
-    ``reservoir=True`` framing packs byte-aligned per-frame main data
-    back-to-back at one fixed bitrate with stuffing exactly at the
-    pointer's 9-bit cap.  MS JOINT STEREO is real on both sides
+    count1 table is pinned to the 4-bit raw form (table-B shape), and
+    the scalefactor-band partition is pinned (``_L3_SFB_LONG``).  The
+    BIT RESERVOIR is real on both sides: the decoder maintains the
+    511-byte main-data store and honors any main_data_begin; the
+    encoder's ``reservoir=True`` framing packs byte-aligned per-frame
+    main data back-to-back at one fixed bitrate with stuffing exactly
+    at the pointer's 9-bit cap.  MS JOINT STEREO is real on both sides
     (mode 01 / mode_extension bit 1, (L±R)/√2 spectral matrixing).
-    Decoding short/mixed blocks raises typed NotImplementedError
-    through the decode_ok=false channel.
+    SHORT BLOCKS (block_type 2) are real on both sides — wsf/
+    block_type/mixed/subblock_gain side-info layout, three
+    50%-overlapped 12-point MDCT windows per subband, no alias
+    reduction, the subblock-gain 2^(−2g) law — with the line layout
+    pinned to subband-major (window, line) order (swap for the ISO
+    short-sfb interleave to be bit-true) and the psychoacoustic window
+    SWITCH pinned out (``short_blocks=True`` forces the whole stream;
+    start/stop/mixed block types and short-block scalefactors with
+    scalefac_compress≠0 raise typed NotImplementedError).
   * joint-stereo INTENSITY coding is pinned out (mode_extension bit 0
     raises); L1/L2 joint stereo is pinned out (modes supported there:
     stereo, dual, single).
@@ -437,6 +443,11 @@ _L3_N = 36
 _L3_WIN = np.sin(np.pi / _L3_N * (np.arange(_L3_N) + 0.5))
 _L3_COS = np.cos(np.pi / 72.0 * np.outer(2 * np.arange(_L3_N) + 1 + 18,
                                          2 * np.arange(18) + 1))
+# SPEC-EXACT: 12-point short-block MDCT kernel + sine window (three
+# 50%-overlapped windows per granule; TDAC reconstructs at ×3).
+_L3_WIN12 = np.sin(np.pi / 12.0 * (np.arange(12) + 0.5))
+_L3_COS12 = np.cos(np.pi / 24.0 * np.outer(2 * np.arange(12) + 1 + 6,
+                                           2 * np.arange(6) + 1))
 _L3_LINBITS = 13                                       # ESC extra (pinned)
 
 
@@ -553,10 +564,18 @@ def _l3_granule_bits(ix: np.ndarray) -> tuple[int, int, list]:
     return bv, sum(n for _, n in ops), ops
 
 
-def _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo):
+def _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo,
+                     short_blocks=False):
     """Per-frame granule data (granule-major, channel-minor dicts with
     spec/gg/bv/p23/ops), MDCT + optional MS matrixing + initial
-    quantization; the caller runs the rate loop."""
+    quantization; the caller runs the rate loop.
+
+    ``short_blocks``: block_type-2 granules — three 50%-overlapped
+    12-point MDCTs per subband (6 lines each) instead of one 36-point,
+    NO alias reduction (spec: butterflies apply to long blocks only).
+    Line layout is PINNED to subband-major (window, line) order — swap
+    for the ISO short-sfb interleave ("reordering") to be bit-true
+    against real encoders."""
     gr_data = []
     for g in range(2):
         specs = []
@@ -566,8 +585,16 @@ def _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo):
                    * inv).T                # [32 sb, 18 t]
             z = np.concatenate([prev[c], sub], axis=1)       # [32, 36]
             prev[c] = sub
-            spec = ((z * _L3_WIN) @ _L3_COS / 9.0).reshape(-1)
-            specs.append(_l3_alias(spec, inverse=True))
+            if short_blocks:
+                parts = []
+                for w in range(3):
+                    zw = z[:, 6 + 6 * w:18 + 6 * w]           # [32, 12]
+                    parts.append((zw * _L3_WIN12) @ _L3_COS12 / 3.0)
+                spec = np.stack(parts, axis=1).reshape(-1)    # sb-major
+                specs.append(spec)
+            else:
+                spec = ((z * _L3_WIN) @ _L3_COS / 9.0).reshape(-1)
+                specs.append(_l3_alias(spec, inverse=True))
         if ms_stereo and ch == 2:
             l, r_ = specs
             specs = [(l + r_) / np.sqrt(2.0), (l - r_) / np.sqrt(2.0)]
@@ -582,7 +609,8 @@ def _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo):
                     0, 255))
             bv, p23, ops = _l3_granule_bits(_l3_quantize(spec, gg))
             gr_data.append({"spec": spec, "gg": gg, "bv": bv,
-                            "p23": p23, "ops": ops})
+                            "p23": p23, "ops": ops,
+                            "block": 2 if short_blocks else 0})
     return gr_data
 
 
@@ -620,16 +648,25 @@ def _l3_write_header_side(w, br_idx, sr_idx, mode, mode_ext, ch, mdb,
             w.write(d["bv"], 9)
             w.write(d["gg"], 8)
             w.write(0, 4)                  # scalefac_compress 0 → 0 bits
-            w.write(0, 1)                  # long blocks only
-            for _r in range(3):
-                w.write(1, 5)              # table_select: pinned table
-            w.write(7, 4); w.write(7, 3)   # region counts (parsed only)
+            if d.get("block") == 2:
+                w.write(1, 1)              # window_switching_flag
+                w.write(2, 2)              # block_type: short
+                w.write(0, 1)              # mixed_block_flag: off
+                for _r in range(2):
+                    w.write(1, 5)          # table_select ×2 (pinned)
+                for _w in range(3):
+                    w.write(0, 3)          # subblock_gain
+            else:
+                w.write(0, 1)              # long block
+                for _r in range(3):
+                    w.write(1, 5)          # table_select: pinned table
+                w.write(7, 4); w.write(7, 3)  # region counts (parsed only)
             w.write(0, 1); w.write(0, 1); w.write(0, 1)
 
 
 def encode_layer3(samples: np.ndarray, sample_rate: int = 32000,
-                  ms_stereo: bool = False,
-                  reservoir: bool = False) -> bytes:
+                  ms_stereo: bool = False, reservoir: bool = False,
+                  short_blocks: bool = False) -> bytes:
     """Encode float PCM in [-1, 1] (shape [n] or [n, ch], ch ≤ 2) as
     MPEG-1 Layer III: spec side-info layout, long blocks, MDCT over the
     subband filterbank with TDAC overlap (output is therefore delayed
@@ -648,6 +685,11 @@ def encode_layer3(samples: np.ndarray, sample_rate: int = 32000,
     back, the field's 9-bit cap), stuffing bytes inserted exactly when
     the pointer would otherwise overflow.  Default keeps the
     self-contained main_data_begin=0 framing with a per-frame bitrate.
+
+    ``short_blocks``: block_type-2 granules (three 12-point MDCT
+    windows per subband, no alias reduction).  Forced for the whole
+    stream — the spec's psychoacoustic attack-driven window SWITCH
+    (and its start/stop block types 1/3) is pinned out.
     """
     if samples.ndim == 1:
         samples = samples[:, None]
@@ -671,7 +713,8 @@ def encode_layer3(samples: np.ndarray, sample_rate: int = 32000,
     prev = np.zeros((ch, SBANDS, 18))
     frames = []                            # (gr_data, main-data bytes)
     for f0 in range(0, samples.shape[0], L3_FRAME_SAMPLES):
-        gr_data = _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo)
+        gr_data = _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo,
+                                   short_blocks)
         _l3_rate_loop(gr_data, sample_rate, side_bits)
         frames.append(gr_data)
 
@@ -752,11 +795,19 @@ def _l3_read_side_info(r: _BitReader, ch: int) -> tuple[int, list[dict]]:
                 raise ValueError("big_values out of range")
             d["gg"] = r.read(8)
             d["scomp"] = r.read(4)
-            if r.read(1):
-                raise NotImplementedError(
-                    "Layer III short/mixed blocks pinned out")
-            d["tables"] = [r.read(5) for _ in range(3)]
-            r.read(4); r.read(3)           # region counts (pinned family)
+            if r.read(1):                  # window_switching_flag
+                bt = r.read(2)
+                mixed = r.read(1)
+                if bt != 2 or mixed:
+                    raise NotImplementedError(
+                        "Layer III start/stop/mixed blocks pinned out")
+                d["block"] = 2
+                d["tables"] = [r.read(5) for _ in range(2)]
+                d["sbg"] = [r.read(3) for _ in range(3)]
+            else:
+                d["block"] = 0
+                d["tables"] = [r.read(5) for _ in range(3)]
+                r.read(4); r.read(3)       # region counts (pinned family)
             d["preflag"] = r.read(1)
             d["sfscale"] = r.read(1)
             d["c1table"] = r.read(1)
@@ -768,14 +819,23 @@ def _l3_decode_granule(r: _BitReader, d: dict, shared_sf) -> tuple[np.ndarray, l
     start = r.pos
     slen1, slen2 = _L3_SLEN[d["scomp"]]
     sf = [0] * 21
-    # spec scfsi groups over long sfbs: 0-5, 6-10, 11-15, 16-20
-    groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2)]
-    for gi, (lo, hi, slen) in enumerate(groups):
-        if d["gr"] == 1 and d["scfsi"][gi]:
-            sf[lo:hi] = shared_sf[d["ch"]][lo:hi]
-        elif slen:
-            for b in range(lo, hi):
-                sf[b] = r.read(slen)
+    if d.get("block") == 2:
+        # short blocks: scfsi is invalid (spec) and the short-sfb
+        # scalefactor partition is pinned out — zero-bit scalefactors
+        # (scalefac_compress 0) decode; anything else is typed out
+        if slen1 or slen2:
+            raise NotImplementedError(
+                "short-block scalefactors pinned out (scomp != 0)")
+    else:
+        # spec scfsi groups over long sfbs: 0-5, 6-10, 11-15, 16-20
+        groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2),
+                  (16, 21, slen2)]
+        for gi, (lo, hi, slen) in enumerate(groups):
+            if d["gr"] == 1 and d["scfsi"][gi]:
+                sf[lo:hi] = shared_sf[d["ch"]][lo:hi]
+            elif slen:
+                for b in range(lo, hi):
+                    sf[b] = r.read(slen)
     ix = np.zeros(L3_GRANULE_LINES, np.int64)
     for i in range(d["bv"]):
         node = _L3_TREE
@@ -808,7 +868,14 @@ def _l3_decode_granule(r: _BitReader, d: dict, shared_sf) -> tuple[np.ndarray, l
     # requantize: x^(4/3) law with global gain + scalefactor multipliers
     step = 2.0 ** ((d["gg"] - 210) / 4.0)
     xr = np.sign(ix) * np.abs(ix).astype(np.float64) ** (4.0 / 3.0) * step
-    if any(sf) or d["preflag"]:
+    if d.get("block") == 2:
+        sbg = d.get("sbg", [0, 0, 0])
+        if any(sbg):
+            # spec subblock gain: 2^(-2·gain) per short window; line
+            # layout pinned sb-major (window, line)
+            wmult = np.array([2.0 ** (-2.0 * g) for g in sbg])
+            xr *= np.tile(np.repeat(wmult, 6), SBANDS)
+    elif any(sf) or d["preflag"]:
         mult = np.ones(L3_GRANULE_LINES)
         pos = 0
         for b, width in enumerate(_L3_SFB_LONG):
@@ -821,13 +888,24 @@ def _l3_decode_granule(r: _BitReader, d: dict, shared_sf) -> tuple[np.ndarray, l
     return xr, sf
 
 
-def _l3_synth_granule(xr: np.ndarray, overlap: np.ndarray) -> np.ndarray:
-    """Requantized lines → 576 PCM: alias reduction, per-subband
-    18-point IMDCT + sine window + overlap-add (state in ``overlap``
+def _l3_synth_granule(xr: np.ndarray, overlap: np.ndarray,
+                      short: bool = False) -> np.ndarray:
+    """Requantized lines → 576 PCM: alias reduction (long blocks only),
+    per-subband IMDCT + sine window + overlap-add (state in ``overlap``
     [32, 18], updated in place), odd-subband frequency inversion,
-    polyphase synthesis."""
-    lines = _l3_alias(xr).reshape(SBANDS, 18)
-    y = np.einsum("nk,sk->sn", _L3_COS, lines) * _L3_WIN   # [32, 36]
+    polyphase synthesis.  Short granules run three 12-point IMDCTs per
+    subband into the zero-padded 36-sample window frame (spec short
+    composition: windows at offsets 6/12/18)."""
+    if short:
+        lines = xr.reshape(SBANDS, 3, 6)                   # sb, window, k
+        y = np.zeros((SBANDS, 36))
+        for w in range(3):
+            seg = np.einsum("nk,sk->sn", _L3_COS12, lines[:, w, :]) \
+                * _L3_WIN12                                 # [32, 12]
+            y[:, 6 + 6 * w:18 + 6 * w] += seg
+    else:
+        lines = _l3_alias(xr).reshape(SBANDS, 18)
+        y = np.einsum("nk,sk->sn", _L3_COS, lines) * _L3_WIN   # [32, 36]
     block = y[:, :18] + overlap
     overlap[:] = y[:, 18:]
     sub = block.T.copy()                                   # [18 t, 32 sb]
@@ -923,8 +1001,9 @@ def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
                     xrs = [(m + s_) / np.sqrt(2.0),
                            (m - s_) / np.sqrt(2.0)]
                 for c in range(ch):
-                    gpcm[g].append(
-                        _l3_synth_granule(xrs[c], l3_overlap[c]))
+                    gpcm[g].append(_l3_synth_granule(
+                        xrs[c], l3_overlap[c],
+                        short=grs[g * ch + c].get("block") == 2))
             pcm = np.vstack([np.stack(gpcm[0], axis=1),
                              np.stack(gpcm[1], axis=1)])
             chunks.append(pcm)

@@ -80,7 +80,15 @@ def test_audio_decoders_fuzz():
                 32000), decode_mpeg1),
             ("mp3-l3", lambda: encode_layer3(
                 np.sin(2 * np.pi * 440 * (np.arange(1152) / 32000)) * 0.5,
-                32000), decode_mpeg1)):
+                32000), decode_mpeg1),
+            ("mp3-l3-short-res", lambda: encode_layer3(
+                np.sin(2 * np.pi * 440 * (np.arange(2304) / 32000)) * 0.5,
+                32000, short_blocks=True, reservoir=True), decode_mpeg1),
+            ("mp3-l3-ms", lambda: encode_layer3(
+                np.stack([np.sin(2 * np.pi * f *
+                                 (np.arange(1152) / 32000)) * 0.4
+                          for f in (440, 660)], axis=1),
+                32000, ms_stereo=True), decode_mpeg1)):
         blob = enc()
         rng = np.random.default_rng(len(name))
         for cut in (0, 4, 20, len(blob) // 2, len(blob) - 1):

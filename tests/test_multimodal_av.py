@@ -486,3 +486,66 @@ def test_mpeg1_layer3_bit_reservoir():
     import pytest
     with pytest.raises(ValueError):
         decode_mpeg1(enc[first_len * borrower:])
+
+
+def test_mpeg1_layer3_short_blocks():
+    """block_type-2 granules: wsf/block_type/subblock_gain side-info
+    layout, three 12-point MDCT windows per subband (no alias
+    reduction), pinned sb-major line layout — round-trips through the
+    same decode entry and composes with MS + reservoir; start/stop
+    block types stay pinned out; subblock_gain scales its window."""
+    import numpy as np
+    import pytest
+
+    from gigaspark.functions.mpeg_audio import decode_mpeg1, encode_layer3
+
+    D = 576
+    t = np.arange(1152 * 4) / 32000.0
+    sig = 0.6 * np.sin(2 * np.pi * 1000.0 * t)
+    enc = encode_layer3(sig, 32000, short_blocks=True)
+    out, rate = decode_mpeg1(enc)
+    assert rate == 32000 and out.shape == (1152 * 4, 1)
+    assert np.abs(out[D + 576:-576, 0]
+                  - sig[576:len(out) - D - 576]).max() < 2e-3
+
+    st = np.stack([sig, 0.3 * np.sin(2 * np.pi * 440.0 * t)], axis=1)
+    o2, _ = decode_mpeg1(encode_layer3(st, 32000, ms_stereo=True,
+                                       short_blocks=True))
+    assert np.abs(o2[D + 576:-576]
+                  - st[576:len(o2) - D - 576]).max() < 0.05
+
+    # reservoir re-framing must not change the decode (same granules)
+    a, _ = decode_mpeg1(encode_layer3(sig, 32000, short_blocks=True,
+                                      reservoir=True))
+    b, _ = decode_mpeg1(encode_layer3(sig, 32000, short_blocks=True))
+    assert np.array_equal(a, b)
+
+    # the raison d'être: a click's energy stays confined in time under
+    # short windows vs smeared across the long 36-sample window span
+    click = np.zeros(1152 * 4)
+    click[2300] = 0.9
+    def spread(o):
+        e = np.abs(o[:, 0])
+        idx = np.nonzero(e > e.max() * 0.02)[0]
+        return int(idx[-1] - idx[0]) if len(idx) else 0
+    cs, _ = decode_mpeg1(encode_layer3(click, 32000, short_blocks=True))
+    cl, _ = decode_mpeg1(encode_layer3(click, 32000))
+    assert spread(cs) < spread(cl)
+
+    # block_type 1 (start window): pinned out, typed.  mono side info:
+    # wsf at bit 51, block_type at bits 52-53 of the first granule
+    bad = bytearray(enc)
+    byte, shift = 4 + 52 // 8, 52 % 8
+    bad[byte] = (bad[byte] & ~(0b11 << (6 - shift))) | (0b01 << (6 - shift))
+    with pytest.raises(NotImplementedError):
+        decode_mpeg1(bytes(bad))
+
+    # subblock_gain: window 2 of granule 0 scaled by 2^-2 (window 0 of
+    # the very first granule is all-zero MDCT history, so window 2 is
+    # the first with signal) — decode must apply the law; the change
+    # stays within the first frame's reach (granule + TDAC overlap)
+    sb = bytearray(enc)
+    sb[4 + 73 // 8] |= 1 << (7 - 73 % 8)  # sbg[2] LSB at side-info bit 73
+    og, _ = decode_mpeg1(bytes(sb))
+    assert not np.array_equal(og, out)
+    assert np.array_equal(og[1152 + D:], out[1152 + D:])
