@@ -4622,22 +4622,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_linkrank_topk": q_search_linkrank,
         "postings_reindex": q_postings_reindex,
         "t4_boolean_ops": q_t4_boolean_ops,
-        # -- dedup / corpus / image pipeline --------------------------- 29-38
+        # -- dedup / corpus / image pipeline --------------------------- 29-40
         "semantic_dedup": q_semantic_dedup,
         "image_filter_pipeline": q_image_filter,
         "image_shard_pack": q_image_shard_pack,
         "image_dedup_keep": q_image_dedup_keep,
         "image_shard_manifest": q_image_shard_manifest,
+        "image_caption_align": q_image_align,
+        "image_curation_e2e": q_image_curation_e2e,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "caption_phash_neardup": q_caption_phash_neardup,
         "corpus_filter_pipeline": q_corpus_filter,
         "substring_dup_spans": q_substring_dups,
-        # -- ANN ladder + training ------------------------------------- 39-45
+        # -- ANN ladder + training ------------------------------------- 41-45
+        # (ann_recall COMPOSES lsh/multiprobe/ivf/pq/ivfpq against the
+        # exact baseline, so the mid-ladder rungs sit below slot 50)
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf,
-        "ann_pq_topk": q_ann_pq,
         "ann_ivfpq_topk": q_ann_ivfpq,
         "ivf_kmeans_centroids": q_ivf_kmeans,
         "ann_recall": q_ann_recall,
@@ -4648,6 +4650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         # ==== slot 51+: scalar/diagnostic tier (driver-invisible; =======
         # ==== verified by tools/check_oracle.py at sf0.01 + sf0.1) ======
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ann_pq_topk": q_ann_pq,
         "search_querylang_trigram": q_querylang_trigram,
         "minhash_signatures": q_minhash_signatures,
         "simhash_neardup": q_simhash_neardup,
