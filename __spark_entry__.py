@@ -3464,6 +3464,69 @@ GROUP BY dst
 """
 
 
+def q_frontier_siterank_priority(spark, sf_dir):
+    """Siterank-driven spider priority (F1 ∘ J4): Gigablast derives a
+    URL's spider priority from the url-filter rules AND the site's
+    inlink rank (`SpiderRequest::m_siteNumInlinks` feeding
+    `getUrlFilterNum` [U][M]; SURVEY F1/J4).  Pinned composition:
+    eff_priority = f1_priority*8 + siterank(site) — base rules dominate,
+    inlink evidence breaks ties within a rule class — then the A1
+    winner window per host on (eff desc, orderdate asc, orderkey asc).
+
+    Scale shape: the siterank dim (O(#sites)) BROADCASTS onto the
+    frontier scan — the 10^10-row fact side never shuffles for the
+    join; the only exchange is the winner window's host partitioning,
+    same as A1.  site = orderkey-derived (pinned), so winners genuinely
+    move vs A1 within a host group."""
+    o = _t(spark, sf_dir, "orders").withColumn("priority", _f1_priority_col())
+    li = _t(spark, sf_dir, "lineitem")
+    ranks = (li.select(F.col("l_orderkey").alias("src"),
+                       F.col("l_partkey").alias("dst")).distinct()
+             .groupBy("dst").agg(F.count("*").alias("n"))
+             .select(F.col("dst").alias("site"),
+                     F.floor(F.log2(F.col("n") + 1)).cast("int")
+                     .alias("siterank")))
+    cand = (o.withColumn("site", F.col("o_orderkey") % 2000 + 1)
+            .join(F.broadcast(ranks), "site", "left")
+            .withColumn("eff_priority",
+                        (F.col("priority") * 8
+                         + F.coalesce(F.col("siterank"), F.lit(0)))
+                        .cast("long")))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("eff_priority").desc(), F.col("o_orderdate").asc(),
+        F.col("o_orderkey").asc())
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.col("o_orderkey").alias("winner_orderkey"),
+                    "eff_priority",
+                    F.coalesce(F.col("siterank"), F.lit(0)).cast("int")
+                    .alias("siterank")))
+
+
+SQL_FRONTIER_SITERANK = f"""
+WITH ranks AS (
+  SELECT dst AS site, floor(log2(count(*) + 1))::INT AS siterank
+  FROM (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem)
+  GROUP BY dst),
+cand AS (
+  SELECT o.*, {_F1_CASE_SQL} AS priority,
+         (o_orderkey % 2000 + 1) AS site
+  FROM orders o),
+eff AS (
+  SELECT c.o_custkey, c.o_orderkey, c.o_orderdate,
+         (c.priority * 8 + coalesce(r.siterank, 0))::BIGINT AS eff_priority,
+         coalesce(r.siterank, 0)::INT AS siterank
+  FROM cand c LEFT JOIN ranks r ON c.site = r.site)
+SELECT o_custkey AS custkey, o_orderkey AS winner_orderkey,
+       eff_priority, siterank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      ORDER BY eff_priority DESC, o_orderdate ASC, o_orderkey ASC) AS rn
+  FROM eff) WHERE rn = 1
+"""
+
+
 def q_pagerank(spark, sf_dir):
     """Integer-pinned PageRank (5 power iterations) over the same
     lineitem-derived link graph as `siterank_inlinks` — the scale-path
@@ -4652,6 +4715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== verified by tools/check_oracle.py at sf0.01 + sf0.1) ======
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_pq_topk": q_ann_pq,
+        "frontier_siterank_priority": q_frontier_siterank_priority,
         "search_querylang_trigram": q_querylang_trigram,
         "minhash_signatures": q_minhash_signatures,
         "simhash_neardup": q_simhash_neardup,
@@ -4815,6 +4879,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dedup_keep": SQL_IMAGE_DEDUP_KEEP,
         "image_shard_manifest": SQL_IMAGE_SHARD_MANIFEST,
         "image_caption_align": SQL_IMAGE_ALIGN,
+        "frontier_siterank_priority": SQL_FRONTIER_SITERANK,
         "image_aspect_batches": SQL_IMAGE_ASPECT,
         "image_curation_e2e": SQL_IMAGE_E2E,
         "search_numeric_range": SQL_SEARCH_NUMRANGE,
