@@ -15,12 +15,15 @@ audio (functions/wav.py → :func:`audio_features`), AVI/MJPEG video
 perceptual hashes, nearest-neighbour resize, lossless WebP/VP8L
 (functions/webp.py — canonical-Huffman + LZ77 + color-cache), and
 lossy-VP8 webp keyframes (functions/vp8.py — bool coder, token trees,
-WHT+DCT, intra prediction; probability tables repo-pinned).  What is
-STUBBED (no ffmpeg in this container): compressed video codecs
-(h264/vp9) plus the MPEG-audio corners pinned out in
-functions/mpeg_audio.py (L3 bit reservoir, short blocks, joint stereo)
-surface as decode_ok=false rows, clearly marked, with the dispatch and
-schema ready for a vendored codec.
+WHT+DCT, intra prediction; probability tables repo-pinned), MPEG-1
+audio Layers I–III incl. the L3 bit reservoir / short blocks / joint
+stereo (functions/mpeg_audio.py), H.264/AVC intra video
+(functions/h264.py — CAVLC levels, 4x4 transform + Hadamard DC, I_4x4
+and I_16x16 prediction; entropy-code index tables repo-pinned) and the
+MP4/ISO-BMFF container (functions/mp4.py — avcC + full sample-table
+demux).  What is STUBBED (no ffmpeg in this container): inter-frame
+video (P/B slices, vp9) surfaces as decode_ok=false rows, clearly
+marked, with the dispatch and schema ready for a vendored codec.
 
 Scale notes: blob batches dominate memory — ``mapInPandas`` streams
 Arrow batches so an executor never holds a partition of blobs at once;
@@ -385,7 +388,9 @@ def scene_cuts(videos: DataFrame, threshold: float = 24.0) -> DataFrame:
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from gigaspark.functions.avi import decode_avi_frames
         from gigaspark.functions.gif import decode_gif_frames
+        from gigaspark.functions.h264 import decode_h264
         from gigaspark.functions.jpeg import decode_jpeg
+        from gigaspark.functions.mp4 import demux_mp4
 
         for pdf in batches:
             out = {k: [] for k in CUT_SCHEMA.fieldNames()}
@@ -397,6 +402,10 @@ def scene_cuts(videos: DataFrame, threshold: float = 24.0) -> DataFrame:
                                for f in decode_avi_frames(bytes(blob))]
                     elif fmt == "gif-anim":
                         pix = decode_gif_frames(bytes(blob))
+                    elif fmt == "h264":
+                        pix = decode_h264(bytes(blob))
+                    elif fmt == "mp4-avc":
+                        pix = decode_h264(demux_mp4(bytes(blob)))
                     else:
                         raise NotImplementedError(f"no {fmt!r} codec")
                     for i in range(1, len(pix)):
@@ -430,16 +439,19 @@ FRAME_SCHEMA = T.StructType([
 
 def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling — REAL for fmt='avi-mjpg' (RIFF/AVI parse in
-    functions/avi.py; each sampled frame is a standalone baseline JPEG)
-    AND fmt='gif-anim' (the GIF89a animation model in functions/gif.py:
+    functions/avi.py; each sampled frame is a standalone baseline JPEG),
+    fmt='gif-anim' (the GIF89a animation model in functions/gif.py:
     sub-rectangle composition, transparency, disposal methods; sampled
-    canvas frames re-emitted as lossless PNG).  Either way the emitted
-    rows flow straight into the image ops above.
+    canvas frames re-emitted as lossless PNG), fmt='h264' (Annex B AVC
+    intra streams, functions/h264.py) and fmt='mp4-avc' (ISO-BMFF
+    demux in functions/mp4.py feeding the same AVC decoder).  Either
+    way the emitted rows flow straight into the image ops above.
 
     Input (video_id, bytes, fmt); output one row per sampled frame
     (every ``every_n``-th, always including frame 0).  Codecs this
-    container can't decode (mp4/h264/vp9 — no ffmpeg) and corrupt
-    blobs emit ONE decode_ok=false row instead of failing the task.
+    container can't decode (inter-frame P/B video, vp9 — no ffmpeg)
+    and corrupt blobs emit ONE decode_ok=false row instead of failing
+    the task.
     One blob never amplifies memory: frames are sliced views of the
     container bytes (or composed canvases), emitted per Arrow batch.
     """
@@ -447,6 +459,8 @@ def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from gigaspark.functions.avi import decode_avi_frames
         from gigaspark.functions.gif import decode_gif_frames
+        from gigaspark.functions.h264 import decode_h264
+        from gigaspark.functions.mp4 import demux_mp4
         from gigaspark.functions.png import encode_png
 
         for pdf in batches:
@@ -459,6 +473,12 @@ def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
                     elif fmt == "gif-anim":
                         frames = [encode_png(f)
                                   for f in decode_gif_frames(bytes(blob))]
+                        out_fmt = "png"
+                    elif fmt in ("h264", "mp4-avc"):
+                        annexb = demux_mp4(bytes(blob)) \
+                            if fmt == "mp4-avc" else bytes(blob)
+                        frames = [encode_png(f) for f in
+                                  decode_h264(annexb)]
                         out_fmt = "png"
                     else:
                         raise NotImplementedError(f"no {fmt!r} codec in sandbox")
