@@ -3819,6 +3819,13 @@ def q_video_scene_cuts(spark, sf_dir):
             for i in range(15)]
     rows.append(("rampvid", bytearray(encode_avi_mjpeg(ramp, fps=10)),
                  "avi-mjpg"))
+    # AVC clip with one hard cut at frame 3 (intra-only, mp4-wrapped)
+    from gigaspark.functions.h264 import encode_h264
+    from gigaspark.functions.mp4 import mux_mp4
+    avc = ([np.full((16, 32, 3), 50, dtype=np.uint8)] * 3
+           + [np.full((16, 32, 3), 210, dtype=np.uint8)] * 3)
+    rows.append(("avcvid", bytearray(mux_mp4(encode_h264(avc, qp=8),
+                                             32, 16)), "mp4-avc"))
     vids = spark.createDataFrame(
         rows, "video_id string, bytes binary, fmt string")
     return scene_cuts(vids, threshold=24.0).orderBy("video_id", "frame_idx")
@@ -3826,15 +3833,18 @@ def q_video_scene_cuts(spark, sf_dir):
 
 def q_video_frames(spark, sf_dir):
     """Video frame sampling over deterministically synthesized AVI/MJPEG
-    clips (RIFF container + the pure-numpy baseline-JPEG codec) AND
+    clips (RIFF container + the pure-numpy baseline-JPEG codec),
     animated GIFs (GIF89a animation model — delta rects, transparency,
-    disposal; frames re-emitted as lossless PNG): every 5th frame
-    becomes a standalone image row that downstream image ops consume
-    unchanged.  Rows-only driver check."""
+    disposal; frames re-emitted as lossless PNG) AND MP4/AVC clips
+    (ISO-BMFF demux + the pure-numpy H.264 intra decoder): every 5th
+    frame becomes a standalone image row that downstream image ops
+    consume unchanged.  Rows-only driver check."""
     import numpy as np
 
     from gigaspark.functions.avi import encode_avi_mjpeg
     from gigaspark.functions.gif import encode_gif_anim
+    from gigaspark.functions.h264 import encode_h264
+    from gigaspark.functions.mp4 import mux_mp4
     from gigaspark.operators.multimodal import extract_features, frame_sample
 
     rows = []
@@ -3858,9 +3868,19 @@ def q_video_frames(spark, sf_dir):
         rows.append((f"gif{v:02d}",
                      bytearray(encode_gif_anim(frames, optimize_rects=v % 2 == 1)),
                      "gif-anim"))
+    for v in range(3):   # MP4/AVC clips: gradient pans, intra-only
+        frames = []
+        for f in range(6 + v):
+            y, x = np.mgrid[0:16, 0:32]
+            pix = np.stack([(x * 8 + f * 16) % 256, (y * 12 + v * 40) % 256,
+                            (x * 4 + y * 4) % 256], axis=2).astype(np.uint8)
+            frames.append(pix)
+        rows.append((f"mp4{v:02d}",
+                     bytearray(mux_mp4(encode_h264(frames, qp=10), 32, 16)),
+                     "mp4-avc"))
     rows.append(("badvid", bytearray(b"RIFF\x00\x00\x00\x00AVI "), "avi-mjpg"))
     rows.append(("badgif", bytearray(b"GIF89a\x01"), "gif-anim"))
-    rows.append(("mp4vid", bytearray(b"\x00\x00\x00 ftypmp42"), "mp4"))
+    rows.append(("badmp4", bytearray(b"\x00\x00\x00 ftypmp42"), "mp4-avc"))
     videos = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
     sampled = frame_sample(videos, every_n=5)
     frames_as_images = (sampled.where(F.col("decode_ok"))
