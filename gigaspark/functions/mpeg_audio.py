@@ -70,8 +70,16 @@ PINNED DEVIATIONS (documented, swap-for-spec noted in place):
     SWITCH pinned out (``short_blocks=True`` forces the whole stream;
     start/stop/mixed block types and short-block scalefactors with
     scalefac_compress≠0 raise typed NotImplementedError).
-  * joint-stereo INTENSITY coding is pinned out (mode_extension bit 0
-    raises); L1/L2 joint stereo is pinned out (modes supported there:
+    INTENSITY STEREO is real on both sides for long blocks (mode 01 /
+    mode_extension bit 0): above the bound the left channel carries
+    the L+R carrier, the right channel's lines are zero and its 3-bit
+    scalefactors carry is_pos, reconstructed by the spec ratio law
+    tan(is_pos·π/12)/(1+tan(·)) with the zero-tail-rounded-to-sfb
+    bound rule and band 21 reusing band 20's position; composable
+    with MS (matrixing then applies to the sub-bound lines only); the
+    encoder's bound is pinned at sfb 14 (``_L3_IS_BOUND``) and
+    intensity+short-blocks stays pinned out (typed).
+  * L1/L2 joint stereo is pinned out (modes supported there:
     stereo, dual, single).
 """
 
@@ -432,6 +440,17 @@ _L3_SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
 _L3_SFB_LONG = [4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10, 12, 16, 20, 24, 30, 38,
                 46, 54, 62, 70, 142]
 _L3_PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2]
+# start line of each long sfb (22 entries; band 21 = scalefactor-less tail)
+_L3_SFB_START = [0]
+for _w in _L3_SFB_LONG[:-1]:
+    _L3_SFB_START.append(_L3_SFB_START[-1] + _w)
+# SPEC-EXACT intensity-stereo left-channel fraction per is_position:
+# is_ratio = tan(is_pos·π/12); L = carrier·ratio/(1+ratio),
+# R = carrier/(1+ratio) (ISO 11172-3 2.4.3.4.9.3); is_pos 6 → all left
+_L3_IS_FRAC = [0.0] + [
+    float(np.tan(p * np.pi / 12) / (1 + np.tan(p * np.pi / 12)))
+    for p in range(1, 6)] + [1.0]
+_L3_IS_BOUND = 110   # PINNED encoder policy: intensity from sfb 14
 # SPEC-EXACT: alias-reduction butterfly coefficients.
 _L3_CI = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
                    -0.0037])
@@ -565,7 +584,7 @@ def _l3_granule_bits(ix: np.ndarray) -> tuple[int, int, list]:
 
 
 def _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo,
-                     short_blocks=False):
+                     short_blocks=False, intensity=False):
     """Per-frame granule data (granule-major, channel-minor dicts with
     spec/gg/bv/p23/ops), MDCT + optional MS matrixing + initial
     quantization; the caller runs the rate loop.
@@ -595,10 +614,37 @@ def _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo,
             else:
                 spec = ((z * _L3_WIN) @ _L3_COS / 9.0).reshape(-1)
                 specs.append(_l3_alias(spec, inverse=True))
+        is_sf = None
+        if intensity and ch == 2:
+            # intensity coding above the pinned bound: the left channel
+            # carries L+R per line, the right channel's lines go to
+            # zero and its SCALEFACTORS in those bands carry is_pos
+            # (the quantized stereo angle); band 21 has no scalefactor
+            # slot and reuses band 20's position (pinned, spec-shaped)
+            l_, r_ = specs[0].copy(), specs[1].copy()
+            is_sf = [0] * 21
+            for b in range(14, 22):
+                lo = _L3_SFB_START[b]
+                hi = lo + _L3_SFB_LONG[b]
+                if b <= 20:
+                    el = float(np.abs(l_[lo:hi]).sum())
+                    er = float(np.abs(r_[lo:hi]).sum())
+                    t = 0.5 if el + er == 0.0 else el / (el + er)
+                    is_sf[b] = int(np.argmin(
+                        [abs(t - f) for f in _L3_IS_FRAC]))
+                l_[lo:hi] += r_[lo:hi]
+                r_[lo:hi] = 0.0
+            specs = [l_, r_]
         if ms_stereo and ch == 2:
-            l, r_ = specs
-            specs = [(l + r_) / np.sqrt(2.0), (l - r_) / np.sqrt(2.0)]
-        for spec in specs:
+            # with intensity on, MS matrixes only the sub-bound lines
+            # (the carrier region must stay carrier/zero)
+            cut = _L3_IS_BOUND if is_sf is not None else L3_GRANULE_LINES
+            l, r_ = specs[0].copy(), specs[1].copy()
+            m_, s_ = l[:cut].copy(), r_[:cut].copy()
+            l[:cut] = (m_ + s_) / np.sqrt(2.0)
+            r_[:cut] = (m_ - s_) / np.sqrt(2.0)
+            specs = [l, r_]
+        for c, spec in enumerate(specs):
             peak = float(np.abs(spec).max())
             if peak == 0.0:
                 gg = 210
@@ -608,9 +654,18 @@ def _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo,
                     210 + 4 * np.log2(peak / 4000.0 ** (4.0 / 3.0))),
                     0, 255))
             bv, p23, ops = _l3_granule_bits(_l3_quantize(spec, gg))
-            gr_data.append({"spec": spec, "gg": gg, "bv": bv,
-                            "p23": p23, "ops": ops,
-                            "block": 2 if short_blocks else 0})
+            d = {"spec": spec, "gg": gg, "bv": bv, "p23": p23,
+                 "ops": ops, "block": 2 if short_blocks else 0,
+                 "scomp": 0, "part2_ops": []}
+            if is_sf is not None and c == 1:
+                # scalefac_compress 3 → (slen1, slen2) = (0, 3): bands
+                # 11..20 carry 3-bit scalefactors = is_pos (0 below the
+                # bound), written ahead of the Huffman data (part2)
+                d["scomp"] = 3
+                d["part2_ops"] = [(is_sf[b], 3) for b in range(11, 21)]
+                d["p23"] += 30
+                d["ops"] = d["part2_ops"] + d["ops"]
+            gr_data.append(d)
     return gr_data
 
 
@@ -626,8 +681,11 @@ def _l3_rate_loop(gr_data, sample_rate, side_bits):
         if big["gg"] >= 255:
             raise ValueError("granule does not fit max Layer III rate")
         big["gg"] = min(255, big["gg"] + 4)
-        big["bv"], big["p23"], big["ops"] = _l3_granule_bits(
+        big["bv"], p3, hops = _l3_granule_bits(
             _l3_quantize(big["spec"], big["gg"]))
+        part2_ops = big.get("part2_ops", [])
+        big["p23"] = p3 + sum(n for _, n in part2_ops)
+        big["ops"] = part2_ops + hops
 
 
 def _l3_write_header_side(w, br_idx, sr_idx, mode, mode_ext, ch, mdb,
@@ -647,7 +705,7 @@ def _l3_write_header_side(w, br_idx, sr_idx, mode, mode_ext, ch, mdb,
             w.write(d["p23"], 12)
             w.write(d["bv"], 9)
             w.write(d["gg"], 8)
-            w.write(0, 4)                  # scalefac_compress 0 → 0 bits
+            w.write(d.get("scomp", 0), 4)  # scalefac_compress
             if d.get("block") == 2:
                 w.write(1, 1)              # window_switching_flag
                 w.write(2, 2)              # block_type: short
@@ -666,7 +724,8 @@ def _l3_write_header_side(w, br_idx, sr_idx, mode, mode_ext, ch, mdb,
 
 def encode_layer3(samples: np.ndarray, sample_rate: int = 32000,
                   ms_stereo: bool = False, reservoir: bool = False,
-                  short_blocks: bool = False) -> bytes:
+                  short_blocks: bool = False,
+                  intensity: bool = False) -> bytes:
     """Encode float PCM in [-1, 1] (shape [n] or [n, ch], ch ≤ 2) as
     MPEG-1 Layer III: spec side-info layout, long blocks, MDCT over the
     subband filterbank with TDAC overlap (output is therefore delayed
@@ -690,7 +749,17 @@ def encode_layer3(samples: np.ndarray, sample_rate: int = 32000,
     windows per subband, no alias reduction).  Forced for the whole
     stream — the spec's psychoacoustic attack-driven window SWITCH
     (and its start/stop block types 1/3) is pinned out.
+
+    ``intensity``: intensity stereo (mode 01, mode_extension bit 0) —
+    above the pinned sfb-14 bound the left channel carries L+R and the
+    right channel's 3-bit scalefactors carry the quantized stereo
+    position is_pos (ratio law tan(is_pos·π/12), spec 2.4.3.4.9.3);
+    combinable with ``ms_stereo`` (MS then matrixes only the sub-bound
+    region).  Long blocks only — intensity + ``short_blocks`` is
+    pinned out (the short-sfb is_pos partition isn't implemented).
     """
+    if intensity and short_blocks:
+        raise NotImplementedError("intensity + short blocks pinned out")
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
@@ -704,8 +773,10 @@ def encode_layer3(samples: np.ndarray, sample_rate: int = 32000,
     if pad:
         samples = np.vstack([samples, np.zeros((pad, ch))])
     sr_idx = SAMPLE_RATES.index(sample_rate)
-    mode = 3 if ch == 1 else (1 if ms_stereo else 0)
-    mode_ext = 2 if ms_stereo else 0       # bit1 = ms_stereo, bit0 = off
+    if intensity and ch != 2:
+        raise ValueError("intensity stereo needs 2 channels")
+    mode = 3 if ch == 1 else (1 if (ms_stereo or intensity) else 0)
+    mode_ext = (2 if ms_stereo else 0) | (1 if intensity else 0)
     side_bits = 136 if ch == 1 else 256
     inv = np.ones((18, SBANDS))
     inv[1::2, 1::2] = -1.0                 # odd subband, odd sample
@@ -714,7 +785,7 @@ def encode_layer3(samples: np.ndarray, sample_rate: int = 32000,
     frames = []                            # (gr_data, main-data bytes)
     for f0 in range(0, samples.shape[0], L3_FRAME_SAMPLES):
         gr_data = _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo,
-                                   short_blocks)
+                                   short_blocks, intensity)
         _l3_rate_loop(gr_data, sample_rate, side_bits)
         frames.append(gr_data)
 
@@ -913,13 +984,46 @@ def _l3_synth_granule(xr: np.ndarray, overlap: np.ndarray,
     return _synthesis(sub)
 
 
+def _l3_istereo(xrs, sf_right, ms):
+    """Intensity-stereo reconstruction (2.4.3.4.9.3): bands wholly in
+    the right channel's zero tail (rounded up to a long-sfb boundary)
+    split the left channel's carrier by the is_pos held in the RIGHT
+    channel's scalefactor — L = carrier·frac, R = carrier·(1−frac),
+    frac = tan(is_pos·π/12)/(1+tan(·)); is_pos 7 leaves the band
+    untouched (intensity off there); band 21 reuses band 20's is_pos.
+    With ``ms`` also set, MS matrixing applies to the sub-bound lines
+    only."""
+    l_, r_ = xrs[0].copy(), xrs[1].copy()
+    nz = np.nonzero(r_)[0]
+    rzero = int(nz[-1]) + 1 if len(nz) else 0
+    bound = L3_GRANULE_LINES
+    for b in range(22):
+        lo = _L3_SFB_START[b]
+        if lo < rzero:
+            continue
+        bound = min(bound, lo)
+        pos = sf_right[min(b, 20)]
+        if pos >= 7:
+            continue
+        frac = _L3_IS_FRAC[pos]
+        hi = lo + _L3_SFB_LONG[b]
+        carrier = l_[lo:hi].copy()
+        l_[lo:hi] = carrier * frac
+        r_[lo:hi] = carrier * (1.0 - frac)
+    if ms:
+        m_, s_ = l_[:bound].copy(), r_[:bound].copy()
+        l_[:bound] = (m_ + s_) / np.sqrt(2.0)
+        r_[:bound] = (m_ - s_) / np.sqrt(2.0)
+    return [l_, r_]
+
+
 def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
     """Decode consecutive MPEG-1 Layer I, II or III frames →
     (samples [n, ch] float in [-1, 1], sample_rate).  Layer III decodes
-    the bit reservoir (main_data_begin, up to the 9-bit 511-byte reach)
-    and MS joint stereo.  Raises ValueError on garbage,
-    NotImplementedError on intensity stereo / L1-L2 joint stereo / L3
-    short blocks (pinned out — see module header)."""
+    the bit reservoir (main_data_begin, up to the 9-bit 511-byte reach),
+    MS joint stereo and long-block intensity stereo.  Raises ValueError
+    on garbage, NotImplementedError on L1-L2 joint stereo / L3
+    intensity-with-short-blocks (pinned out — see module header)."""
     if len(data) < 4:
         raise ValueError("too short for an MPEG audio frame")
     pos = 0
@@ -945,13 +1049,12 @@ def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
         protection = (h >> 16) & 1
         if br_idx in (0, 15) or sr_idx == 3:
             raise ValueError("free-format/invalid bitrate or rate")
-        ms = False
+        ms = istereo = False
         if mode == 1:
             if layer != 0b01:
                 raise NotImplementedError("L1/L2 joint stereo pinned out")
-            if mode_ext & 1:
-                raise NotImplementedError("intensity stereo pinned out")
             ms = bool(mode_ext & 2)
+            istereo = bool(mode_ext & 1)
         fs = SAMPLE_RATES[sr_idx]
         ch = 1 if mode == 3 else 2
         if rate is None:
@@ -996,7 +1099,13 @@ def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
                 if g == 0:
                     for c in range(ch):
                         shared_sf[c] = sfs_g[c]
-                if ms:
+                if istereo:
+                    if any(grs[g * ch + c].get("block") == 2
+                           for c in range(ch)):
+                        raise NotImplementedError(
+                            "intensity + short blocks pinned out")
+                    xrs = _l3_istereo(xrs, sfs_g[1], ms)
+                elif ms:
                     m, s_ = xrs
                     xrs = [(m + s_) / np.sqrt(2.0),
                            (m - s_) / np.sqrt(2.0)]

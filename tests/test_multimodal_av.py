@@ -419,13 +419,55 @@ def test_mpeg1_layer3_ms_stereo_roundtrip():
     oc, _ = decode_mpeg1(encode_layer3(corr, 32000, ms_stereo=True))
     assert np.abs(oc[D + 576:-576]
                   - corr[576:len(oc) - D - 576]).max() < 0.02
-    # intensity bit (mode_extension bit 0) is pinned out, typed
-    bad = bytearray(enc)
-    bad[3] = (bad[3] & ~0x30) | 0x10
-    with pytest.raises(NotImplementedError):
-        decode_mpeg1(bytes(bad))
     with pytest.raises(ValueError):
         encode_layer3(st[:, 0], 32000, ms_stereo=True)  # needs 2 ch
+
+
+def test_mpeg1_layer3_intensity_stereo():
+    """Intensity stereo (mode 01, mode_extension bit 0): above the
+    bound the left channel carries L+R and the right channel's
+    scalefactors carry is_pos; decode reconstructs the stereo angle
+    by the tan(is_pos·π/12) ratio law.  Checks: header bits, the
+    panned high tone comes back at ~the quantized pan, the sub-bound
+    band keeps its own stereo, MS composes, and the pinned-out
+    short-block combination is typed."""
+    import numpy as np
+    import pytest
+
+    from gigaspark.functions.mpeg_audio import decode_mpeg1, encode_layer3
+
+    fs = 32000
+    t = np.arange(fs) / fs
+    bass = 0.4 * np.sin(2 * np.pi * 440.0 * t)      # sub-bound, equal
+    high = np.sin(2 * np.pi * 6000.0 * t)            # sfb 17 (intensity)
+    pcm = np.stack([bass + 0.40 * high, bass + 0.10 * high], axis=1)
+
+    for ms in (False, True):
+        enc = encode_layer3(pcm, fs, ms_stereo=ms, intensity=True)
+        assert (enc[3] >> 6) & 3 == 1                # joint stereo
+        assert (enc[3] >> 4) & 1 == 1                # intensity bit
+        assert ((enc[3] >> 5) & 1) == (1 if ms else 0)
+        out, rate = decode_mpeg1(enc)
+        assert rate == fs and out.shape[1] == 2
+        seg = out[4000:28000]
+        f = np.fft.rfftfreq(len(seg), 1.0 / fs)
+        kh = int(np.argmin(np.abs(f - 6000.0)))
+        kb = int(np.argmin(np.abs(f - 440.0)))
+        mh = [np.abs(np.fft.rfft(seg[:, c]))[kh] for c in (0, 1)]
+        mb = [np.abs(np.fft.rfft(seg[:, c]))[kb] for c in (0, 1)]
+        # source pan 4.0, quantized is_pos 5 → 3.73; MDCT leakage
+        # across the band edge erodes it a little
+        assert 2.6 < mh[0] / mh[1] < 4.6, (ms, mh)
+        assert 0.9 < mb[0] / mb[1] < 1.1, (ms, mb)   # bass untouched
+
+    # intensity-MS stream is smaller than plain stereo (the whole
+    # point): side channel near-zero below, zeros above the bound
+    assert len(encode_layer3(pcm, fs, ms_stereo=True, intensity=True)) \
+        < len(encode_layer3(pcm, fs))
+    with pytest.raises(NotImplementedError):
+        encode_layer3(pcm, fs, intensity=True, short_blocks=True)
+    with pytest.raises(ValueError):
+        encode_layer3(pcm[:, 0], fs, intensity=True)  # needs 2 ch
 
 
 def test_mpeg1_layer3_bit_reservoir():
