@@ -3271,6 +3271,82 @@ FROM dfr GROUP BY bucket
 """
 
 
+def q_related_docs(spark, sf_dir):
+    """Related-pages / more-like-this (Msg40 related-topics "Gigabits"
+    shape [U][M]): the corpus's busiest doc's RARE terms (2 <= df <= 20)
+    broadcast as a weighted probe vector; every other doc scores
+    Σ (10^6 DIV df) over distinct shared rare terms, top-10.  The rare
+    vector broadcasts — the posting table never shuffles for the
+    probe (BroadcastHashJoin, plan-audited)."""
+    from gigaspark.operators.search import build_postings, related_docs
+
+    postings = build_postings(_t(spark, sf_dir, "documents"))
+    return related_docs(postings, k=10)
+
+
+SQL_RELATED = f"""
+WITH {_POSTINGS_CTE},
+td AS (SELECT DISTINCT term, doc_id FROM p),
+tgt AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(*) AS n_terms FROM td GROUP BY doc_id
+    ORDER BY n_terms DESC, doc_id ASC LIMIT 1)),
+rare AS (
+  SELECT td.term, 1000000 // dfr.df AS w
+  FROM td JOIN tgt USING (doc_id) JOIN dfr ON dfr.term = td.term
+  WHERE dfr.df BETWEEN 2 AND 20)
+SELECT td.doc_id, sum(w)::BIGINT AS score
+FROM td JOIN rare ON rare.term = td.term
+WHERE td.doc_id <> (SELECT doc_id FROM tgt)
+GROUP BY td.doc_id ORDER BY score DESC, td.doc_id ASC LIMIT 10
+"""
+
+
+def q_spider_queue_report(spark, sf_dir):
+    """Spider-queue status report (the PageSpiderdb admin view [U][M]):
+    per priority bucket — how many URLs wait, across how many hosts,
+    the oldest/newest request dates, and how many hosts' CURRENT
+    doled winner (the A1 window) sits at that priority.  Two
+    map-side-combinable aggs + the winner window, joined on the tiny
+    priority dimension."""
+    o = _t(spark, sf_dir, "orders").withColumn("priority", _f1_priority_col())
+    depth = (o.groupBy("priority")
+             .agg(F.count("*").alias("n_urls"),
+                  F.countDistinct("o_custkey").alias("n_hosts"),
+                  F.date_format(F.min("o_orderdate"), "yyyy-MM-dd")
+                  .alias("oldest"),
+                  F.date_format(F.max("o_orderdate"), "yyyy-MM-dd")
+                  .alias("newest")))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("priority").desc(), F.col("o_orderdate").asc(),
+        F.col("o_orderkey").asc())
+    doled = (o.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1)
+             .groupBy("priority").agg(F.count("*").alias("n_doled")))
+    return (depth.join(doled, "priority", "left")
+            .select("priority", "n_urls", "n_hosts", "oldest", "newest",
+                    F.coalesce("n_doled", F.lit(0)).alias("n_doled")))
+
+
+SQL_SPIDER_QUEUE = f"""
+WITH o AS (SELECT *, {_F1_CASE_SQL} AS priority FROM orders),
+depth AS (
+  SELECT priority, count(*)::BIGINT AS n_urls,
+         count(DISTINCT o_custkey)::BIGINT AS n_hosts,
+         strftime(min(o_orderdate), '%Y-%m-%d') AS oldest,
+         strftime(max(o_orderdate), '%Y-%m-%d') AS newest
+  FROM o GROUP BY priority),
+doled AS (
+  SELECT priority, count(*)::BIGINT AS n_doled FROM (
+    SELECT priority, row_number() OVER (PARTITION BY o_custkey
+        ORDER BY priority DESC, o_orderdate ASC, o_orderkey ASC) AS rn
+    FROM o) WHERE rn = 1 GROUP BY priority)
+SELECT priority, n_urls, n_hosts, oldest, newest,
+       coalesce(n_doled, 0)::BIGINT AS n_doled
+FROM depth LEFT JOIN doled USING (priority)
+"""
+
+
 def q_latency_percentiles(spark, sf_dir):
     """Exact discrete percentiles (Statsdb latency report shape [U][M]):
     p50/p90/p99 of events.value per event_type, picked at rank
@@ -4785,6 +4861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_repeat": q_sample_weighted_repeat,
         "search_numeric_range": q_search_numeric_range,
         "termlist_stats": q_termlist_stats,
+        "related_docs": q_related_docs,
+        "spider_queue_report": q_spider_queue_report,
         "latency_percentiles": q_latency_percentiles,
         "facet_ranges": q_facet_ranges,
         "frontier_skew_stats": q_frontier_skew_stats,
@@ -4905,6 +4983,8 @@ def oracle_sql() -> dict[str, str]:
         "search_numeric_range": SQL_SEARCH_NUMRANGE,
         "pagerank": _sql_pagerank(),
         "termlist_stats": SQL_TERMLIST_STATS,
+        "related_docs": SQL_RELATED,
+        "spider_queue_report": SQL_SPIDER_QUEUE,
         "latency_percentiles": SQL_LATENCY_PCT,
         "facet_ranges": SQL_FACET_RANGES,
         "frontier_skew_stats": SQL_FRONTIER_SKEW,
