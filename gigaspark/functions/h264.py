@@ -56,9 +56,24 @@ maps for the spec tables restores bit-interop without touching any
 other code.  The same pin applies to the coded_block_pattern mapping
 (spec Table 9-4 permutation -> pinned identity ue(cbp)).
 
-Honest limits, raising ValueError: P/B slices, CABAC, 8x8 transform
-(High profile), MBAFF/fields, I_PCM, intra modes > 2, multiple
-slices per picture, odd frame dimensions (4:2:0).
+P SLICES are real (encode + decode): mb_skip_run coding with the
+spec's P_Skip motion inference rule (predicted MV, forced zero at the
+left/top edge or when a neighbour is a zero-MV/ref-0 block), inter
+P_L0_16x16 macroblocks with mvd_l0 coding against the median MV
+predictor (8.4.1.3: componentwise median of A/B/C with the
+exactly-one-matching-ref short cut and the only-A edge rule; intra
+neighbours count unavailable), intra MBs inside P slices (mb_type
+offset +5), one-reference lists (the previous decoded picture), and
+the FULL fractional-sample interpolation: 6-tap [1,-5,20,20,-5,1]
+half-pel with (x+16)>>5 rounding, quarter-pel rounding averages, and
+eighth-pel bilinear chroma with the (…+32)>>6 law.  Inter residuals
+ride the same CAVLC/4x4-transform path (no luma DC Hadamard — that is
+I_16x16-only, per spec), CBP carries the inter mapping pin.
+
+Honest limits, raising ValueError: B slices, weighted prediction,
+multi-reference lists, sub-16x16 inter partitions, CABAC, 8x8
+transform (High profile), MBAFF/fields, I_PCM, intra modes > 2,
+multiple slices per picture, odd frame dimensions (4:2:0).
 
 Scale note: this codec runs inside mapInPandas Arrow batches
 (operators/multimodal.py) — per-row Python confined to the batch
@@ -381,6 +396,139 @@ def _pred_block(plane: np.ndarray, y: int, x: int, size: int,
 
 
 # ------------------------------------------------------------------ #
+# Fractional-sample motion compensation (8.4.2.2 — spec-exact taps)    #
+# ------------------------------------------------------------------ #
+
+_PAD = 24  # reference-plane edge pad (covers |mv| <= 8 full-pel + taps)
+
+
+def _tap6(a: np.ndarray, axis: int) -> np.ndarray:
+    """6-tap [1,-5,20,20,-5,1] along ``axis``; input must have 5 extra
+    samples along that axis.  Output length = input - 5."""
+    c = (1, -5, 20, 20, -5, 1)
+    n = a.shape[axis] - 5
+    sl = [slice(None)] * a.ndim
+    out = np.zeros([n if i == axis else s
+                    for i, s in enumerate(a.shape)], dtype=np.int64)
+    for k, w in enumerate(c):
+        sl[axis] = slice(k, k + n)
+        out += w * a[tuple(sl)]
+    return out
+
+
+def _mc_luma(ref_pad: np.ndarray, y0: int, x0: int, mv: tuple[int, int],
+             bh: int, bw: int) -> np.ndarray:
+    """Quarter-pel luma MC for a bh x bw block whose top-left luma
+    sample is (y0, x0) in UNPADDED coordinates; ``ref_pad`` is the
+    reference plane edge-padded by _PAD.  Spec 8.4.2.2.1: half-pels by
+    the 6-tap with (x+16)>>5 (the centre j uses unrounded intermediates
+    and (x+512)>>10), quarter-pels by rounding averages."""
+    mvy, mvx = mv
+    iy, fy = (mvy >> 2), mvy & 3
+    ix, fx = (mvx >> 2), mvx & 3
+    ty, tx = y0 + iy + _PAD, x0 + ix + _PAD
+    if (ty - 2 < 0 or tx - 2 < 0 or ty + bh + 4 > ref_pad.shape[0]
+            or tx + bw + 4 > ref_pad.shape[1]):
+        raise ValueError("MV beyond the reference pad (subset limit)")
+    if fy == 0 and fx == 0:
+        return ref_pad[ty:ty + bh, tx:tx + bw].astype(np.int64)
+    # integer patch with 6-tap support and one extra row/col for the
+    # shifted (+1) full/half positions the quarter averages need
+    a = ref_pad[ty - 2:ty + bh + 4, tx - 2:tx + bw + 4].astype(np.int64)
+    g = a[2:2 + bh + 1, 2:2 + bw + 1]              # full-pel (+1 grid)
+    clip = lambda v: np.clip(v, 0, 255)            # noqa: E731
+    bh_ = _tap6(a[2:2 + bh + 1], axis=1)           # horiz halves, (+1,+1)
+    b = clip((bh_ + 16) >> 5)
+    hv_ = _tap6(a[:, 2:2 + bw + 1], axis=0)        # vert halves
+    h = clip((hv_ + 16) >> 5)
+    j = None
+    if fx == 2 or fy == 2:
+        jj = _tap6(_tap6(a, axis=1), axis=0)       # unrounded centre
+        j = clip((jj + 512) >> 10)                  # (+1,+1) grid
+    s0 = (slice(0, bh), slice(0, bw))
+    G = g[s0]
+    B = b[s0]
+    H = h[s0]
+    if (fy, fx) == (0, 2):
+        return B
+    if (fy, fx) == (2, 0):
+        return H
+    if (fy, fx) == (2, 2):
+        return j[s0]
+    Gx = g[0:bh, 1:1 + bw]       # full, col+1
+    Gy = g[1:1 + bh, 0:bw]       # full, row+1
+    Bd = b[1:1 + bh, 0:bw]       # horiz half, row+1 ("s")
+    Hr = h[0:bh, 1:1 + bw]       # vert half, col+1 ("m")
+    avg = lambda p, q: (p + q + 1) >> 1            # noqa: E731
+    table = {
+        (0, 1): avg(G, B), (0, 3): avg(Gx, B),
+        (1, 0): avg(G, H), (3, 0): avg(Gy, H),
+        (1, 1): avg(B, H), (1, 3): avg(B, Hr),
+        (3, 1): avg(Bd, H), (3, 3): avg(Bd, Hr),
+        (2, 1): avg(j[s0], H) if j is not None else None,
+        (2, 3): avg(j[s0], Hr) if j is not None else None,
+        (1, 2): avg(j[s0], B) if j is not None else None,
+        (3, 2): avg(j[s0], Bd) if j is not None else None,
+    }
+    return table[(fy, fx)]
+
+
+def _mc_chroma(ref_pad: np.ndarray, y0: int, x0: int,
+               mv: tuple[int, int], bh: int, bw: int) -> np.ndarray:
+    """Eighth-pel bilinear chroma MC (8.4.2.2.2): the luma quarter-pel
+    MV applied to the half-resolution plane is eighth-pel there;
+    (…+32)>>6 rounding."""
+    mvy, mvx = mv
+    iy, dy = (mvy >> 3), mvy & 7
+    ix, dx = (mvx >> 3), mvx & 7
+    ty, tx = y0 + iy + _PAD, x0 + ix + _PAD
+    if (ty < 0 or tx < 0 or ty + bh + 1 > ref_pad.shape[0]
+            or tx + bw + 1 > ref_pad.shape[1]):
+        raise ValueError("MV beyond the reference pad (subset limit)")
+    p = ref_pad[ty:ty + bh + 1, tx:tx + bw + 1].astype(np.int64)
+    return ((8 - dx) * (8 - dy) * p[:bh, :bw]
+            + dx * (8 - dy) * p[:bh, 1:1 + bw]
+            + (8 - dx) * dy * p[1:1 + bh, :bw]
+            + dx * dy * p[1:1 + bh, 1:1 + bw] + 32) >> 6
+
+
+def _neighbor_mv(st: "_FrameCoder", by: int, bx: int):
+    """(mv, ref) of the 4x4 block at grid (by, bx); ref -1 = intra or
+    out of picture (spec: such neighbours contribute mv (0,0))."""
+    if by < 0 or bx < 0 or by >= st.mvs.shape[0] or bx >= st.mvs.shape[1]:
+        return None
+    return ((int(st.mvs[by, bx, 0]), int(st.mvs[by, bx, 1])),
+            int(st.refs[by, bx]))
+
+
+def _mvp_16x16(st: "_FrameCoder", mby: int, mbx: int):
+    """Median MV predictor for a 16x16 partition (8.4.1.3) and the
+    P_Skip inference MV (8.4.1.1): skip MV is zero when the left or
+    above MB is outside the picture or is a zero-MV/ref-0 block."""
+    r0, c0 = mby * 4, mbx * 4
+    a = _neighbor_mv(st, r0, c0 - 1)
+    b = _neighbor_mv(st, r0 - 1, c0)
+    c = _neighbor_mv(st, r0 - 1, c0 + 4)
+    if c is None:
+        c = _neighbor_mv(st, r0 - 1, c0 - 1)      # D fallback
+    if b is None and c is None and a is not None:
+        mvp = a[0]
+    else:
+        cands = [a, b, c]
+        match = [x for x in cands if x is not None and x[1] == 0]
+        if len(match) == 1:
+            mvp = match[0][0]
+        else:
+            vs = [x[0] if x is not None else (0, 0) for x in cands]
+            mvp = (int(np.median([v[0] for v in vs])),
+                   int(np.median([v[1] for v in vs])))
+    skip_zero = (a is None or b is None
+                 or (a[1] == 0 and a[0] == (0, 0))
+                 or (b[1] == 0 and b[0] == (0, 0)))
+    return mvp, ((0, 0) if skip_zero else mvp)
+
+
+# ------------------------------------------------------------------ #
 # CAVLC residual block — spec 9.2 structure, pinned VLCs per header    #
 # ------------------------------------------------------------------ #
 
@@ -609,7 +757,7 @@ def _sps_rbsp(w: int, h: int) -> bytes:
     bw.ue(0)              # seq_parameter_set_id
     bw.ue(0)              # log2_max_frame_num_minus4
     bw.ue(2)              # pic_order_cnt_type
-    bw.ue(0)              # max_num_ref_frames
+    bw.ue(1)              # max_num_ref_frames (P refs the previous pic)
     bw.u(0, 1)            # gaps_in_frame_num_value_allowed
     bw.ue(mbw - 1)
     bw.ue(mbh - 1)
@@ -680,6 +828,17 @@ class _FrameCoder:
         # intra 4x4 modes; -1 = not an I_4x4-coded block (spec: treat
         # as DC=2 for prediction-mode prediction)
         self.modes = np.full((mbh * 4, mbw * 4), -1, dtype=np.int32)
+        # per-4x4 motion state for P slices: ref -1 = intra/uncoded
+        self.mvs = np.zeros((mbh * 4, mbw * 4, 2), dtype=np.int32)
+        self.refs = np.full((mbh * 4, mbw * 4), -1, dtype=np.int32)
+        # padded reference planes (previous decoded picture), set for P
+        self.ref_y = self.ref_cb = self.ref_cr = None
+
+    def set_reference(self, y: np.ndarray, cb: np.ndarray,
+                      cr: np.ndarray) -> None:
+        self.ref_y = np.pad(y, _PAD, mode="edge")
+        self.ref_cb = np.pad(cb, _PAD, mode="edge")
+        self.ref_cr = np.pad(cr, _PAD, mode="edge")
 
     def pred_mode_for(self, by: int, bx: int) -> int:
         ma = int(self.modes[by, bx - 1]) if bx > 0 else -1
@@ -716,8 +875,7 @@ def _encode_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         for mbx in range(mbw):
             _encode_mb(bw, st, ypad, cbpad, crpad, mby, mbx)
     bw.trailing()
-    return bw.bytes(), st.rec_y[:h, :w], \
-        st.rec_cb[:h // 2, :w // 2], st.rec_cr[:h // 2, :w // 2]
+    return bw.bytes(), st
 
 
 def _encode_mb(bw: _BitWriter, st: _FrameCoder, ysrc: np.ndarray,
@@ -735,15 +893,20 @@ def _encode_mb(bw: _BitWriter, st: _FrameCoder, ysrc: np.ndarray,
 
 
 def _chroma_residuals(st: _FrameCoder, cbsrc: np.ndarray,
-                      crsrc: np.ndarray, mby: int, mbx: int):
-    """Compute chroma prediction + quantized residuals for one MB.
-    Returns (cbp_chroma, per-component data) WITHOUT writing bits or
-    reconstruction — the caller owns syntax order and commit."""
+                      crsrc: np.ndarray, mby: int, mbx: int,
+                      preds=None):
+    """Compute chroma prediction + quantized residuals for one MB
+    (intra DC prediction, or the caller's MC predictions via
+    ``preds``).  Returns (cbp_chroma, per-component data) WITHOUT
+    writing bits or reconstruction — the caller owns syntax order and
+    commit."""
     qpc = st.qpc
     out = []
-    for src, rec in ((cbsrc, st.rec_cb), (crsrc, st.rec_cr)):
+    for comp, (src, rec) in enumerate(((cbsrc, st.rec_cb),
+                                       (crsrc, st.rec_cr))):
         oy, ox = mby * 8, mbx * 8
-        pred = _pred_block(rec, oy, ox, 8, 2)  # DC
+        pred = preds[comp] if preds is not None \
+            else _pred_block(rec, oy, ox, 8, 2)  # DC
         resid = src[oy:oy + 8, ox:ox + 8].astype(np.int64) - pred
         wq = np.zeros((2, 2, 4, 4), dtype=np.int64)
         dcs = np.zeros((2, 2), dtype=np.int64)
@@ -805,8 +968,8 @@ def _commit_chroma(bw: _BitWriter, st: _FrameCoder, cbp_c: int, out,
 
 
 def _encode_mb_i16(bw: _BitWriter, st: _FrameCoder, ysrc: np.ndarray,
-                   mby: int, mbx: int, mode: int, pred: np.ndarray
-                   ) -> None:
+                   mby: int, mbx: int, mode: int, pred: np.ndarray,
+                   mb_type_off: int = 0) -> None:
     qp = st.qp
     oy, ox = mby * 16, mbx * 16
     resid = ysrc[oy:oy + 16, ox:ox + 16].astype(np.int64) - pred
@@ -829,7 +992,7 @@ def _encode_mb_i16(bw: _BitWriter, st: _FrameCoder, ysrc: np.ndarray,
     # chroma decision must precede mb_type (CBP chroma is inside it)
     cbsrc, crsrc = st._cbsrc, st._crsrc  # set by encode_h264 wrapper
     cbp_c, chroma = _chroma_residuals(st, cbsrc, crsrc, mby, mbx)
-    bw.ue(1 + mode + 4 * cbp_c + 12 * cbp_luma15)  # mb_type, Table 7-11
+    bw.ue(mb_type_off + 1 + mode + 4 * cbp_c + 12 * cbp_luma15)  # 7-11
     bw.ue(0)  # intra_chroma_pred_mode = DC
     bw.se(0)  # mb_qp_delta
     # Intra16x16DCLevel: 16 coeffs, nC from luma blk (0,0) neighbours
@@ -852,6 +1015,8 @@ def _encode_mb_i16(bw: _BitWriter, st: _FrameCoder, ysrc: np.ndarray,
         blk[by4 * 4:by4 * 4 + 4, bx4 * 4:bx4 * 4 + 4] = _idct4(d)
     st.rec_y[oy:oy + 16, ox:ox + 16] = np.clip(pred + blk, 0, 255)
     st.modes[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = -1
+    st.refs[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = -1
+    st.mvs[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
     _commit_chroma(bw, st, cbp_c, chroma, mby, mbx)
 
 
@@ -914,10 +1079,171 @@ def _encode_mb_i4(bw: _BitWriter, st: _FrameCoder, ysrc: np.ndarray,
     _commit_chroma(bw, st, cbp_c, chroma, mby, mbx)
 
 
+def _inter_luma_residual(bw: _BitWriter, st: _FrameCoder, resid,
+                         pred, mby: int, mbx: int, qp: int,
+                         write_bits: bool):
+    """Quantize a 16x16 inter luma residual as 16 standalone 4x4
+    blocks (no DC Hadamard — I_16x16-only per spec).  Returns
+    (cbp_luma, recon_block); CAVLC-writes when ``write_bits``."""
+    zq = []
+    for idx in range(16):
+        bx4, by4 = _BLK_XY[idx]
+        w = _fdct4(resid[by4 * 4:by4 * 4 + 4, bx4 * 4:bx4 * 4 + 4])
+        zq.append(_quant4(w, qp))
+    cbp_luma = 0
+    for q8 in range(4):
+        base = q8 * 4
+        if any((zq[base + k] != 0).any() for k in range(4)):
+            cbp_luma |= 1 << q8
+    blk = np.zeros((16, 16), dtype=np.int64)
+    for idx in range(16):
+        bx4, by4 = _BLK_XY[idx]
+        coded = bool(cbp_luma & (1 << (2 * (by4 // 2) + (bx4 // 2))))
+        if coded and write_bits:
+            scan = [int(zq[idx][p]) for p in _ZIGZAG]
+            nc = _nc(st.tc_y, mby * 4 + by4, mbx * 4 + bx4)
+            tc = _encode_residual(bw, scan, nc, 16)
+            st.tc_y[mby * 4 + by4, mbx * 4 + bx4] = tc
+        elif write_bits:
+            st.tc_y[mby * 4 + by4, mbx * 4 + bx4] = 0
+        if coded:
+            d = _dequant4(zq[idx], qp)
+            blk[by4 * 4:by4 * 4 + 4, bx4 * 4:bx4 * 4 + 4] = _idct4(d)
+    return cbp_luma, np.clip(pred + blk, 0, 255)
+
+
+def _encode_mb_p(bw: _BitWriter, st: _FrameCoder, ysrc, cbsrc, crsrc,
+                 mby: int, mbx: int, skip_run: int) -> int:
+    """Encode one P-slice macroblock; returns the updated pending
+    mb_skip_run (incremented when this MB becomes P_Skip)."""
+    qp = st.qp
+    oy, ox = mby * 16, mbx * 16
+    src = ysrc[oy:oy + 16, ox:ox + 16].astype(np.int64)
+    mvp, skip_mv = _mvp_16x16(st, mby, mbx)
+
+    # full-pel search (±8 around the predictor), then quarter refine;
+    # the search centre is clamped so every candidate stays inside the
+    # reference pad (the subset's |MV| bound — see _mc_luma)
+    base = (int(np.clip(mvp[0] >> 2, -9, 9)),
+            int(np.clip(mvp[1] >> 2, -9, 9)))
+    best, best_cost = None, None
+    for dy in range(-8, 9, 2):
+        for dx in range(-8, 9, 2):
+            mv = (base[0] + dy, base[1] + dx)
+            p = st.ref_y[oy + mv[0] + _PAD:oy + mv[0] + _PAD + 16,
+                         ox + mv[1] + _PAD:ox + mv[1] + _PAD + 16]
+            cost = _sad(src, p)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = mv, cost
+    best_q = (best[0] * 4, best[1] * 4)
+    for step in (2, 1):                      # half then quarter refine
+        cur = best_q
+        for dy in (-step, 0, step):
+            for dx in (-step, 0, step):
+                mv = (cur[0] + dy, cur[1] + dx)
+                p = _mc_luma(st.ref_y, oy, ox, mv, 16, 16)
+                cost = _sad(src, p)
+                if cost < best_cost:
+                    best_q, best_cost = mv, cost
+    # intra fallback when motion fails (scene cut into this MB)
+    m16, p16 = _best_mode(st.rec_y, ysrc, oy, ox, 16)
+    if _sad(src, p16) + 64 < best_cost:
+        bw.ue(skip_run)
+        _encode_mb_i16(bw, st, ysrc, mby, mbx, m16, p16, mb_type_off=5)
+        return 0
+
+    # try P_Skip: only valid at the skip MV with an all-zero residual
+    # (and only when the inferred MV stays inside the pad bound)
+    if (max(abs(skip_mv[0]), abs(skip_mv[1])) <= 4 * (_PAD - 6)
+            and best_q == skip_mv):
+        pred_sk = _mc_luma(st.ref_y, oy, ox, skip_mv, 16, 16)
+        cb_sk = _mc_chroma(st.ref_cb, mby * 8, mbx * 8, skip_mv, 8, 8)
+        cr_sk = _mc_chroma(st.ref_cr, mby * 8, mbx * 8, skip_mv, 8, 8)
+        cbp_l_sk, recon_sk = _inter_luma_residual(
+            bw, st, src - pred_sk, pred_sk, mby, mbx, qp,
+            write_bits=False)
+        cbp_c_sk, _ = _chroma_residuals(st, cbsrc, crsrc, mby, mbx,
+                                        preds=[cb_sk, cr_sk])
+    else:
+        cbp_l_sk = cbp_c_sk = -1
+    if cbp_l_sk == 0 and cbp_c_sk == 0:
+        r0, c0 = mby * 4, mbx * 4
+        st.rec_y[oy:oy + 16, ox:ox + 16] = recon_sk
+        st.rec_cb[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = cb_sk
+        st.rec_cr[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = cr_sk
+        st.refs[r0:r0 + 4, c0:c0 + 4] = 0
+        st.mvs[r0:r0 + 4, c0:c0 + 4] = skip_mv
+        st.tc_y[r0:r0 + 4, c0:c0 + 4] = 0
+        st.tc_cb[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+        st.tc_cr[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+        st.modes[r0:r0 + 4, c0:c0 + 4] = -1
+        return skip_run + 1
+
+    # P_L0_16x16
+    pred = _mc_luma(st.ref_y, oy, ox, best_q, 16, 16)
+    cbpred = _mc_chroma(st.ref_cb, mby * 8, mbx * 8, best_q, 8, 8)
+    crpred = _mc_chroma(st.ref_cr, mby * 8, mbx * 8, best_q, 8, 8)
+    cbp_c, chroma = _chroma_residuals(st, cbsrc, crsrc, mby, mbx,
+                                      preds=[cbpred, crpred])
+    # dry-run for CBP, then the real bit-writes in syntax order
+    cbp_luma, recon = _inter_luma_residual(
+        bw, st, src - pred, pred, mby, mbx, qp, write_bits=False)
+    bw.ue(skip_run)
+    bw.ue(0)                                   # mb_type P_L0_16x16
+    bw.se(best_q[1] - mvp[1])                  # mvd_l0 x
+    bw.se(best_q[0] - mvp[0])                  # mvd_l0 y
+    bw.ue(cbp_luma + 16 * cbp_c)               # PINNED identity map
+    if cbp_luma or cbp_c:
+        bw.se(0)                               # mb_qp_delta
+    _inter_luma_residual(bw, st, src - pred, pred, mby, mbx, qp,
+                         write_bits=True)
+    # suppress luma blocks CBP says are absent (whole-8x8 zero anyway)
+    st.rec_y[oy:oy + 16, ox:ox + 16] = recon
+    r0, c0 = mby * 4, mbx * 4
+    st.refs[r0:r0 + 4, c0:c0 + 4] = 0
+    st.mvs[r0:r0 + 4, c0:c0 + 4] = best_q
+    st.modes[r0:r0 + 4, c0:c0 + 4] = -1
+    _commit_chroma(bw, st, cbp_c, chroma, mby, mbx)
+    return 0
+
+
+def _encode_frame_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                    qp: int, frame_num: int,
+                    ref: tuple[np.ndarray, np.ndarray, np.ndarray]):
+    h, w = y.shape
+    mbw, mbh = (w + 15) // 16, (h + 15) // 16
+    ypad = np.pad(y, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
+    st = _FrameCoder(mbw, mbh, qp)
+    st.set_reference(*ref)
+    bw = _BitWriter()
+    bw.ue(0)                  # first_mb_in_slice
+    bw.ue(5)                  # slice_type P (all slices of picture)
+    bw.ue(0)                  # pic_parameter_set_id
+    bw.u(frame_num & 15, 4)   # frame_num
+    bw.u(0, 1)                # num_ref_idx_active_override_flag
+    bw.u(0, 1)                # ref_pic_list_modification_flag_l0
+    bw.u(0, 1)                # adaptive_ref_pic_marking_mode_flag
+    bw.se(0)                  # slice_qp_delta
+    bw.ue(1)                  # disable_deblocking_filter_idc
+    skip_run = 0
+    for mby in range(mbh):
+        for mbx in range(mbw):
+            skip_run = _encode_mb_p(bw, st, ypad, _FrameCoder._cbsrc,
+                                    _FrameCoder._crsrc, mby, mbx,
+                                    skip_run)
+    if skip_run:
+        bw.ue(skip_run)       # trailing skip run
+    bw.trailing()
+    return bw.bytes(), st
+
+
 def encode_h264(frames: list[np.ndarray], qp: int = 10,
-                return_recon: bool = False):
+                return_recon: bool = False, inter: bool = False):
     """Encode RGB frames (HxWx3 uint8, even dims) as an Annex B AVC
-    byte stream of IDR pictures (SPS+PPS up front).  ``return_recon``
+    byte stream (SPS+PPS up front).  All-intra by default (every frame
+    IDR); ``inter=True`` emits IDR + P pictures, each P motion-
+    compensated from the previous decoded picture (P_Skip / P_L0_16x16
+    / intra-in-P macroblocks, quarter-pel search).  ``return_recon``
     additionally returns the encoder's own reconstructed RGB frames —
     bit-exactly what ``decode_h264`` must produce."""
     if not frames:
@@ -931,7 +1257,8 @@ def encode_h264(frames: list[np.ndarray], qp: int = 10,
     out += _nal(7, 3, _sps_rbsp(w, h))
     out += _nal(8, 3, _pps_rbsp(qp))
     recons = []
-    for fr in frames:
+    prev = None                  # (y, cb, cr) recon of previous picture
+    for fi, fr in enumerate(frames):
         if fr.shape[:2] != (h, w):
             raise ValueError("all frames must share dimensions")
         if fr.ndim == 2:
@@ -945,10 +1272,19 @@ def encode_h264(frames: list[np.ndarray], qp: int = 10,
         crp = np.pad(cr, ((0, mbh * 8 - cr.shape[0]),
                           (0, mbw * 8 - cr.shape[1])), mode="edge")
         _FrameCoder._cbsrc, _FrameCoder._crsrc = cbp, crp
-        rbsp, ry, rcb, rcr = _encode_frame(y, cb, cr, qp)
-        out += _nal(5, 3, rbsp)
+        if inter and fi > 0:
+            rbsp, st = _encode_frame_p(y, cb, cr, qp, fi & 15, prev)
+            out += _nal(1, 3, rbsp)
+        else:
+            rbsp, st = _encode_frame(y, cb, cr, qp)
+            out += _nal(5, 3, rbsp)
+        # reference = the FULL MB-grid reconstruction (what the decoder
+        # holds too); crop only for the returned frames
+        prev = (st.rec_y, st.rec_cb, st.rec_cr)
         if return_recon:
-            recons.append(_yuv420_to_rgb(ry, rcb, rcr))
+            recons.append(_yuv420_to_rgb(
+                st.rec_y[:h, :w], st.rec_cb[:h // 2, :w // 2],
+                st.rec_cr[:h // 2, :w // 2]))
     return (bytes(out), recons) if return_recon else bytes(out)
 
 
@@ -1020,15 +1356,74 @@ def _parse_pps(rbsp: bytes) -> _PPS:
     return pps
 
 
+def _decode_mb_pskip(st: _FrameCoder, mby: int, mbx: int) -> None:
+    """P_Skip: motion-inferred copy from the reference, no residual."""
+    _, skip_mv = _mvp_16x16(st, mby, mbx)
+    oy, ox = mby * 16, mbx * 16
+    st.rec_y[oy:oy + 16, ox:ox + 16] = np.clip(
+        _mc_luma(st.ref_y, oy, ox, skip_mv, 16, 16), 0, 255)
+    st.rec_cb[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = np.clip(
+        _mc_chroma(st.ref_cb, mby * 8, mbx * 8, skip_mv, 8, 8), 0, 255)
+    st.rec_cr[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = np.clip(
+        _mc_chroma(st.ref_cr, mby * 8, mbx * 8, skip_mv, 8, 8), 0, 255)
+    r0, c0 = mby * 4, mbx * 4
+    st.refs[r0:r0 + 4, c0:c0 + 4] = 0
+    st.mvs[r0:r0 + 4, c0:c0 + 4] = skip_mv
+    st.tc_y[r0:r0 + 4, c0:c0 + 4] = 0
+    st.tc_cb[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+    st.tc_cr[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+    st.modes[r0:r0 + 4, c0:c0 + 4] = -1
+
+
 def _decode_mb(br: _BitReader, st: _FrameCoder, qp: int, mby: int,
-               mbx: int) -> int:
-    """Decode one macroblock; returns the (possibly delta'd) QP."""
+               mbx: int, is_p: bool = False) -> int:
+    """Decode one (non-skip) macroblock; returns the possibly
+    delta'd QP."""
     mb_type = br.ue()
+    oy, ox = mby * 16, mbx * 16
+    if is_p and mb_type < 5:  # ---- inter ---------------------------
+        if mb_type != 0:
+            raise ValueError("sub-16x16 inter partitions not in subset")
+        mvd_x = br.se()
+        mvd_y = br.se()
+        mvp, _ = _mvp_16x16(st, mby, mbx)
+        mv = (mvp[0] + mvd_y, mvp[1] + mvd_x)
+        pred = _mc_luma(st.ref_y, oy, ox, mv, 16, 16)
+        cbp = br.ue()
+        if cbp > 47:
+            raise ValueError("coded_block_pattern out of range")
+        cbp_luma, cbp_c = cbp & 15, cbp >> 4
+        if cbp:
+            qp = (qp + br.se()) % 52
+        blk = np.zeros((16, 16), dtype=np.int64)
+        for idx in range(16):
+            bx4, by4 = _BLK_XY[idx]
+            if cbp_luma & (1 << (2 * (by4 // 2) + (bx4 // 2))):
+                nc = _nc(st.tc_y, mby * 4 + by4, mbx * 4 + bx4)
+                scan, tc = _decode_residual(br, nc, 16)
+                st.tc_y[mby * 4 + by4, mbx * 4 + bx4] = tc
+                z = np.zeros((4, 4), dtype=np.int64)
+                for k, p in enumerate(_ZIGZAG):
+                    z[p] = scan[k]
+                blk[by4 * 4:by4 * 4 + 4, bx4 * 4:bx4 * 4 + 4] = \
+                    _idct4(_dequant4(z, qp))
+            else:
+                st.tc_y[mby * 4 + by4, mbx * 4 + bx4] = 0
+        st.rec_y[oy:oy + 16, ox:ox + 16] = np.clip(pred + blk, 0, 255)
+        r0, c0 = mby * 4, mbx * 4
+        st.refs[r0:r0 + 4, c0:c0 + 4] = 0
+        st.mvs[r0:r0 + 4, c0:c0 + 4] = mv
+        st.modes[r0:r0 + 4, c0:c0 + 4] = -1
+        _decode_chroma(br, st, qp, mby, mbx, cbp_c, preds=[
+            _mc_chroma(st.ref_cb, mby * 8, mbx * 8, mv, 8, 8),
+            _mc_chroma(st.ref_cr, mby * 8, mbx * 8, mv, 8, 8)])
+        return qp
+    if is_p:
+        mb_type -= 5          # P-slice intra offset (Table 7-10)
     if mb_type == 25:
         raise ValueError("I_PCM not in this subset")
     if mb_type > 25:
         raise ValueError(f"mb_type {mb_type} not an I macroblock")
-    oy, ox = mby * 16, mbx * 16
     if mb_type == 0:  # ---- I_4x4 -----------------------------------
         modes = []
         for idx in range(16):
@@ -1105,13 +1500,23 @@ def _decode_mb(br: _BitReader, st: _FrameCoder, qp: int, mby: int,
     # ---- chroma ----------------------------------------------------
     # intra_chroma_pred_mode numbering (8.3.4): 0=DC, 1=H, 2=V —
     # remap onto the shared predictor's 0=V/1=H/2=DC convention
-    cmode = {0: 2, 1: 1, 2: 0}[chroma_mode]
+    _decode_chroma(br, st, qp, mby, mbx, cbp_c,
+                   cmode={0: 2, 1: 1, 2: 0}[chroma_mode])
+    return qp
+
+
+def _decode_chroma(br: _BitReader, st: _FrameCoder, qp: int, mby: int,
+                   mbx: int, cbp_c: int, preds=None,
+                   cmode: int = 2) -> None:
+    """Chroma residual decode shared by intra (``cmode`` prediction)
+    and inter (``preds`` = the two MC blocks) macroblocks."""
     qpc = _CHROMA_QP[min(51, max(0, qp))]
     for comp in range(2):
         rec = st.rec_cb if comp == 0 else st.rec_cr
         tcg = st.tc_cb if comp == 0 else st.tc_cr
         cy, cx = mby * 8, mbx * 8
-        pred = _pred_block(rec, cy, cx, 8, cmode)
+        pred = preds[comp] if preds is not None \
+            else _pred_block(rec, cy, cx, 8, cmode)
         if cbp_c > 0:
             scan, _ = _decode_residual(br, -1, 4)
             dcq = np.array([[scan[0], scan[1]], [scan[2], scan[3]]],
@@ -1136,13 +1541,13 @@ def _decode_mb(br: _BitReader, st: _FrameCoder, qp: int, mby: int,
                 d[0, 0] = dcd[by, bx]
                 blk[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = _idct4(d)
         rec[cy:cy + 8, cx:cx + 8] = np.clip(pred + blk, 0, 255)
-    return qp
 
 
 def decode_h264_yuv(data: bytes):
     """Annex B -> list of (y, cb, cr) uint8 planes (cropped)."""
     sps = pps = None
     frames = []
+    prev_rec = None           # full-grid planes of the previous picture
     for nal_type, rbsp in split_nals(data):
         if nal_type == 7:
             sps = _parse_sps(rbsp)
@@ -1154,15 +1559,28 @@ def decode_h264_yuv(data: bytes):
             br = _BitReader(rbsp)
             if br.ue() != 0:
                 raise ValueError("multi-slice pictures not in subset")
-            slice_type = br.ue()
-            if slice_type % 5 != 2:
-                raise ValueError("only I slices in this subset")
+            slice_type = br.ue() % 5
+            if slice_type not in (0, 2):
+                raise ValueError("only I/P slices in this subset")
+            is_p = slice_type == 0
+            if is_p and nal_type == 5:
+                raise ValueError("IDR picture cannot carry a P slice")
             br.ue()  # pps id
             br.u(sps.log2_max_frame_num)  # frame_num
             if nal_type == 5:
                 br.ue()  # idr_pic_id
+            if is_p:
+                if br.u(1):  # num_ref_idx_active_override_flag
+                    if br.ue() != 0:
+                        raise ValueError("multi-reference not in subset")
+                if br.u(1):  # ref_pic_list_modification_flag_l0
+                    raise ValueError(
+                        "reference list modification not in subset")
+            if nal_type == 5:
                 br.u(1)  # no_output_of_prior_pics
                 br.u(1)  # long_term_reference
+            elif br.u(1):    # adaptive_ref_pic_marking_mode_flag
+                raise ValueError("adaptive ref marking not in subset")
             qp = pps.init_qp + br.se()
             if pps.deblock_ctrl:
                 if br.ue() == 0:  # disable_deblocking_filter_idc
@@ -1171,9 +1589,29 @@ def decode_h264_yuv(data: bytes):
                 # idc==1: filter off, nothing follows; idc==2 would
                 # carry alpha/beta offsets
             st = _FrameCoder(sps.mbw, sps.mbh, qp)
-            for mby in range(sps.mbh):
-                for mbx in range(sps.mbw):
-                    qp = _decode_mb(br, st, qp, mby, mbx)
+            if is_p:
+                if prev_rec is None:
+                    raise ValueError("P picture without a reference")
+                st.set_reference(*prev_rec)
+                total = sps.mbw * sps.mbh
+                idx = 0
+                while idx < total:
+                    run = br.ue()
+                    if idx + run > total:
+                        raise ValueError("mb_skip_run overruns slice")
+                    for _ in range(run):
+                        mby, mbx = divmod(idx, sps.mbw)
+                        _decode_mb_pskip(st, mby, mbx)
+                        idx += 1
+                    if idx < total:
+                        mby, mbx = divmod(idx, sps.mbw)
+                        qp = _decode_mb(br, st, qp, mby, mbx, is_p=True)
+                        idx += 1
+            else:
+                for mby in range(sps.mbh):
+                    for mbx in range(sps.mbw):
+                        qp = _decode_mb(br, st, qp, mby, mbx)
+            prev_rec = (st.rec_y, st.rec_cb, st.rec_cr)
             t, l = sps.crop
             frames.append((st.rec_y[t:t + sps.h, l:l + sps.w],
                            st.rec_cb[t // 2:(t + sps.h) // 2,

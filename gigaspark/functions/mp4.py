@@ -69,6 +69,9 @@ def mux_mp4(annexb: bytes, width: int, height: int, fps: int = 30) -> bytes:
         raise ValueError("Annex B input lacks SPS/PPS")
     samples = [struct.pack(">I", len(p)) + p
                for t, p in nals if t in (1, 5)]
+    sync = [i + 1 for i, (t, _p) in
+            enumerate([(t, p) for t, p in nals if t in (1, 5)])
+            if t == 5]
     if not samples:
         raise ValueError("no coded pictures")
     mdat_payload = b"".join(samples)
@@ -100,6 +103,9 @@ def mux_mp4(annexb: bytes, width: int, height: int, fps: int = 30) -> bytes:
         _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1)),
         _full(b"stsz", 0, 0, struct.pack(">II", 0, n) +
               b"".join(struct.pack(">I", len(s)) for s in samples)),
+        # sync (random-access) samples: the IDR pictures
+        _full(b"stss", 0, 0, struct.pack(">I", len(sync)) +
+              b"".join(struct.pack(">I", s) for s in sync)),
         # chunk offset patched below once the mdat position is known
         _full(b"stco", 0, 0, struct.pack(">II", 1, 0)),
     ]))

@@ -17,13 +17,15 @@ perceptual hashes, nearest-neighbour resize, lossless WebP/VP8L
 lossy-VP8 webp keyframes (functions/vp8.py — bool coder, token trees,
 WHT+DCT, intra prediction; probability tables repo-pinned), MPEG-1
 audio Layers I–III incl. the L3 bit reservoir / short blocks / joint
-stereo (functions/mpeg_audio.py), H.264/AVC intra video
-(functions/h264.py — CAVLC levels, 4x4 transform + Hadamard DC, I_4x4
-and I_16x16 prediction; entropy-code index tables repo-pinned) and the
-MP4/ISO-BMFF container (functions/mp4.py — avcC + full sample-table
-demux).  What is STUBBED (no ffmpeg in this container): inter-frame
-video (P/B slices, vp9) surfaces as decode_ok=false rows, clearly
-marked, with the dispatch and schema ready for a vendored codec.
+stereo (functions/mpeg_audio.py), H.264/AVC video with BOTH intra and
+inter coding (functions/h264.py — CAVLC levels, 4x4 transform +
+Hadamard DC, I_4x4/I_16x16 prediction, P slices with P_Skip inference,
+median-MV prediction and spec 6-tap quarter-pel motion compensation;
+entropy-code index tables repo-pinned) and the MP4/ISO-BMFF container
+(functions/mp4.py — avcC + full sample-table demux, stss sync table).
+What is STUBBED (no ffmpeg in this container): B slices and vp9
+surface as decode_ok=false rows, clearly marked, with the dispatch
+and schema ready for a vendored codec.
 
 Scale notes: blob batches dominate memory — ``mapInPandas`` streams
 Arrow batches so an executor never holds a partition of blobs at once;
@@ -443,15 +445,14 @@ def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
     fmt='gif-anim' (the GIF89a animation model in functions/gif.py:
     sub-rectangle composition, transparency, disposal methods; sampled
     canvas frames re-emitted as lossless PNG), fmt='h264' (Annex B AVC
-    intra streams, functions/h264.py) and fmt='mp4-avc' (ISO-BMFF
-    demux in functions/mp4.py feeding the same AVC decoder).  Either
-    way the emitted rows flow straight into the image ops above.
+    streams — IDR and P pictures, functions/h264.py) and fmt='mp4-avc'
+    (ISO-BMFF demux in functions/mp4.py feeding the same AVC decoder).
+    Either way the emitted rows flow straight into the image ops above.
 
     Input (video_id, bytes, fmt); output one row per sampled frame
     (every ``every_n``-th, always including frame 0).  Codecs this
-    container can't decode (inter-frame P/B video, vp9 — no ffmpeg)
-    and corrupt blobs emit ONE decode_ok=false row instead of failing
-    the task.
+    container can't decode (B slices, vp9 — no ffmpeg) and corrupt
+    blobs emit ONE decode_ok=false row instead of failing the task.
     One blob never amplifies memory: frames are sliced views of the
     container bytes (or composed canvases), emitted per Arrow batch.
     """

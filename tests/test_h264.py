@@ -159,6 +159,96 @@ def test_split_nals_structure():
 
 
 # ------------------------------------------------------------------ #
+# P slices (inter prediction)                                          #
+# ------------------------------------------------------------------ #
+
+def _pan_frames(n, h=48, w=64):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return [np.stack([(xx * 4 + f * 8) % 256, (yy * 3 + f * 4) % 256,
+                      ((xx + yy) * 2) % 256],
+                     axis=-1).astype(np.uint8) for f in range(n)]
+
+
+def test_p_slices_bit_exact_and_smaller():
+    frames = _pan_frames(5)
+    data, recons = encode_h264(frames, qp=8, inter=True,
+                               return_recon=True)
+    dec = decode_h264(data)
+    assert len(dec) == 5
+    for d, r, src in zip(dec, recons, frames):
+        assert np.array_equal(d, r)          # decoder == encoder recon
+        assert _psnr(d, src) >= 40.0
+    types = [t for t, _ in split_nals(data)]
+    assert types[2] == 5 and set(types[3:]) == {1}  # IDR then P NALs
+    # motion compensation must beat all-intra on a pan
+    assert len(data) < len(encode_h264(frames, qp=8))
+
+
+def test_p_skip_static_scene():
+    still = [_pan_frames(1)[0]] * 4
+    data = encode_h264(still, qp=8, inter=True)
+    dec = decode_h264(data)
+    assert len(dec) == 4
+    # a static scene is mostly P_Skip: the 3 P frames together must be
+    # far smaller than one more IDR would be
+    intra = encode_h264(still[:2], qp=8)
+    idr_size = len(intra) - len(encode_h264(still[:1], qp=8))
+    p_total = len(data) - len(encode_h264(still[:1], qp=8))
+    assert p_total < idr_size  # 3 P frames < 1 IDR frame
+    # successive P frames converge toward the source (residual coding
+    # against the reference refines what the IDR quantized away)
+    assert _psnr(dec[3], still[3]) >= _psnr(dec[0], still[0]) - 0.1
+
+
+def test_p_intra_fallback_on_cut():
+    h, w = 32, 48
+    a = np.full((h, w, 3), 40, np.uint8)
+    rng = np.random.default_rng(9)
+    b = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)  # hard cut
+    data, recons = encode_h264([a, a, b], qp=10, inter=True,
+                               return_recon=True)
+    dec = decode_h264(data)
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d, r)
+
+
+def test_p_cropped_dims():
+    frames = [f[:20, :28] for f in _pan_frames(3)]
+    data, recons = encode_h264([np.ascontiguousarray(f) for f in frames],
+                               qp=8, inter=True, return_recon=True)
+    dec = decode_h264(data)
+    assert all(d.shape == (20, 28, 3) for d in dec)
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d, r)
+
+
+def test_p_stream_without_reference_rejected():
+    frames = _pan_frames(2, 32, 32)
+    data = encode_h264(frames, qp=10, inter=True)
+    nals = split_nals(data)
+    # rebuild the stream without the IDR: SPS + PPS + the P NAL only
+    from gigaspark.functions.h264 import _nal, _rbsp_to_ebsp  # noqa: F401
+    out = bytearray()
+    for t, rbsp in nals:
+        if t == 5:
+            continue
+        hdr = bytes([(3 << 5) | t])
+        out += b"\x00\x00\x00\x01" + hdr + _rbsp_to_ebsp(rbsp)
+    with pytest.raises(ValueError):
+        decode_h264(bytes(out))
+
+
+def test_mp4_inter_roundtrip_with_stss():
+    frames = _pan_frames(4, 32, 48)
+    annexb, recons = encode_h264(frames, qp=9, inter=True,
+                                 return_recon=True)
+    mp4 = mux_mp4(annexb, 48, 32)
+    assert b"stss" in mp4                      # sync-sample table
+    dec = decode_h264(demux_mp4(mp4))
+    assert all(np.array_equal(d, r) for d, r in zip(dec, recons))
+
+
+# ------------------------------------------------------------------ #
 # mp4 container                                                        #
 # ------------------------------------------------------------------ #
 
