@@ -3347,6 +3347,53 @@ FROM depth LEFT JOIN doled USING (priority)
 """
 
 
+def q_mixture_plan(spark, sf_dir):
+    """Training-data mixture planning: per source — docs, whitespace
+    tokens, a pinned half-proportional/half-uniform sampling weight
+    (the temperature-mixing idea with τ pinned to the integer-exact
+    50/50 blend: weight‰ = (500·tokens) DIV total + 500 DIV n_sources),
+    and the per-epoch repetition factor (×1000) that realizes the
+    weight (repeat = weight‰·total DIV (1000·tokens)).  Pure integer
+    arithmetic end to end — bit-identical cross-engine.  One map-side-
+    combinable agg over the corpus + an O(#sources) broadcast of the
+    totals; the corpus never shuffles twice."""
+    from gigaspark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per = (d.groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(token_count(F.col("text"))).alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").alias("total"),
+                  F.count("*").alias("n_src"))
+    return (per.crossJoin(F.broadcast(tot))
+            .withColumn("weight_permille",
+                        F.expr("div(500 * n_tokens, total)"
+                               " + div(500, n_src)"))
+            .withColumn("repeat_milli",
+                        F.expr("div(weight_permille * total,"
+                               " 1000 * n_tokens)"))
+            .select("source", "n_docs", "n_tokens", "weight_permille",
+                    "repeat_milli"))
+
+
+SQL_MIXTURE = """
+WITH n AS (SELECT source,
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+    FROM documents),
+tok AS (SELECT source, count(*)::BIGINT AS n_docs,
+    sum(CASE WHEN t = '' THEN 0
+        ELSE len(regexp_split_to_array(t, ' ')) END)::BIGINT AS n_tokens
+    FROM n GROUP BY source),
+tot AS (SELECT sum(n_tokens) AS total, count(*) AS n_src FROM tok)
+SELECT source, n_docs, n_tokens,
+       ((500 * n_tokens) // total + 500 // n_src)::BIGINT
+         AS weight_permille,
+       ((((500 * n_tokens) // total + 500 // n_src) * total)
+         // (1000 * n_tokens))::BIGINT AS repeat_milli
+FROM tok, tot
+"""
+
+
 def q_latency_percentiles(spark, sf_dir):
     """Exact discrete percentiles (Statsdb latency report shape [U][M]):
     p50/p90/p99 of events.value per event_type, picked at rank
@@ -3944,15 +3991,16 @@ def q_video_frames(spark, sf_dir):
         rows.append((f"gif{v:02d}",
                      bytearray(encode_gif_anim(frames, optimize_rects=v % 2 == 1)),
                      "gif-anim"))
-    for v in range(3):   # MP4/AVC clips: gradient pans, intra-only
-        frames = []
+    for v in range(3):   # MP4/AVC clips: gradient pans; clip 0 is
+        frames = []      # all-intra, clips 1-2 are IDR + P pictures
         for f in range(6 + v):
             y, x = np.mgrid[0:16, 0:32]
             pix = np.stack([(x * 8 + f * 16) % 256, (y * 12 + v * 40) % 256,
                             (x * 4 + y * 4) % 256], axis=2).astype(np.uint8)
             frames.append(pix)
         rows.append((f"mp4{v:02d}",
-                     bytearray(mux_mp4(encode_h264(frames, qp=10), 32, 16)),
+                     bytearray(mux_mp4(encode_h264(frames, qp=10,
+                                                   inter=v > 0), 32, 16)),
                      "mp4-avc"))
     rows.append(("badvid", bytearray(b"RIFF\x00\x00\x00\x00AVI "), "avi-mjpg"))
     rows.append(("badgif", bytearray(b"GIF89a\x01"), "gif-anim"))
@@ -4863,6 +4911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "termlist_stats": q_termlist_stats,
         "related_docs": q_related_docs,
         "spider_queue_report": q_spider_queue_report,
+        "mixture_plan": q_mixture_plan,
         "latency_percentiles": q_latency_percentiles,
         "facet_ranges": q_facet_ranges,
         "frontier_skew_stats": q_frontier_skew_stats,
@@ -4985,6 +5034,7 @@ def oracle_sql() -> dict[str, str]:
         "termlist_stats": SQL_TERMLIST_STATS,
         "related_docs": SQL_RELATED,
         "spider_queue_report": SQL_SPIDER_QUEUE,
+        "mixture_plan": SQL_MIXTURE,
         "latency_percentiles": SQL_LATENCY_PCT,
         "facet_ranges": SQL_FACET_RANGES,
         "frontier_skew_stats": SQL_FRONTIER_SKEW,
