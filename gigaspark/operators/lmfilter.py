@@ -1,0 +1,168 @@
+"""CCNet-style LM-perplexity quality filter (Wenzek et al. 2020,
+"CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+Data") — the missing flagship of the LLM-data-pipeline tier: train a
+small character-level bigram LM on a clean in-corpus slice, score every
+document's negative log-likelihood, and bucket the corpus into
+``head`` / ``middle`` / ``tail`` by sample-derived perplexity cutoffs.
+
+Reference parity note: Gigablast has no LM filter; this operator is part
+of the driver-mandated training-data-pipeline surface (SURVEY §2-LLM),
+spec'd from the public CCNet paper, not from ``/root/reference`` (empty
+checkout, citations stay [U] per SURVEY §0).
+
+Cross-engine float discipline (the repo's bm25 rule, hardened further):
+each bigram log-probability is pinned as an INTEGER in tenth-milli-nats
+(``CAST(round(ln(p) * 10000, 0) AS BIGINT)``), so the per-document score
+is an EXACT integer sum — no float-accumulation-order hazard at all.
+The only doubles that exist are (a) the one ``ln`` per *distinct* bigram
+(≤ 37² = 1369 of them; both engines agree after the e-4 quantisation)
+and (b) the final ``nll10k / n_bigrams`` mean used for bucket
+comparison, a single IEEE division of exact integers — bit-identical in
+Spark and DuckDB.
+
+Scale shape (100 TB story):
+
+* **Training** is one distributed histogram: explode the training slice
+  into character bigrams, ``groupBy(bigram).count()`` (map-side combine,
+  uniform keys, one shuffle).  The model is ≤ 37×37 rows → broadcast.
+* **Scoring** is explode → broadcast-join the model → one ``doc_id``
+  aggregation.  The corpus shuffles once, on a uniform key.
+* **Cutoffs** follow CCNet's own practice: percentiles are computed ONCE
+  on a deterministic hash-sample (``doc_id % sample_mod == 3``), then
+  applied to the full corpus as broadcast constants.  The full corpus is
+  never globally sorted.  At 10^10 docs, ``sample_mod`` is chosen so the
+  sample stays ~10^6 rows (same bounded-driver-state class as the BPE
+  merge loop, documented there); the single-partition rank window runs
+  over the SAMPLE only, never the corpus.
+
+Alphabet is pinned to 37 symbols (``a-z``, ``0-9``, space): text is
+ASCII-normalised BEFORE lowercasing (``[^A-Za-z0-9 ]+`` → space, squeeze
+runs, trim), so engine Unicode-lowercase differences cannot leak in.
+Add-one (Laplace) smoothing over the pinned alphabet; a bigram whose
+context was never seen in training scores ``ln(1/37)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: pinned alphabet size: a-z (26) + 0-9 (10) + space (1)
+ALPHABET_V = 37
+
+
+def _lm_norm(c) -> F.Column:
+    """ASCII-pinned normalisation: non-[A-Za-z0-9 ] runs → single space,
+    THEN lowercase (pure-ASCII input, so lower() is engine-identical),
+    squeeze space runs, trim."""
+    x = F.regexp_replace(c, "[^A-Za-z0-9 ]+", " ")
+    x = F.lower(x)
+    x = F.regexp_replace(x, " {2,}", " ")
+    return F.trim(x)
+
+
+def _bigrams(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang, bg) — one row per character bigram of the
+    normalised text.  Docs shorter than 2 normalised chars emit no rows
+    (``explode`` of the empty array), mirroring DuckDB's empty
+    ``range(1, n)`` for n <= 1."""
+    base = df.select("doc_id", "lang",
+                     _lm_norm(F.col(text_col)).alias("t"))
+    bgs = F.when(
+        F.length("t") >= 2,
+        F.expr("transform(sequence(1, length(t) - 1),"
+               " i -> substring(t, i, 2))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select("doc_id", "lang", F.explode(bgs).alias("bg"))
+
+
+def train_char_bigram_lm(docs: DataFrame, train_lang: str = "en",
+                         text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """Train the add-one-smoothed character-bigram LM on the docs whose
+    ``lang`` equals ``train_lang`` (CCNet trains on the target-language
+    reference corpus).
+
+    Returns ``(model, contexts)``:
+
+    * ``model``:    (bg, lp)   — lp = round(ln((c_ab+1)/(c_a+V))·1e4) as BIGINT
+    * ``contexts``: (ctx, lp0) — backoff for unseen bigram in a seen
+      context: lp0 = round(ln(1/(c_a+V))·1e4) as BIGINT
+
+    Both are ≤ 37² rows — broadcast them at scoring time.
+    """
+    bg = _bigrams(docs, text_col).where(F.col("lang") == train_lang)
+    cab = (bg.groupBy(F.substring("bg", 1, 1).alias("ctx"),
+                      F.col("bg"))
+           .agg(F.count("*").alias("cab")))
+    ca = cab.groupBy("ctx").agg(F.sum("cab").alias("ca"))
+    model = (cab.join(ca, "ctx")
+             .select("bg",
+                     F.round(F.log((F.col("cab") + F.lit(1.0))
+                                   / (F.col("ca") + F.lit(float(ALPHABET_V))))
+                             * 10000, 0).cast("bigint").alias("lp")))
+    contexts = ca.select(
+        "ctx",
+        F.round(F.log(F.lit(1.0) / (F.col("ca") + F.lit(float(ALPHABET_V))))
+                * 10000, 0).cast("bigint").alias("lp0"))
+    return model, contexts
+
+
+def score_nll(docs: DataFrame, model: DataFrame, contexts: DataFrame,
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, nll10k, n_bigrams) — exact-integer negative
+    log-likelihood (tenth-milli-nats) and bigram count per document.
+    Docs with no bigrams after normalisation emit no row (CCNet drops
+    empties)."""
+    # ln(1/V) for a bigram whose context never occurred in training
+    import math
+    lp_cold = int(round(math.log(1.0 / ALPHABET_V) * 10000))
+    bg = _bigrams(docs, text_col)
+    scored = (bg
+              .join(F.broadcast(model), "bg", "left")
+              .join(F.broadcast(contexts),
+                    F.substring("bg", 1, 1) == F.col("ctx"), "left")
+              .select("doc_id",
+                      F.coalesce(F.col("lp"), F.col("lp0"),
+                                 F.lit(lp_cold).cast("bigint")).alias("lpx")))
+    return (scored.groupBy("doc_id")
+            .agg((-F.sum("lpx")).cast("bigint").alias("nll10k"),
+                 F.count("*").cast("bigint").alias("n_bigrams")))
+
+
+def ccnet_buckets(docs: DataFrame, train_lang: str = "en",
+                  sample_mod: int = 5, text_col: str = "text",
+                  cache=None) -> DataFrame:
+    """The full CCNet pipeline: train → score → bucket.
+
+    Returns (doc_id, nll10k, n_bigrams, bucket) with bucket ∈
+    {'head','middle','tail'} by mean-NLL tertiles of the deterministic
+    sample (``doc_id % sample_mod == 3``).  The bucket comparison uses
+    ``nll10k / n_bigrams`` — one IEEE double division of exact integers,
+    bit-identical across engines; ties in the sample rank are broken by
+    ``doc_id``.
+    """
+    model, contexts = train_char_bigram_lm(docs, train_lang, text_col)
+    scored = score_nll(docs, model, contexts, text_col)
+    if cache is not None:
+        # scored feeds BOTH the sample-cutoff branch and the final
+        # bucket projection — persist it so the corpus is scored once,
+        # not twice (same `cache` hook contract as semantic_dedup)
+        scored = cache(scored)
+    mean = (F.col("nll10k") / F.col("n_bigrams"))
+
+    samp = scored.where(F.col("doc_id") % sample_mod == 3)
+    w = Window.orderBy(mean.asc(), F.col("doc_id").asc())
+    ranked = samp.select(
+        mean.alias("m"),
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("ns"))
+    cuts = ranked.agg(
+        F.max(F.when(F.col("rk") == (F.col("ns") / 3).cast("bigint"),
+                     F.col("m"))).alias("cut1"),
+        F.max(F.when(F.col("rk") == (F.col("ns") * 2 / 3).cast("bigint"),
+                     F.col("m"))).alias("cut2"))
+
+    return (scored.crossJoin(F.broadcast(cuts))
+            .select("doc_id", "nll10k", "n_bigrams",
+                    F.when(mean <= F.col("cut1"), F.lit("head"))
+                    .when(mean <= F.col("cut2"), F.lit("middle"))
+                    .otherwise(F.lit("tail")).alias("bucket")))
