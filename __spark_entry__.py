@@ -4433,6 +4433,74 @@ def q_image_filter(spark, sf_dir):
     return image_corpus_filter(_images_meta(spark, sf_dir))
 
 
+def q_caption_ppl(spark, sf_dir):
+    """Caption-quality gate for the image-caption corpus (LAION/
+    DataComp text-side filter, CCNet shape): char-bigram LM trained on
+    the clean DOCUMENT slice, every caption scored, keep iff
+    ``nll10k <= 17500 * n_bigrams`` — an all-integer decision
+    (`gigaspark.operators.lmfilter.caption_ppl_gate`)."""
+    from gigaspark.operators.lmfilter import caption_ppl_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    return caption_ppl_gate(_images_meta(spark, sf_dir), docs,
+                            train_lang="en", max_mean_nll10k=17500)
+
+
+def _sql_caption_ppl() -> str:
+    return f"""
+WITH {_SQL_IMAGES_META},
+dn AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower(regexp_replace(text,
+              '[^A-Za-z0-9 ]+', ' ', 'g')), ' {{2,}}', ' ', 'g')) AS t
+  FROM documents),
+dbg AS (
+  SELECT unnest(list_transform(range(1, length(t)),
+                               i -> substring(t, i::INT, 2))) AS bg
+  FROM dn WHERE lang = 'en'),
+cab AS (
+  SELECT substring(bg, 1, 1) AS ctx, bg, count(*)::BIGINT AS cab
+  FROM dbg GROUP BY 1, 2),
+ca2 AS (SELECT ctx, sum(cab)::BIGINT AS ca FROM cab GROUP BY 1),
+model AS (
+  SELECT cab.bg,
+         CAST(round(ln((cab.cab + 1.0) / (ca2.ca + 37.0)) * 10000, 0)
+              AS BIGINT) AS lp
+  FROM cab JOIN ca2 USING (ctx)),
+miss AS (
+  SELECT ctx,
+         CAST(round(ln(1.0 / (ca + 37.0)) * 10000, 0) AS BIGINT) AS lp0
+  FROM ca2),
+cn AS (
+  SELECT image_id,
+         trim(regexp_replace(lower(regexp_replace(caption,
+              '[^A-Za-z0-9 ]+', ' ', 'g')), ' {{2,}}', ' ', 'g')) AS t
+  FROM imgs),
+cbg AS (
+  SELECT image_id,
+         unnest(list_transform(range(1, length(t)),
+                               i -> substring(t, i::INT, 2))) AS bg
+  FROM cn),
+sc AS (
+  SELECT b.image_id,
+         (-sum(coalesce(m.lp, ms.lp0,
+                        CAST(round(ln(1.0 / 37.0) * 10000, 0)
+                             AS BIGINT))))::BIGINT AS nll10k,
+         count(*)::BIGINT AS n_bigrams
+  FROM cbg b
+  LEFT JOIN model m ON m.bg = b.bg
+  LEFT JOIN miss ms ON ms.ctx = substring(b.bg, 1, 1)
+  GROUP BY 1)
+SELECT i.image_id,
+       coalesce(sc.nll10k, 0)::BIGINT AS nll10k,
+       coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+       (coalesce(sc.n_bigrams, 0) > 0
+        AND coalesce(sc.nll10k, 0) <= 17500 * coalesce(sc.n_bigrams, 0))
+         AS cap_ok
+FROM imgs i LEFT JOIN sc USING (image_id)
+"""
+
+
 def q_image_shard_pack(spark, sf_dir):
     """Webdataset-style shard assignment over the KEPT images: exclusive
     prefix sum of sample bytes over the image_id total order (two-level
@@ -4924,6 +4992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== verified by tools/check_oracle.py at sf0.01 + sf0.1) ======
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivfpq_topk": q_ann_ivfpq,
+        "image_caption_ppl": q_caption_ppl,
         "ann_pq_topk": q_ann_pq,
         "frontier_siterank_priority": q_frontier_siterank_priority,
         "search_querylang_trigram": q_querylang_trigram,
@@ -5053,6 +5122,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_ngram": SQL_CONTAMINATION,
         "corpus_filter_pipeline": _sql_corpus_filter(),
         "ccnet_ppl_buckets": SQL_CCNET_PPL,
+        "image_caption_ppl": _sql_caption_ppl(),
         "substring_dup_spans": SQL_SUBSTRING_DUPS,
         "pii_redact": _sql_pii(),
         "repetition_stats": SQL_REPETITION,

@@ -128,6 +128,41 @@ def score_nll(docs: DataFrame, model: DataFrame, contexts: DataFrame,
                  F.count("*").cast("bigint").alias("n_bigrams")))
 
 
+def caption_ppl_gate(imgs: DataFrame, train_docs: DataFrame,
+                     train_lang: str = "en",
+                     max_mean_nll10k: int = 17500,
+                     id_col: str = "image_id",
+                     caption_col: str = "caption") -> DataFrame:
+    """Caption-quality gate for the image-caption corpus (the
+    LAION/DataComp text-side filter, CCNet-style): score every caption
+    under the char-bigram LM trained on the clean DOCUMENT slice
+    (cross-table, exactly CCNet's reference-corpus-to-web-text shape)
+    and keep iff mean NLL ≤ the pinned threshold.
+
+    The keep rule is ENTIRELY integer — ``nll10k <= max_mean_nll10k *
+    n_bigrams`` — so there is not a single double anywhere in the
+    decision.  Captions that normalise to < 2 chars fail the gate
+    (nothing to score ⇒ not evidence of quality).
+
+    Returns (id_col, nll10k, n_bigrams, cap_ok).  Scale shape: model is
+    broadcast; the caption corpus shuffles once on ``id_col``.
+    """
+    model, contexts = train_char_bigram_lm(train_docs, train_lang)
+    cap_docs = imgs.select(F.col(id_col).alias("doc_id"),
+                           F.lit(train_lang).alias("lang"),
+                           F.col(caption_col).alias("text"))
+    scored = score_nll(cap_docs, model, contexts)
+    nll = F.coalesce(F.col("nll10k"), F.lit(0)).cast("bigint")
+    nbg = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
+    return (imgs.select(F.col(id_col))
+            .join(scored.withColumnRenamed("doc_id", id_col),
+                  id_col, "left")
+            .select(id_col, nll.alias("nll10k"), nbg.alias("n_bigrams"),
+                    ((nbg > 0)
+                     & (nll <= F.lit(max_mean_nll10k) * nbg))
+                    .alias("cap_ok")))
+
+
 def ccnet_buckets(docs: DataFrame, train_lang: str = "en",
                   sample_mod: int = 5, text_col: str = "text",
                   cache=None) -> DataFrame:

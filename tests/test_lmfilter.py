@@ -118,6 +118,29 @@ def test_bucket_cutoffs_from_sample_are_tertiles(spark, docs_df):
     assert labels == sorted(labels, key=order.__getitem__)
 
 
+def test_caption_gate_all_integer_decision(spark, docs_df):
+    from gigaspark.operators.lmfilter import caption_ppl_gate
+
+    imgs = spark.createDataFrame(
+        [("img1", "the quick brown fox jumps over the dog"),
+         ("img2", "zzxq qqzx xqzz qzqz zxzx qxqx wvkj jvkw"),
+         ("img3", "!?.,;"),           # normalises to empty: no evidence
+         ("img4", "")],
+        "image_id string, caption string")
+    got = {r.image_id: r for r in
+           caption_ppl_gate(imgs, docs_df, train_lang="en",
+                            max_mean_nll10k=30000).collect()}
+    assert len(got) == 4                       # gate covers EVERY image
+    assert got["img1"].cap_ok                  # in-model text passes
+    assert not got["img2"].cap_ok              # gibberish fails
+    assert not got["img3"].cap_ok and got["img3"].n_bigrams == 0
+    assert not got["img4"].cap_ok and got["img4"].nll10k == 0
+    # the keep rule is the integer inequality, verbatim
+    for r in got.values():
+        want = r.n_bigrams > 0 and r.nll10k <= 30000 * r.n_bigrams
+        assert r.cap_ok == want
+
+
 def test_model_is_broadcastable_size(spark, docs_df):
     model, ctx = train_char_bigram_lm(docs_df, train_lang="en")
     assert model.count() <= ALPHABET_V * ALPHABET_V
