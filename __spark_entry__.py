@@ -3314,6 +3314,76 @@ FROM qt LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (qterm)
 """
 
 
+def q_spell_symspell(spark, sf_dir):
+    """Batch query-log spell correction, SymSpell shape: the query log
+    is EVERY vocab term of length ≥ 4 gated by md5%3 with one
+    md5-picked character deleted (a deterministic large misspelling
+    set, NOT broadcastable by assumption) — corrected via the
+    symmetric-delete key join (`spell_correct_symspell`), never a
+    vocab × queries product."""
+    from gigaspark.functions.text import md5_int
+    from gigaspark.operators.search import (build_postings,
+                                            spell_correct_symspell,
+                                            vocab_freqs)
+
+    postings = build_postings(_t(spark, sf_dir, "documents"))
+    vocab = vocab_freqs(postings)
+    base = vocab.where(
+        (F.length("term") >= 4)
+        & (md5_int(F.concat(F.lit("sp:"), F.col("term"))) % 3 == 0))
+    qs = (base.withColumn(
+        "pp", (md5_int(F.concat(F.lit("del:"), F.col("term")))
+               % F.length("term") + 1).cast("int"))
+        .selectExpr("concat(substring(term, 1, pp - 1), "
+                    "substring(term, pp + 1, length(term))) AS qterm")
+        .distinct())
+    return spell_correct_symspell(vocab, qs, max_dist=1)
+
+
+SQL_SPELL_SYMSPELL = f"""
+WITH {_POSTINGS_CTE},
+v AS (SELECT term, count(*) AS freq FROM p GROUP BY term),
+qb AS (
+  SELECT term,
+         (('0x' || substr(md5('del:' || term), 1, 8))::BIGINT
+          % length(term) + 1)::INT AS pp
+  FROM v
+  WHERE length(term) >= 4
+    AND ('0x' || substr(md5('sp:' || term), 1, 8))::BIGINT % 3 = 0),
+qt AS (
+  SELECT DISTINCT substring(term, 1, pp - 1)
+         || substring(term, pp + 1, length(term)::INT) AS qterm
+  FROM qb),
+vk AS (
+  SELECT term, freq,
+         unnest(list_distinct(list_append(list_transform(
+           range(1, length(term) + 1),
+           i -> substring(term, 1, (i - 1)::INT)
+                || substring(term, (i + 1)::INT, length(term)::INT)),
+           term))) AS k
+  FROM v),
+qk AS (
+  SELECT qterm,
+         unnest(list_distinct(list_append(list_transform(
+           range(1, length(qterm) + 1),
+           i -> substring(qterm, 1, (i - 1)::INT)
+                || substring(qterm, (i + 1)::INT, length(qterm)::INT)),
+           qterm))) AS k
+  FROM qt),
+ver AS (
+  SELECT qterm, term, freq
+  FROM (SELECT DISTINCT qterm, term, freq FROM vk JOIN qk USING (k))
+  WHERE levenshtein(term, qterm) <= 1),
+best AS (
+  SELECT qterm, term AS corrected, freq,
+         row_number() OVER (PARTITION BY qterm
+                            ORDER BY freq DESC, term ASC) AS rn
+  FROM ver)
+SELECT qt.qterm, b.corrected, b.freq::BIGINT AS freq
+FROM qt LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (qterm)
+"""
+
+
 def q_termlist_stats(spark, sf_dir):
     """Index statistics (PageStats termlist-size report [U][M]): df
     histogram in log2 buckets — how many terms have 1, 2-3, 4-7, …
@@ -5035,6 +5105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_extract": q_sitemap_extract,
         "postings_tf": q_postings_tf,
         "spell_correct": q_spell_correct,
+        "spell_symspell": q_spell_symspell,
         "search_site_topk": q_search_site,
         "suggest_prefix": q_suggest_prefix,
         "search_facets": q_search_facets,
@@ -5137,6 +5208,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": _bpe_sql(),
         "postings_tf": SQL_POSTINGS_TF,
         "spell_correct": SQL_SPELL,
+        "spell_symspell": SQL_SPELL_SYMSPELL,
         "search_site_topk": SQL_SEARCH_SITE,
         "search_querylang_topk": SQL_QUERYLANG,
         "search_querylang_site": SQL_QUERYLANG_SITE,

@@ -40,6 +40,7 @@ HEADLINE = [
     "corpus_filter_pipeline", "postings_reindex",
     "ivf_kmeans_centroids", "substring_dup_spans", "shard_balance",
     "image_filter_pipeline", "image_shard_pack",
+    "ccnet_ppl_buckets", "image_caption_ppl",
 ]
 
 

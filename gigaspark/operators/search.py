@@ -783,6 +783,55 @@ def suggest_prefix(vocab: DataFrame, prefixes: DataFrame,
                     F.col("freq").cast("long").alias("freq")))
 
 
+def _deletion_keys(c) -> F.Column:
+    """The SymSpell key set of a term: the term itself plus every
+    single-character deletion (≤ len+1 keys).  Two strings are within
+    edit distance 1 only if their key sets intersect — so a hash
+    equi-join on the key finds ALL candidates without a cross product."""
+    dels = F.expr(
+        f"transform(sequence(1, length({c})), i -> "
+        f"concat(substring({c}, 1, i - 1), "
+        f"substring({c}, i + 1, length({c}))))")
+    return F.array_distinct(F.concat(dels, F.array(F.col(c))))
+
+
+def spell_correct_symspell(vocab: DataFrame, queries: DataFrame,
+                           max_dist: int = 1) -> DataFrame:
+    """SymSpell (symmetric-delete) batch spell correction — the scale
+    path when the query log is ALSO too large to broadcast
+    (:func:`spell_correct` broadcasts the query side; Gigablast's
+    ``Speller::getRecommendation`` [U][M] fixes one query at a time —
+    batch correction over a full query log is this repo's scale
+    extension, after Garbe's public SymSpell algorithm).
+
+    Both sides explode to deletion keys (≤ len+1 rows per term), meet
+    at a hash EQUI-join on the key (uniform, shuffleable), and one
+    ``levenshtein`` verifies the candidate pairs only — never a
+    vocab × queries product, and nothing is broadcast.  Same output
+    contract as :func:`spell_correct`: (qterm, corrected, freq), NULL
+    when no dictionary term is within ``max_dist``.
+    """
+    if max_dist != 1:
+        raise ValueError("symspell with single-deletion keys is "
+                         "complete only for max_dist=1 (dist-2 needs "
+                         "2-deletion keys)")
+    vk = (vocab.select("term", "freq",
+                       F.explode(_deletion_keys("term")).alias("k")))
+    qk = (queries.select("qterm",
+                         F.explode(_deletion_keys("qterm")).alias("k")))
+    cand = (vk.join(qk, "k")
+            .select("qterm", "term", "freq").distinct()
+            .where(F.levenshtein(F.col("term"), F.col("qterm"))
+                   <= F.lit(max_dist)))
+    w = Window.partitionBy("qterm").orderBy(
+        F.col("freq").desc(), F.col("term").asc())
+    best = (cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("qterm", F.col("term").alias("corrected"), "freq"))
+    return queries.join(best, "qterm", "left").select(
+        "qterm", "corrected", F.col("freq").cast("long").alias("freq"))
+
+
 def spell_correct(vocab: DataFrame, queries: DataFrame,
                   max_dist: int = 1) -> DataFrame:
     """Speller recommendation (``Speller::getRecommendation`` shape

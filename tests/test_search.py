@@ -160,6 +160,37 @@ def test_spell_correct_popularity_tiebreak(spark):
     assert got["bab"] == ("bat", 2)   # bat(2) vs cab(2): freq tie → 'bat' < 'cab'
 
 
+def test_spell_symspell_matches_broadcast_variant(spark):
+    """The symmetric-delete key join must produce EXACTLY the same
+    corrections as the broadcast levenshtein scan — the deletion-key
+    candidate set is complete for distance ≤ 1 by construction."""
+    from gigaspark.operators.search import (spell_correct,
+                                            spell_correct_symspell,
+                                            vocab_freqs)
+
+    p = build_postings(_docs(spark))
+    vocab = vocab_freqs(p)
+    qs = spark.createDataFrame(
+        [("quik",), ("fox",), ("lazi",), ("zzzzzz",), ("a",), ("og",)],
+        "qterm string")
+    want = sorted(map(tuple, spell_correct(vocab, qs, 1).collect()))
+    got = sorted(map(tuple, spell_correct_symspell(vocab, qs, 1).collect()))
+    assert got == want
+
+
+def test_spell_symspell_no_broadcast_of_query_side(spark):
+    """Scale audit: the candidate join must be a shuffle equi-join on
+    the deletion key — neither side broadcast, no nested-loop."""
+    from gigaspark.operators.search import (spell_correct_symspell,
+                                            vocab_freqs)
+
+    vocab = vocab_freqs(build_postings(_docs(spark)))
+    qs = spark.createDataFrame([("quik",)], "qterm string")
+    plan = (spell_correct_symspell(vocab, qs, 1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_search_site_restriction(spark):
     """site: operator keeps only the named site's docs, scored as AND."""
     from gigaspark.operators.search import search_site
