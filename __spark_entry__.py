@@ -4516,13 +4516,14 @@ def q_caption_ppl(spark, sf_dir):
                             train_lang="en", max_mean_nll10k=17500)
 
 
-def _sql_caption_ppl() -> str:
-    return f"""
-WITH {_SQL_IMAGES_META},
+# caption-LM CTE block (train on documents `en` slice, score captions
+# from the `imgs` CTE) — shared by image_caption_ppl and
+# image_filter_ppl; expects `imgs` and the `documents` view in scope
+_SQL_CAPTION_LM_CTES = """
 dn AS (
   SELECT doc_id, lang,
          trim(regexp_replace(lower(regexp_replace(text,
-              '[^A-Za-z0-9 ]+', ' ', 'g')), ' {{2,}}', ' ', 'g')) AS t
+              '[^A-Za-z0-9 ]+', ' ', 'g')), ' {2,}', ' ', 'g')) AS t
   FROM documents),
 dbg AS (
   SELECT unnest(list_transform(range(1, length(t)),
@@ -4544,7 +4545,7 @@ miss AS (
 cn AS (
   SELECT image_id,
          trim(regexp_replace(lower(regexp_replace(caption,
-              '[^A-Za-z0-9 ]+', ' ', 'g')), ' {{2,}}', ' ', 'g')) AS t
+              '[^A-Za-z0-9 ]+', ' ', 'g')), ' {2,}', ' ', 'g')) AS t
   FROM imgs),
 cbg AS (
   SELECT image_id,
@@ -4560,7 +4561,13 @@ sc AS (
   FROM cbg b
   LEFT JOIN model m ON m.bg = b.bg
   LEFT JOIN miss ms ON ms.ctx = substring(b.bg, 1, 1)
-  GROUP BY 1)
+  GROUP BY 1)"""
+
+
+def _sql_caption_ppl() -> str:
+    return f"""
+WITH {_SQL_IMAGES_META},
+{_SQL_CAPTION_LM_CTES}
 SELECT i.image_id,
        coalesce(sc.nll10k, 0)::BIGINT AS nll10k,
        coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
@@ -4568,6 +4575,46 @@ SELECT i.image_id,
         AND coalesce(sc.nll10k, 0) <= 17500 * coalesce(sc.n_bigrams, 0))
          AS cap_ok
 FROM imgs i LEFT JOIN sc USING (image_id)
+"""
+
+
+def q_image_filter_ppl(spark, sf_dir):
+    """Image-corpus keep/drop with the CCNet caption-perplexity rule
+    composed in (`image_corpus_filter_ppl`): precedence size → aspect
+    → caption → caption_ppl → duplicate → keep; the whole decision
+    value-hashed vs DuckDB."""
+    from gigaspark.operators.image_pipeline import image_corpus_filter_ppl
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_corpus_filter_ppl(_images_meta(spark, sf_dir), docs,
+                                   max_mean_nll10k=17500)
+
+
+def _sql_image_filter_ppl() -> str:
+    return f"""
+WITH {_SQL_IMAGES_META},
+{_SQL_CAPTION_LM_CTES},
+g AS (
+  SELECT i.image_id,
+         (coalesce(sc.n_bigrams, 0) > 0
+          AND coalesce(sc.nll10k, 0) <= 17500 * coalesce(sc.n_bigrams, 0))
+           AS cap_ok
+  FROM imgs i LEFT JOIN sc USING (image_id))
+SELECT d.image_id, d.w, d.h, d.cap_tokens, d.too_small, d.bad_aspect,
+       d.bad_caption, g.cap_ok, d.duplicate,
+       (CASE WHEN d.too_small THEN 'size'
+             WHEN d.bad_aspect THEN 'aspect'
+             WHEN d.bad_caption THEN 'caption'
+             WHEN NOT g.cap_ok THEN 'caption_ppl'
+             WHEN d.duplicate THEN 'duplicate'
+             ELSE 'keep' END) = 'keep' AS keep,
+       CASE WHEN d.too_small THEN 'size'
+            WHEN d.bad_aspect THEN 'aspect'
+            WHEN d.bad_caption THEN 'caption'
+            WHEN NOT g.cap_ok THEN 'caption_ppl'
+            WHEN d.duplicate THEN 'duplicate'
+            ELSE 'keep' END AS reason
+FROM dec d JOIN g USING (image_id)
 """
 
 
@@ -5063,6 +5110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivfpq_topk": q_ann_ivfpq,
         "image_caption_ppl": q_caption_ppl,
+        "image_filter_ppl": q_image_filter_ppl,
         "ann_pq_topk": q_ann_pq,
         "frontier_siterank_priority": q_frontier_siterank_priority,
         "search_querylang_trigram": q_querylang_trigram,
@@ -5194,6 +5242,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter_pipeline": _sql_corpus_filter(),
         "ccnet_ppl_buckets": SQL_CCNET_PPL,
         "image_caption_ppl": _sql_caption_ppl(),
+        "image_filter_ppl": _sql_image_filter_ppl(),
         "substring_dup_spans": SQL_SUBSTRING_DUPS,
         "pii_redact": _sql_pii(),
         "repetition_stats": SQL_REPETITION,

@@ -93,6 +93,40 @@ def image_corpus_filter(imgs: DataFrame, min_dim: int = 32,
                     "reason"))
 
 
+def image_corpus_filter_ppl(imgs: DataFrame, train_docs: DataFrame,
+                            max_mean_nll10k: int = 17500,
+                            **filter_kw) -> DataFrame:
+    """:func:`image_corpus_filter` extended with the CCNet caption-
+    perplexity gate (`gigaspark.operators.lmfilter.caption_ppl_gate`) —
+    the LAION/DataComp text-quality rule composed into the one-plan
+    keep/drop decision.  Pinned precedence gains one rung:
+    ``size → aspect → caption → caption_ppl → duplicate → keep``.
+
+    The gate joins on ``image_id`` (uniform key); the LM model inside
+    it is broadcast, so the composition adds exactly one corpus-side
+    shuffle (the caption scoring agg) to the base filter's plan.
+    """
+    from gigaspark.operators.lmfilter import caption_ppl_gate
+
+    dec = image_corpus_filter(imgs, **filter_kw)
+    gate = caption_ppl_gate(imgs, train_docs,
+                            max_mean_nll10k=max_mean_nll10k) \
+        .select("image_id", "cap_ok")
+    reason = (
+        F.when(F.col("too_small"), F.lit("size"))
+        .when(F.col("bad_aspect"), F.lit("aspect"))
+        .when(F.col("bad_caption"), F.lit("caption"))
+        .when(~F.col("cap_ok"), F.lit("caption_ppl"))
+        .when(F.col("duplicate"), F.lit("duplicate"))
+        .otherwise(F.lit("keep")))
+    return (dec.drop("keep", "reason").join(gate, "image_id")
+            .withColumn("reason", reason)
+            .withColumn("keep", F.col("reason") == "keep")
+            .select("image_id", "w", "h", "cap_tokens", "too_small",
+                    "bad_aspect", "bad_caption", "cap_ok", "duplicate",
+                    "keep", "reason"))
+
+
 def image_shard_pack(imgs: DataFrame, shard_bytes: int = 1 << 18,
                      nbytes: Column | None = None,
                      small_count: int | None = None) -> DataFrame:

@@ -44,6 +44,32 @@ def test_reason_precedence_pinned(spark):
     assert out["g"]["reason"] == "keep" and out["g"]["keep"]
 
 
+def test_filter_ppl_composed_precedence(spark):
+    """caption_ppl slots between 'caption' and 'duplicate': an image
+    whose caption passes the token-count rule but fails the LM gate
+    drops with reason 'caption_ppl'; clean captions keep."""
+    from gigaspark.operators.image_pipeline import image_corpus_filter_ppl
+
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog "
+             "a scan of the table returns sorted rows", "en")
+         for i in range(4)],
+        "doc_id long, text string, lang string")
+    rows = [
+        ("a", 128, 128, "the quick brown fox jumps", 1),   # keep
+        ("b", 128, 128, "zzxq qqzx xqzz qzqz vjwk", 2),    # gibberish
+        ("c", 16, 128, "zzxq qqzx xqzz qzqz vjwk", 3),     # size wins
+        ("d", 128, 128, "zzxq qqzx xqzz qzqz vjwk", 2),    # dup phash,
+    ]                                  # but caption_ppl outranks duplicate
+    out = {r["image_id"]: r for r in
+           image_corpus_filter_ppl(_imgs(spark, rows), train,
+                                   max_mean_nll10k=30000).collect()}
+    assert out["a"]["reason"] == "keep" and out["a"]["cap_ok"]
+    assert out["b"]["reason"] == "caption_ppl" and not out["b"]["cap_ok"]
+    assert out["c"]["reason"] == "size"
+    assert out["d"]["reason"] == "caption_ppl"
+
+
 def test_caption_token_rule(spark):
     rows = [("a", 128, 128, "", 1),
             ("b", 128, 128, "   ", 2),
