@@ -128,11 +128,13 @@ def score_nll(docs: DataFrame, model: DataFrame, contexts: DataFrame,
                  F.count("*").cast("bigint").alias("n_bigrams")))
 
 
-def caption_ppl_gate(imgs: DataFrame, train_docs: DataFrame,
+def caption_ppl_gate(imgs: DataFrame, train_docs: DataFrame | None,
                      train_lang: str = "en",
                      max_mean_nll10k: int = 17500,
                      id_col: str = "image_id",
-                     caption_col: str = "caption") -> DataFrame:
+                     caption_col: str = "caption",
+                     _model: DataFrame | None = None,
+                     _contexts: DataFrame | None = None) -> DataFrame:
     """Caption-quality gate for the image-caption corpus (the
     LAION/DataComp text-side filter, CCNet-style): score every caption
     under the char-bigram LM trained on the clean DOCUMENT slice
@@ -146,8 +148,15 @@ def caption_ppl_gate(imgs: DataFrame, train_docs: DataFrame,
 
     Returns (id_col, nll10k, n_bigrams, cap_ok).  Scale shape: model is
     broadcast; the caption corpus shuffles once on ``id_col``.
+
+    Pass ``_model``/``_contexts`` (from :func:`train_char_bigram_lm`)
+    to reuse an offline-trained model instead of ``train_docs`` — the
+    train-offline / score-online path the streaming shard packer uses.
     """
-    model, contexts = train_char_bigram_lm(train_docs, train_lang)
+    if _model is not None:
+        model, contexts = _model, _contexts
+    else:
+        model, contexts = train_char_bigram_lm(train_docs, train_lang)
     cap_docs = imgs.select(F.col(id_col).alias("doc_id"),
                            F.lit(train_lang).alias("lang"),
                            F.col(caption_col).alias("text"))

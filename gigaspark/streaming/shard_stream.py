@@ -55,11 +55,23 @@ class StreamingShardPacker:
     """Continuous filter + shard-pack over an image metadata stream."""
 
     def __init__(self, spark: SparkSession, root: str,
-                 shard_bytes: int = 1 << 18, **filter_kwargs):
+                 shard_bytes: int = 1 << 18,
+                 caption_model: DataFrame | None = None,
+                 caption_contexts: DataFrame | None = None,
+                 max_mean_nll10k: int = 17500, **filter_kwargs):
+        """``caption_model``/``caption_contexts``: an OFFLINE-trained
+        char-bigram LM (`gigaspark.operators.lmfilter.
+        train_char_bigram_lm`) applied to every micro-batch's captions —
+        the standard train-offline / score-online pattern.  The model
+        tables are ≤ 37² rows, broadcast per batch; when omitted the
+        packer runs the metadata filter only."""
         self.spark = spark
         self.root = root
         self.shard_bytes = shard_bytes
         self.filter_kwargs = filter_kwargs
+        self.caption_model = caption_model
+        self.caption_contexts = caption_contexts
+        self.max_mean_nll10k = max_mean_nll10k
         self.assign_dir = os.path.join(root, "assignments")
         self.ledger_dir = os.path.join(root, "ledger")
 
@@ -85,6 +97,15 @@ class StreamingShardPacker:
             return
         kept = (image_corpus_filter(batch, **self.filter_kwargs)
                 .where(F.col("keep")))
+        if self.caption_model is not None:
+            from gigaspark.operators.lmfilter import caption_ppl_gate
+            gate = caption_ppl_gate(
+                batch, train_docs=None, _model=self.caption_model,
+                _contexts=self.caption_contexts,
+                max_mean_nll10k=self.max_mean_nll10k) \
+                .select("image_id", "cap_ok")
+            kept = kept.join(gate, "image_id").where(F.col("cap_ok")) \
+                       .drop("cap_ok")
         local = image_shard_pack(kept, shard_bytes=self.shard_bytes,
                                  nbytes=_meta_nbytes())
         goff = F.col("start_off") + F.lit(carry)

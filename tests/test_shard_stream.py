@@ -69,6 +69,43 @@ def test_replay_is_exactly_once(spark, tmp_path):
     assert _got(p) == _batch_expected(spark)
 
 
+def test_stream_caption_gate_equals_batch(spark, tmp_path):
+    """Offline-trained caption LM applied in-stream: the streaming
+    packer with the gate must equal the batch composition (filter ∘
+    gate ∘ pack) on the union."""
+    from gigaspark.operators.lmfilter import (caption_ppl_gate,
+                                              train_char_bigram_lm)
+
+    train = spark.createDataFrame(
+        [(i, "first kept caption here second third fourth text "
+             "wording copied not verbatim", "en") for i in range(3)],
+        "doc_id long, text string, lang string")
+    model, ctx = train_char_bigram_lm(train, "en")
+    # gibberish caption that passes the token-count rule, fails the LM
+    B3 = [("d01", 128, 128, "zzxq qqzx xqzz qzqz vjwk", 9)]
+
+    p = StreamingShardPacker(spark, str(tmp_path / "pk"),
+                             shard_bytes=SHARD, caption_model=model,
+                             caption_contexts=ctx, max_mean_nll10k=30000)
+    for i, rows in enumerate([B0, B1, B2, B3]):
+        p.absorb_batch(spark.createDataFrame(rows, IMG_SCHEMA), i)
+
+    allrows = spark.createDataFrame(B0 + B1 + B2 + B3, IMG_SCHEMA)
+    kept = image_corpus_filter(allrows).where("keep")
+    gate = caption_ppl_gate(allrows, None, _model=model, _contexts=ctx,
+                            max_mean_nll10k=30000)
+    kept = kept.join(gate.select("image_id", "cap_ok"), "image_id") \
+               .where("cap_ok")
+    nb = F.col("w").cast("long") * F.col("h").cast("long") * 3 + 64
+    want = {tuple(r) for r in
+            image_shard_pack(kept, shard_bytes=SHARD, nbytes=nb)
+            .select("image_id", "nbytes", "start_off", "shard_id",
+                    "offset_in_shard").collect()}
+    assert _got(p) == want
+    assert "d01" not in {t[0] for t in want}     # LM gate really fired
+    assert len(want) >= 4                        # and kept the clean ones
+
+
 def test_crash_window_duplicates_dedup(spark, tmp_path):
     p = StreamingShardPacker(spark, str(tmp_path / "pk"), shard_bytes=SHARD)
     p.absorb_batch(spark.createDataFrame(B0, IMG_SCHEMA), 0)
