@@ -5080,7 +5080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_boolean_ops": q_t4_boolean_ops,
         # -- dedup / corpus / image pipeline --------------------------- 29-40
         "semantic_dedup": q_semantic_dedup,
-        "image_filter_pipeline": q_image_filter,
+        "image_filter_ppl": q_image_filter_ppl,
         "image_shard_pack": q_image_shard_pack,
         "image_dedup_keep": q_image_dedup_keep,
         "image_shard_manifest": q_image_shard_manifest,
@@ -5110,7 +5110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivfpq_topk": q_ann_ivfpq,
         "image_caption_ppl": q_caption_ppl,
-        "image_filter_ppl": q_image_filter_ppl,
+        "image_filter_pipeline": q_image_filter,
         "ann_pq_topk": q_ann_pq,
         "frontier_siterank_priority": q_frontier_siterank_priority,
         "search_querylang_trigram": q_querylang_trigram,
