@@ -4618,6 +4618,56 @@ FROM dec d JOIN g USING (image_id)
 """
 
 
+def q_image_search(spark, sf_dir):
+    """Image search over the caption index (Gigablast served image
+    results from page text; here the caption IS the text side of the
+    pair): Posdb-shaped postings built from captions, Okapi BM25 top-10
+    for the 3 highest-df caption terms (deterministic in-plan query
+    derivation, no collect)."""
+    from gigaspark.operators.search import build_postings, search_bm25
+
+    imgs = _images_meta(spark, sf_dir)
+    cap_docs = imgs.select(F.col("image_id").alias("doc_id"),
+                           F.col("caption").alias("text"))
+    postings = build_postings(cap_docs)
+    dfr = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    order = [F.col("df").desc(), F.col("term").asc()]
+    terms = (dfr.orderBy(*order).limit(3)
+             .withColumn("r", F.row_number().over(Window.orderBy(*order)))
+             .where(F.col("r") <= 3).select("term"))
+    return (search_bm25(postings, terms, k=10)
+            .select(F.col("doc_id").alias("image_id"), "score"))
+
+
+def _sql_image_search() -> str:
+    cap_postings = (_POSTINGS_CTE
+                    .replace("FROM documents", "FROM imgs")
+                    .replace("doc_id", "image_id")
+                    .replace("lower(text)", "lower(caption)"))
+    return f"""
+WITH {_SQL_IMAGES_META},
+{cap_postings},
+q AS (SELECT term FROM ranked WHERE r <= 3),
+dl AS (SELECT image_id, count(*) AS dl FROM p GROUP BY image_id),
+stats AS (SELECT count(DISTINCT image_id) AS n_docs FROM p),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+dfq AS (SELECT p.term, count(DISTINCT image_id) AS df
+        FROM p JOIN q USING (term) GROUP BY p.term),
+tf AS (SELECT p.term, image_id, count(*) AS tf FROM p JOIN q USING (term)
+       GROUP BY p.term, image_id),
+contrib AS (
+  SELECT tf.image_id,
+         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS c
+  FROM tf JOIN dfq USING (term) JOIN dl USING (image_id), stats, ad)
+SELECT image_id, round(sum(c), 4) AS score
+FROM contrib GROUP BY image_id
+ORDER BY score DESC, image_id ASC LIMIT 10
+"""
+
+
 def q_image_shard_pack(spark, sf_dir):
     """Webdataset-style shard assignment over the KEPT images: exclusive
     prefix sum of sample bytes over the image_id total order (two-level
@@ -5111,6 +5161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq,
         "image_caption_ppl": q_caption_ppl,
         "image_filter_pipeline": q_image_filter,
+        "image_search_topk": q_image_search,
         "ann_pq_topk": q_ann_pq,
         "frontier_siterank_priority": q_frontier_siterank_priority,
         "search_querylang_trigram": q_querylang_trigram,
@@ -5243,6 +5294,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_ppl_buckets": SQL_CCNET_PPL,
         "image_caption_ppl": _sql_caption_ppl(),
         "image_filter_ppl": _sql_image_filter_ppl(),
+        "image_search_topk": _sql_image_search(),
         "substring_dup_spans": SQL_SUBSTRING_DUPS,
         "pii_redact": _sql_pii(),
         "repetition_stats": SQL_REPETITION,
