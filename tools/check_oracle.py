@@ -38,6 +38,11 @@ def canon_rows(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    unknown = only - set(E.queries())
+    if unknown:
+        # an unregistered name must fail loudly, not vacuously pass
+        print(f"FAIL unknown queries: {sorted(unknown)}")
+        sys.exit(2)
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in E.TABLES:
