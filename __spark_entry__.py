@@ -1990,8 +1990,10 @@ def q_ccnet_ppl(spark, sf_dir):
     from gigaspark.operators.lmfilter import ccnet_buckets
 
     docs = _t(spark, sf_dir, "documents")
-    return ccnet_buckets(docs, train_lang="en", sample_mod=5,
-                         cache=lambda df: _cache_slot("ccnet_scored", df))
+    return ccnet_buckets(
+        docs, train_lang="en", sample_mod=5,
+        cache=lambda df: _cache_slot("ccnet_scored", df),
+        cache_model=lambda df: _cache_slot("ccnet_cab", df))
 
 
 SQL_CCNET_PPL = """

@@ -76,7 +76,8 @@ def _bigrams(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def train_char_bigram_lm(docs: DataFrame, train_lang: str = "en",
-                         text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+                         text_col: str = "text",
+                         cache=None) -> tuple[DataFrame, DataFrame]:
     """Train the add-one-smoothed character-bigram LM on the docs whose
     ``lang`` equals ``train_lang`` (CCNet trains on the target-language
     reference corpus).
@@ -93,6 +94,11 @@ def train_char_bigram_lm(docs: DataFrame, train_lang: str = "en",
     cab = (bg.groupBy(F.substring("bg", 1, 1).alias("ctx"),
                       F.col("bg"))
            .agg(F.count("*").alias("cab")))
+    if cache is not None:
+        # model AND contexts derive from cab; persisting the ≤37² -row
+        # histogram means the training corpus is scanned once, not once
+        # per derived table
+        cab = cache(cab)
     ca = cab.groupBy("ctx").agg(F.sum("cab").alias("ca"))
     model = (cab.join(ca, "ctx")
              .select("bg",
@@ -174,7 +180,7 @@ def caption_ppl_gate(imgs: DataFrame, train_docs: DataFrame | None,
 
 def ccnet_buckets(docs: DataFrame, train_lang: str = "en",
                   sample_mod: int = 5, text_col: str = "text",
-                  cache=None) -> DataFrame:
+                  cache=None, cache_model=None) -> DataFrame:
     """The full CCNet pipeline: train → score → bucket.
 
     Returns (doc_id, nll10k, n_bigrams, bucket) with bucket ∈
@@ -184,7 +190,8 @@ def ccnet_buckets(docs: DataFrame, train_lang: str = "en",
     bit-identical across engines; ties in the sample rank are broken by
     ``doc_id``.
     """
-    model, contexts = train_char_bigram_lm(docs, train_lang, text_col)
+    model, contexts = train_char_bigram_lm(docs, train_lang, text_col,
+                                           cache=cache_model)
     scored = score_nll(docs, model, contexts, text_col)
     if cache is not None:
         # scored feeds BOTH the sample-cutoff branch and the final
