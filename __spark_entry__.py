@@ -2390,6 +2390,18 @@ def q_search_bm25(spark, sf_dir):
     return search_bm25(postings, terms, k=10)
 
 
+def q_search_langweight(spark, sf_dir):
+    """Same-language boost (Posdb m_sameLangWeight [U][M], pinned
+    ×1.2): BM25 over the df-rank-3..4 terms reweighted for docs whose
+    `lang` = 'en' BEFORE the top-10 cut."""
+    from gigaspark.operators.search import search_langweight
+
+    postings, terms = _query_terms(spark, sf_dir, 3, 4)
+    langs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return search_langweight(postings, terms, langs,
+                             query_lang="en", weight=1.2, k=10)
+
+
 SQL_SEARCH_BM25 = f"""
 WITH {_POSTINGS_CTE},
 q AS (SELECT term FROM ranked WHERE r BETWEEN 3 AND 4),
@@ -2410,6 +2422,20 @@ SELECT doc_id, round(sum(c), 4) AS score
 FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+
+# same CTE chain, reweighted ×1.2 for lang='en' BEFORE the top-10 cut
+SQL_SEARCH_LANGWEIGHT = SQL_SEARCH_BM25.replace(
+    "SELECT doc_id, round(sum(c), 4) AS score\n"
+    "FROM contrib GROUP BY doc_id\n"
+    "ORDER BY score DESC, doc_id ASC LIMIT 10",
+    "SELECT s.doc_id,\n"
+    "       round(s.score * CASE WHEN d.lang = 'en' THEN 1.2 ELSE 1.0 END,\n"
+    "             4) AS score, d.lang\n"
+    "FROM (SELECT doc_id, round(sum(c), 4) AS score\n"
+    "      FROM contrib GROUP BY doc_id) s\n"
+    "JOIN documents d USING (doc_id)\n"
+    "ORDER BY score DESC, s.doc_id ASC LIMIT 10")
+assert SQL_SEARCH_LANGWEIGHT != SQL_SEARCH_BM25
 
 
 def q_search_wordspam(spark, sf_dir):
@@ -5207,6 +5233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_tf": q_postings_tf,
         "spell_correct": q_spell_correct,
         "spell_symspell": q_spell_symspell,
+        "search_langweight_topk": q_search_langweight,
         "search_site_topk": q_search_site,
         "suggest_prefix": q_suggest_prefix,
         "search_facets": q_search_facets,
@@ -5312,6 +5339,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_tf": SQL_POSTINGS_TF,
         "spell_correct": SQL_SPELL,
         "spell_symspell": SQL_SPELL_SYMSPELL,
+        "search_langweight_topk": SQL_SEARCH_LANGWEIGHT,
         "search_site_topk": SQL_SEARCH_SITE,
         "search_querylang_topk": SQL_QUERYLANG,
         "search_querylang_site": SQL_QUERYLANG_SITE,

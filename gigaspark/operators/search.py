@@ -138,6 +138,19 @@ def search_bm25(postings: DataFrame, terms: DataFrame, k: int = 10,
     (N, avgdl) ride in-plan as broadcast 1-row aggregates — no
     driver-side collect of data rows.
     """
+    return (
+        search_bm25_scored(postings, terms, k1=k1, b=b)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+def search_bm25_scored(postings: DataFrame, terms: DataFrame,
+                       k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """(doc_id, score) for EVERY matching doc — the pre-top-k BM25
+    scores, exposed so rerankers (same-language weight, linkrank) can
+    blend before the cut."""
     tf = _tf_for_terms(postings, terms)
     dl = postings.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = postings.agg(
@@ -163,10 +176,32 @@ def search_bm25(postings: DataFrame, terms: DataFrame, k: int = 10,
     return (
         contrib.groupBy("doc_id")
         .agg(F.round(F.sum("c"), 4).alias("score"))
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
-        .select("doc_id", "score")
     )
+
+
+def search_langweight(postings: DataFrame, terms: DataFrame,
+                      doc_langs: DataFrame, query_lang: str = "en",
+                      weight: float = 1.2, k: int = 10) -> DataFrame:
+    """Same-language result boost (Posdb's ``m_sameLangWeight`` /
+    Msg39 language weighting [U][M], pinned to a single multiplier):
+    BM25 scores reweighted ×``weight`` for docs whose ``lang`` equals
+    the query language, THEN the top-k cut — a doc in the query's
+    language can outrank a slightly-better foreign doc, which is the
+    point.
+
+    ``doc_langs``: (doc_id, lang).  Float discipline: the blend is one
+    multiply of the already-4-decimal score by a pinned constant, then
+    ``round(·, 4)`` — identical IEEE ops in both engines.
+    """
+    scored = search_bm25_scored(postings, terms)
+    j = scored.join(doc_langs, "doc_id")
+    s2 = F.round(
+        F.col("score")
+        * F.when(F.col("lang") == query_lang, F.lit(weight))
+        .otherwise(F.lit(1.0)), 4)
+    return (j.select("doc_id", s2.alias("score"), "lang")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k))
 
 
 def search_or(postings: DataFrame, terms: DataFrame, k: int = 10) -> DataFrame:

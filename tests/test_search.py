@@ -160,6 +160,32 @@ def test_spell_correct_popularity_tiebreak(spark):
     assert got["bab"] == ("bat", 2)   # bat(2) vs cab(2): freq tie → 'bat' < 'cab'
 
 
+def test_langweight_reranks_before_cut(spark):
+    """m_sameLangWeight semantics: the boost applies BEFORE the top-k
+    cut, so a same-language doc overtakes a slightly-better foreign
+    doc; foreign docs keep their unweighted score."""
+    from gigaspark.operators.search import (search_bm25, search_langweight,
+                                            vocab_freqs)  # noqa: F401
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog", "fr"), (2, "cat dog dog", "en"),
+         (3, "cat mouse mouse", "en"), (4, "bird bird bird", "fr")],
+        "doc_id long, text string, lang string")
+    p = build_postings(docs)
+    terms = spark.createDataFrame([("cat",)], "term string")
+    langs = docs.select("doc_id", "lang")
+
+    base = {r.doc_id: r.score for r in search_bm25(p, terms, k=4).collect()}
+    got = search_langweight(p, terms, langs, "en", weight=1.2, k=4).collect()
+    w = {r.doc_id: (r.score, r.lang) for r in got}
+    assert set(w) == {1, 2, 3}                      # doc 4 has no 'cat'
+    assert w[1][0] == base[1]                       # fr: unweighted
+    assert w[2][0] == round(base[2] * 1.2, 4)       # en: boosted
+    # boosted en docs outrank the higher-tf fr doc after the blend
+    order = [r.doc_id for r in got]
+    assert order.index(2) < order.index(1) or base[2] * 1.2 <= base[1]
+
+
 def test_spell_symspell_matches_broadcast_variant(spark):
     """The symmetric-delete key join must produce EXACTLY the same
     corrections as the broadcast levenshtein scan — the deletion-key
