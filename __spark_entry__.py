@@ -2047,6 +2047,74 @@ FROM scored s CROSS JOIN cuts
 """
 
 
+def q_ccnet_perlang(spark, sf_dir):
+    """CCNet per-language buckets: one LM per language, each doc scored
+    under ITS language's model, tertiles per language (the paper's
+    actual design; `lmfilter.ccnet_buckets_perlang`).  The rank window
+    is partitioned by lang — parallel, unlike the single-model global
+    window."""
+    from gigaspark.operators.lmfilter import ccnet_buckets_perlang
+
+    docs = _t(spark, sf_dir, "documents")
+    slots = iter(["ccnetpl_cab", "ccnetpl_scored"])
+    return ccnet_buckets_perlang(
+        docs, sample_mod=5,
+        cache=lambda df: _cache_slot(next(slots), df))
+
+
+SQL_CCNET_PERLANG = """
+WITH norm AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower(regexp_replace(text,
+              '[^A-Za-z0-9 ]+', ' ', 'g')), ' {2,}', ' ', 'g')) AS t
+  FROM documents),
+bgt AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, length(t)),
+                               i -> substring(t, i::INT, 2))) AS bg
+  FROM norm),
+cab AS (
+  SELECT lang, substring(bg, 1, 1) AS ctx, bg, count(*)::BIGINT AS cab
+  FROM bgt GROUP BY 1, 2, 3),
+ca AS (SELECT lang, ctx, sum(cab)::BIGINT AS ca FROM cab GROUP BY 1, 2),
+model AS (
+  SELECT cab.lang, cab.bg,
+         CAST(round(ln((cab.cab + 1.0) / (ca.ca + 37.0)) * 10000, 0)
+              AS BIGINT) AS lp
+  FROM cab JOIN ca USING (lang, ctx)),
+miss AS (
+  SELECT lang, ctx,
+         CAST(round(ln(1.0 / (ca + 37.0)) * 10000, 0) AS BIGINT) AS lp0
+  FROM ca),
+scored AS (
+  SELECT b.doc_id, b.lang,
+         (-sum(coalesce(m.lp, ms.lp0,
+                        CAST(round(ln(1.0 / 37.0) * 10000, 0)
+                             AS BIGINT))))::BIGINT AS nll10k,
+         count(*)::BIGINT AS n_bigrams
+  FROM bgt b
+  LEFT JOIN model m ON m.lang = b.lang AND m.bg = b.bg
+  LEFT JOIN miss ms ON ms.lang = b.lang
+                   AND ms.ctx = substring(b.bg, 1, 1)
+  GROUP BY 1, 2),
+samp AS (
+  SELECT lang, nll10k / n_bigrams AS m,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY nll10k / n_bigrams, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS ns
+  FROM scored WHERE doc_id % 5 = 3),
+cuts AS (
+  SELECT lang, max(CASE WHEN rk = ns // 3 THEN m END) AS cut1,
+         max(CASE WHEN rk = (ns * 2) // 3 THEN m END) AS cut2
+  FROM samp GROUP BY lang)
+SELECT s.doc_id, s.lang, s.nll10k, s.n_bigrams,
+       CASE WHEN s.nll10k / s.n_bigrams <= cut1 THEN 'head'
+            WHEN s.nll10k / s.n_bigrams <= cut2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN cuts USING (lang)
+"""
+
+
 def q_corpus_filter(spark, sf_dir):
     """The C4/Gopher training-corpus filter as ONE plan: language-ID,
     quality, repetition, benchmark decontamination (eval set =
@@ -5234,6 +5302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_correct": q_spell_correct,
         "spell_symspell": q_spell_symspell,
         "search_langweight_topk": q_search_langweight,
+        "ccnet_ppl_perlang": q_ccnet_perlang,
         "search_site_topk": q_search_site,
         "suggest_prefix": q_suggest_prefix,
         "search_facets": q_search_facets,
@@ -5340,6 +5409,7 @@ def oracle_sql() -> dict[str, str]:
         "spell_correct": SQL_SPELL,
         "spell_symspell": SQL_SPELL_SYMSPELL,
         "search_langweight_topk": SQL_SEARCH_LANGWEIGHT,
+        "ccnet_ppl_perlang": SQL_CCNET_PERLANG,
         "search_site_topk": SQL_SEARCH_SITE,
         "search_querylang_topk": SQL_QUERYLANG,
         "search_querylang_site": SQL_QUERYLANG_SITE,

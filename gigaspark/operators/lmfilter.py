@@ -134,6 +134,83 @@ def score_nll(docs: DataFrame, model: DataFrame, contexts: DataFrame,
                  F.count("*").cast("bigint").alias("n_bigrams")))
 
 
+def ccnet_buckets_perlang(docs: DataFrame, sample_mod: int = 5,
+                          text_col: str = "text",
+                          cache=None) -> DataFrame:
+    """CCNet's actual per-language design: ONE bigram LM per language
+    (trained on that language's own slice), every document scored under
+    ITS language's model, and head/middle/tail tertiles computed PER
+    LANGUAGE from the deterministic sample — so a zh doc competes with
+    zh docs, not with en.
+
+    Still one histogram pass (grouped by (lang, ctx, bg); model ≤
+    n_langs · 37² rows → broadcast), one corpus shuffle (doc_id agg),
+    and the rank window over the sample is now PARTITIONED BY lang —
+    parallel, unlike the single-language variant's global window.
+    Same exact-integer discipline throughout.
+
+    Returns (doc_id, lang, nll10k, n_bigrams, bucket).
+    """
+    bg = _bigrams(docs, text_col)
+    cab = (bg.groupBy("lang", F.substring("bg", 1, 1).alias("ctx"),
+                      F.col("bg"))
+           .agg(F.count("*").alias("cab")))
+    if cache is not None:
+        cab = cache(cab)
+    ca = cab.groupBy("lang", "ctx").agg(F.sum("cab").alias("ca"))
+    model = (cab.join(ca, ["lang", "ctx"])
+             .select("lang", "bg",
+                     F.round(F.log((F.col("cab") + F.lit(1.0))
+                                   / (F.col("ca")
+                                      + F.lit(float(ALPHABET_V))))
+                             * 10000, 0).cast("bigint").alias("lp")))
+    contexts = ca.select(
+        "lang", "ctx",
+        F.round(F.log(F.lit(1.0) / (F.col("ca") + F.lit(float(ALPHABET_V))))
+                * 10000, 0).cast("bigint").alias("lp0"))
+
+    import math
+    lp_cold = int(round(math.log(1.0 / ALPHABET_V) * 10000))
+    # contexts shares lineage with bg — rename its join keys so the
+    # non-equi condition can't be ambiguous
+    ctx2 = contexts.select(F.col("lang").alias("clang"), "ctx", "lp0")
+    scored = (bg
+              .join(F.broadcast(model), ["lang", "bg"], "left")
+              .join(F.broadcast(ctx2),
+                    (F.col("lang") == F.col("clang"))
+                    & (F.substring("bg", 1, 1) == F.col("ctx")),
+                    "left")
+              .select("doc_id", "lang",
+                      F.coalesce(F.col("lp"), F.col("lp0"),
+                                 F.lit(lp_cold).cast("bigint"))
+                      .alias("lpx"))
+              .groupBy("doc_id", "lang")
+              .agg((-F.sum("lpx")).cast("bigint").alias("nll10k"),
+                   F.count("*").cast("bigint").alias("n_bigrams")))
+    if cache is not None:
+        scored = cache(scored)
+
+    mean = (F.col("nll10k") / F.col("n_bigrams"))
+    samp = scored.where(F.col("doc_id") % sample_mod == 3)
+    w = Window.partitionBy("lang").orderBy(mean.asc(),
+                                           F.col("doc_id").asc())
+    ranked = samp.select(
+        "lang", mean.alias("m"),
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("lang")).alias("ns"))
+    cuts = ranked.groupBy("lang").agg(
+        F.max(F.when(F.col("rk") == (F.col("ns") / 3).cast("bigint"),
+                     F.col("m"))).alias("cut1"),
+        F.max(F.when(F.col("rk") == (F.col("ns") * 2 / 3).cast("bigint"),
+                     F.col("m"))).alias("cut2"))
+
+    return (scored.join(F.broadcast(cuts), "lang")
+            .select("doc_id", "lang", "nll10k", "n_bigrams",
+                    F.when(mean <= F.col("cut1"), F.lit("head"))
+                    .when(mean <= F.col("cut2"), F.lit("middle"))
+                    .otherwise(F.lit("tail")).alias("bucket")))
+
+
 def caption_ppl_gate(imgs: DataFrame, train_docs: DataFrame | None,
                      train_lang: str = "en",
                      max_mean_nll10k: int = 17500,

@@ -118,6 +118,31 @@ def test_bucket_cutoffs_from_sample_are_tertiles(spark, docs_df):
     assert labels == sorted(labels, key=order.__getitem__)
 
 
+def test_perlang_buckets_are_per_language(spark):
+    """The per-language variant must bucket each language against its
+    OWN distribution: a language whose docs all look 'foreign' to
+    English still gets head/middle/tail members, and every language
+    with ≥ 3 sampled docs produces all three buckets across a spread."""
+    from gigaspark.operators.lmfilter import ccnet_buckets_perlang
+
+    rows = []
+    for lang, words in (("en", "the quick brown fox jumps over the dog"),
+                        ("xx", "zq xj vk wm qz jx kv mw")):
+        for i in range(30):
+            # doc_ids interleave langs; vary repetition for a spread
+            rows.append((i * 2 + (0 if lang == "en" else 1),
+                         " ".join([words] * (1 + i % 5)) +
+                         " filler" * (i % 7), lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_buckets_perlang(df, sample_mod=5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.bucket)
+    # each language buckets against itself — both see head AND tail
+    assert {"head", "tail"} <= by_lang["en"]
+    assert {"head", "tail"} <= by_lang["xx"]
+
+
 def test_caption_gate_all_integer_decision(spark, docs_df):
     from gigaspark.operators.lmfilter import caption_ppl_gate
 
