@@ -2115,6 +2115,83 @@ FROM scored s JOIN cuts USING (lang)
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance selection (Xie et al. 2023 shape): exact-integer
+    log-likelihood ratio between the `lang='en'` target model and the
+    whole-corpus raw model; top sample-derived quartile selected
+    (`lmfilter.dsir_logratio`)."""
+    from gigaspark.operators.lmfilter import dsir_logratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_logratio(docs, target_lang="en", sample_mod=5,
+                         cache=lambda df: _cache_slot("dsir_scored", df))
+
+
+SQL_DSIR = """
+WITH norm AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower(regexp_replace(text,
+              '[^A-Za-z0-9 ]+', ' ', 'g')), ' {2,}', ' ', 'g')) AS t
+  FROM documents),
+bgt AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, length(t)),
+                               i -> substring(t, i::INT, 2))) AS bg
+  FROM norm),
+tcab AS (
+  SELECT substring(bg, 1, 1) AS ctx, bg, count(*)::BIGINT AS cab
+  FROM bgt WHERE lang = 'en' GROUP BY 1, 2),
+tca AS (SELECT ctx, sum(cab)::BIGINT AS ca FROM tcab GROUP BY 1),
+tmodel AS (
+  SELECT tcab.bg,
+         CAST(round(ln((tcab.cab + 1.0) / (tca.ca + 37.0)) * 10000, 0)
+              AS BIGINT) AS lp
+  FROM tcab JOIN tca USING (ctx)),
+tmiss AS (
+  SELECT ctx, CAST(round(ln(1.0 / (ca + 37.0)) * 10000, 0) AS BIGINT)
+         AS lp0
+  FROM tca),
+rcab AS (
+  SELECT substring(bg, 1, 1) AS ctx, bg, count(*)::BIGINT AS cab
+  FROM bgt GROUP BY 1, 2),
+rca AS (SELECT ctx, sum(cab)::BIGINT AS ca FROM rcab GROUP BY 1),
+rmodel AS (
+  SELECT rcab.bg,
+         CAST(round(ln((rcab.cab + 1.0) / (rca.ca + 37.0)) * 10000, 0)
+              AS BIGINT) AS lp
+  FROM rcab JOIN rca USING (ctx)),
+rmiss AS (
+  SELECT ctx, CAST(round(ln(1.0 / (ca + 37.0)) * 10000, 0) AS BIGINT)
+         AS lp0
+  FROM rca),
+scored AS (
+  SELECT b.doc_id,
+         (sum(coalesce(tm.lp, tms.lp0,
+                       CAST(round(ln(1.0 / 37.0) * 10000, 0) AS BIGINT)))
+          - sum(coalesce(rm.lp, rms.lp0,
+                         CAST(round(ln(1.0 / 37.0) * 10000, 0)
+                              AS BIGINT))))::BIGINT AS logratio10k,
+         count(*)::BIGINT AS n_bigrams
+  FROM bgt b
+  LEFT JOIN tmodel tm ON tm.bg = b.bg
+  LEFT JOIN tmiss tms ON tms.ctx = substring(b.bg, 1, 1)
+  LEFT JOIN rmodel rm ON rm.bg = b.bg
+  LEFT JOIN rmiss rms ON rms.ctx = substring(b.bg, 1, 1)
+  GROUP BY 1),
+samp AS (
+  SELECT logratio10k / n_bigrams AS m,
+         row_number() OVER (ORDER BY logratio10k / n_bigrams,
+                            doc_id) AS rk,
+         count(*) OVER () AS ns
+  FROM scored WHERE doc_id % 5 = 3),
+cut AS (SELECT max(CASE WHEN rk = (ns * 3) // 4 THEN m END) AS cut
+        FROM samp)
+SELECT s.doc_id, s.logratio10k, s.n_bigrams,
+       s.logratio10k / s.n_bigrams > cut AS selected
+FROM scored s CROSS JOIN cut
+"""
+
+
 def q_corpus_filter(spark, sf_dir):
     """The C4/Gopher training-corpus filter as ONE plan: language-ID,
     quality, repetition, benchmark decontamination (eval set =
@@ -5303,6 +5380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_symspell": q_spell_symspell,
         "search_langweight_topk": q_search_langweight,
         "ccnet_ppl_perlang": q_ccnet_perlang,
+        "dsir_select": q_dsir_select,
         "search_site_topk": q_search_site,
         "suggest_prefix": q_suggest_prefix,
         "search_facets": q_search_facets,
@@ -5410,6 +5488,7 @@ def oracle_sql() -> dict[str, str]:
         "spell_symspell": SQL_SPELL_SYMSPELL,
         "search_langweight_topk": SQL_SEARCH_LANGWEIGHT,
         "ccnet_ppl_perlang": SQL_CCNET_PERLANG,
+        "dsir_select": SQL_DSIR,
         "search_site_topk": SQL_SEARCH_SITE,
         "search_querylang_topk": SQL_QUERYLANG,
         "search_querylang_site": SQL_QUERYLANG_SITE,

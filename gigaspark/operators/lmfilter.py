@@ -75,12 +75,13 @@ def _bigrams(df: DataFrame, text_col: str = "text") -> DataFrame:
     return base.select("doc_id", "lang", F.explode(bgs).alias("bg"))
 
 
-def train_char_bigram_lm(docs: DataFrame, train_lang: str = "en",
+def train_char_bigram_lm(docs: DataFrame, train_lang: str | None = "en",
                          text_col: str = "text",
                          cache=None) -> tuple[DataFrame, DataFrame]:
     """Train the add-one-smoothed character-bigram LM on the docs whose
     ``lang`` equals ``train_lang`` (CCNet trains on the target-language
-    reference corpus).
+    reference corpus); ``train_lang=None`` trains on the WHOLE corpus
+    (the "raw distribution" model DSIR needs).
 
     Returns ``(model, contexts)``:
 
@@ -90,7 +91,9 @@ def train_char_bigram_lm(docs: DataFrame, train_lang: str = "en",
 
     Both are ≤ 37² rows — broadcast them at scoring time.
     """
-    bg = _bigrams(docs, text_col).where(F.col("lang") == train_lang)
+    bg = _bigrams(docs, text_col)
+    if train_lang is not None:
+        bg = bg.where(F.col("lang") == train_lang)
     cab = (bg.groupBy(F.substring("bg", 1, 1).alias("ctx"),
                       F.col("bg"))
            .agg(F.count("*").alias("cab")))
@@ -132,6 +135,58 @@ def score_nll(docs: DataFrame, model: DataFrame, contexts: DataFrame,
     return (scored.groupBy("doc_id")
             .agg((-F.sum("lpx")).cast("bigint").alias("nll10k"),
                  F.count("*").cast("bigint").alias("n_bigrams")))
+
+
+def dsir_logratio(docs: DataFrame, target_lang: str = "en",
+                  sample_mod: int = 5, text_col: str = "text",
+                  cache=None) -> DataFrame:
+    """DSIR-style data selection by importance weighting (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling" — public paper; hashed-n-gram features simplified to
+    this repo's pinned char-bigram LM): every doc's importance is the
+    log-likelihood ratio between a TARGET model (trained on the clean
+    ``target_lang`` slice) and a RAW model (trained on the whole
+    corpus); docs most target-like are selected.
+
+    All-integer discipline: ``logratio10k = nll_raw − nll_target``
+    (both exact integer sums over the SAME bigram multiset, so
+    ``n_bigrams`` cancels structurally and the ratio is an exact
+    integer).  Deterministic selection rule (in place of the paper's
+    gumbel resampling): keep the top quartile by mean log-ratio, cutoff
+    derived from the ``doc_id % sample_mod == 3`` sample exactly as the
+    CCNet tertiles are.
+
+    Returns (doc_id, logratio10k, n_bigrams, selected).  Scale shape:
+    two broadcast model joins on one bigram explode, one doc_id
+    shuffle; the rank window runs over the bounded sample only.
+    """
+    model_t, ctx_t = train_char_bigram_lm(docs, target_lang, text_col)
+    model_r, ctx_r = train_char_bigram_lm(docs, None, text_col)
+    nt = score_nll(docs, model_t, ctx_t, text_col) \
+        .withColumnRenamed("nll10k", "nll_t")
+    nr = score_nll(docs, model_r, ctx_r, text_col) \
+        .select("doc_id", F.col("nll10k").alias("nll_r"))
+    scored = (nt.join(nr, "doc_id")
+              .select("doc_id",
+                      (F.col("nll_r") - F.col("nll_t")).cast("bigint")
+                      .alias("logratio10k"),
+                      "n_bigrams"))
+    if cache is not None:
+        scored = cache(scored)
+
+    mean = (F.col("logratio10k") / F.col("n_bigrams"))
+    samp = scored.where(F.col("doc_id") % sample_mod == 3)
+    w = Window.orderBy(mean.asc(), F.col("doc_id").asc())
+    ranked = samp.select(
+        mean.alias("m"),
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("ns"))
+    cut = ranked.agg(
+        F.max(F.when(F.col("rk") == (F.col("ns") * 3 / 4).cast("bigint"),
+                     F.col("m"))).alias("cut"))
+    return (scored.crossJoin(F.broadcast(cut))
+            .select("doc_id", "logratio10k", "n_bigrams",
+                    (mean > F.col("cut")).alias("selected")))
 
 
 def ccnet_buckets_perlang(docs: DataFrame, sample_mod: int = 5,

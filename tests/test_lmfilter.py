@@ -143,6 +143,31 @@ def test_perlang_buckets_are_per_language(spark):
     assert {"head", "tail"} <= by_lang["xx"]
 
 
+def test_dsir_selects_target_like_docs(spark):
+    """Importance log-ratio: docs drawn from the target distribution
+    must dominate the selected quartile; pure-noise docs must not be
+    selected.  n_bigrams cancels structurally, so logratio10k is an
+    exact integer difference of the two models' integer sums."""
+    from gigaspark.operators.lmfilter import dsir_logratio
+
+    rows = []
+    for i in range(24):
+        rows.append((i * 2, "the quick brown fox jumps over the dog "
+                     + "word" * (i % 3), "en"))
+        rows.append((i * 2 + 1, "zq xj vk wm qz jx kv mw "
+                     + "zzxq" * (i % 3), "xx"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dsir_logratio(df, target_lang="en", sample_mod=5).collect()
+    lang = {d: l for d, _t, l in rows}
+    sel = [r.doc_id for r in out if r.selected]
+    assert sel and all(lang[d] == "en" for d in sel)
+    # target-like docs have strictly higher mean log-ratio than noise
+    means = {r.doc_id: r.logratio10k / r.n_bigrams for r in out}
+    en = [m for d, m in means.items() if lang[d] == "en"]
+    xx = [m for d, m in means.items() if lang[d] == "xx"]
+    assert min(en) > max(xx)
+
+
 def test_caption_gate_all_integer_decision(spark, docs_df):
     from gigaspark.operators.lmfilter import caption_ppl_gate
 
