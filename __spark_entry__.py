@@ -3969,6 +3969,45 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, n_iter=5)
 
 
+def q_opic_scores(spark, sf_dir):
+    """Integer-pinned OPIC (Abiteboul et al. 2003) over the same
+    lineitem-derived link graph as `pagerank` — the crawler-side
+    importance estimator a frontier scheduler can update while the
+    graph is still being discovered (vs Tagdb siteNumInlinks [U][M])."""
+    from gigaspark.operators.linkrank import opic
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(F.col("l_orderkey").alias("src"),
+                      F.col("l_partkey").alias("dst")).distinct()
+    return opic(edges, n_iter=4)
+
+
+def _sql_opic(n_iter: int = 4, scale: int = 1_000_000_000) -> str:
+    parts = [f"""
+WITH edges AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+s0 AS (SELECT id, ({scale} // (SELECT n FROM nn))::BIGINT AS c,
+              0::BIGINT AS h, coalesce(outdeg, 0)::BIGINT AS outdeg
+       FROM nodes LEFT JOIN od ON od.src = nodes.id)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+d{i} AS (SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN c ELSE 0 END), 0)::BIGINT AS d
+         FROM s{i-1}),
+c{i} AS (SELECT dst, sum(c // od.outdeg)::BIGINT AS s
+         FROM edges JOIN od USING (src) JOIN s{i-1} ON s{i-1}.id = edges.src
+         GROUP BY dst),
+s{i} AS (SELECT p.id,
+                (coalesce(cc.s, 0) + (SELECT d FROM d{i}) // (SELECT n FROM nn))::BIGINT AS c,
+                (p.h + p.c)::BIGINT AS h, p.outdeg
+         FROM s{i-1} p LEFT JOIN c{i} cc ON cc.dst = p.id)""")
+    parts.append(f"""
+SELECT id, c AS cash, h AS history, (h + c)::BIGINT AS importance
+FROM s{n_iter}""")
+    return "".join(parts)
+
+
 def _sql_pagerank(n_iter: int = 5, scale: int = 1_000_000_000) -> str:
     parts = [f"""
 WITH edges AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
@@ -5330,6 +5369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         # ==== slot 51+: scalar/diagnostic tier (driver-invisible; =======
         # ==== verified by tools/check_oracle.py at sf0.01 + sf0.1) ======
+        "opic_scores": q_opic_scores,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivfpq_topk": q_ann_ivfpq,
         "image_caption_ppl": q_caption_ppl,
@@ -5520,6 +5560,7 @@ def oracle_sql() -> dict[str, str]:
         "image_curation_e2e": SQL_IMAGE_E2E,
         "search_numeric_range": SQL_SEARCH_NUMRANGE,
         "pagerank": _sql_pagerank(),
+        "opic_scores": _sql_opic(),
         "termlist_stats": SQL_TERMLIST_STATS,
         "related_docs": SQL_RELATED,
         "spider_queue_report": SQL_SPIDER_QUEUE,

@@ -26,6 +26,70 @@ from pyspark.sql import DataFrame, functions as F
 SCALE = 1_000_000_000
 
 
+def opic(edges: DataFrame, n_iter: int = 5,
+         scale: int = SCALE) -> DataFrame:
+    """(id, cash, history, importance) after ``n_iter`` synchronous
+    OPIC rounds — On-line Page Importance Computation (Abiteboul,
+    Preda & Cobéna, WWW 2003, public), the classic *crawler-side*
+    page-importance estimator: unlike PageRank it converges while the
+    crawl is still discovering the graph, which is why frontier
+    schedulers use it to prioritize fetches (Gigablast's analogue is
+    the siteNumInlinks-driven priority, Tagdb/SpiderRequest [U][M]).
+
+    Integer-pinned batch variant so a DuckDB oracle is bit-exact:
+
+      * ``c0 = SCALE // N`` cash per node, ``h0 = 0`` history;
+      * each round, IN THIS ORDER (pinned):
+          ``h' = h + c``                       (bank the cash)
+          ``d  = Σ_{u: outdeg=0} c_u``         (dangling pot)
+          ``c'_v = Σ_{u→v} c_u // outdeg_u  +  d // N``
+        — floor division everywhere, dangling cash redistributed
+        uniformly (the paper's "virtual page" wired to every node);
+      * ``importance = h + c`` after the last round (cash-included
+        estimate; the paper's H/total up to the constant).
+
+    Scale shape: identical to :func:`pagerank` — one |E| shuffle per
+    round (src-keyed join then dst-keyed agg); node count and the
+    1-row dangling pot enter as broadcast aggregates.  Per-round state
+    is stable_checkpoint'ed for the same compounding-stats reason.
+    """
+    from gigaspark.session import stable_checkpoint
+
+    nodes = (edges.select(F.col("src").alias("id"))
+             .unionByName(edges.select(F.col("dst").alias("id")))
+             .distinct())
+    nodes = stable_checkpoint(nodes)
+    ncnt = nodes.agg(F.count("*").alias("n"))          # 1 row, broadcast
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ew = stable_checkpoint(edges.join(outdeg, "src"))  # (src, dst, outdeg)
+    # nodes that have any outlink — the complement holds the dangling cash
+    state = (nodes.join(F.broadcast(ncnt))
+             .join(outdeg.withColumnRenamed("src", "id"), "id", "left")
+             .select("id",
+                     F.expr(f"CAST({scale} AS BIGINT) DIV n").alias("c"),
+                     F.lit(0).cast("long").alias("h"),
+                     F.coalesce("outdeg", F.lit(0)).alias("outdeg")))
+    state = stable_checkpoint(state)
+    for _ in range(n_iter):
+        dang = state.agg(F.sum(F.when(F.col("outdeg") == 0, F.col("c"))
+                               .otherwise(F.lit(0))).alias("d"))
+        contrib = (ew.join(state.select(F.col("id").alias("src"), "c"), "src")
+                   .select("dst", F.expr("c DIV outdeg").alias("x"))
+                   .groupBy("dst").agg(F.sum("x").alias("s")))
+        state = stable_checkpoint(
+            state.join(contrib, state["id"] == contrib["dst"], "left")
+            .join(F.broadcast(dang)).join(F.broadcast(ncnt))
+            .select(state["id"],
+                    F.expr("coalesce(s, CAST(0 AS BIGINT))"
+                           " + coalesce(d, CAST(0 AS BIGINT)) DIV n")
+                    .alias("c"),
+                    F.expr("h + c").alias("h"),
+                    state["outdeg"]))
+    return state.select("id", "c", F.col("h").alias("history"),
+                        F.expr("h + c").alias("importance")) \
+                .withColumnRenamed("c", "cash")
+
+
 def pagerank(edges: DataFrame, n_iter: int = 5,
              scale: int = SCALE) -> DataFrame:
     """(id, pagerank) after ``n_iter`` integer-pinned power iterations.
