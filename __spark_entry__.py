@@ -644,6 +644,61 @@ FROM (SELECT * FROM orders LIMIT 2000)
 """
 
 
+def q_crawl_traps(spark, sf_dir):
+    """Corpus-level crawl-trap detection — per-host URL-template
+    explosion (the aggregate complement of F4's per-URL heuristics;
+    Spiderdb loop guards [U][M], IRLbot budgeting, public).  A planted
+    URL lattice mixes a static page, a product explosion, a calendar
+    trap, and a doc/N/view trap; templates covering >=20 distinct URLs
+    with a variable segment are flagged."""
+    from gigaspark.operators.url_filters import trap_templates
+
+    o = _t(spark, sf_dir, "orders")
+    okey, ckey = F.col("o_orderkey"), F.col("o_custkey")
+    url = F.concat(
+        F.lit("http://host"), (ckey % 8).cast("string"), F.lit(".example"),
+        F.when(okey % 4 == 0, F.lit("/about/contact"))
+         .when(okey % 4 == 1, F.concat(F.lit("/p/"), okey.cast("string")))
+         .when(okey % 4 == 2, F.concat(
+             F.lit("/cal/"), (okey % 12 + 1).cast("string"),
+             F.lit("/"), (okey % 28 + 1).cast("string")))
+         .otherwise(F.concat(F.lit("/doc/"), okey.cast("string"),
+                             F.lit("/view"))))
+    urls = o.select(url.alias("url")).distinct()
+    return trap_templates(urls, min_urls=20)
+
+
+SQL_CRAWL_TRAPS = """
+WITH u AS (
+  SELECT DISTINCT 'http://host' || (o_custkey % 8)::VARCHAR || '.example' ||
+    CASE o_orderkey % 4
+      WHEN 0 THEN '/about/contact'
+      WHEN 1 THEN '/p/' || o_orderkey::VARCHAR
+      WHEN 2 THEN '/cal/' || (o_orderkey % 12 + 1)::VARCHAR || '/' ||
+                  (o_orderkey % 28 + 1)::VARCHAR
+      ELSE '/doc/' || o_orderkey::VARCHAR || '/view'
+    END AS url
+  FROM orders),
+segs AS (
+  SELECT url,
+         regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+         (list_filter(string_split(
+            regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), '/'),
+            s -> s <> ''))[1:6] AS sl
+  FROM u),
+t AS (
+  SELECT host,
+         '/' || array_to_string(list_transform(sl,
+             s -> CASE WHEN regexp_matches(s, '[0-9]') THEN '*' ELSE s END),
+             '/') AS template,
+         len(sl)::INT AS depth
+  FROM segs)
+SELECT host, template, depth, count(*)::BIGINT AS n_urls,
+       (count(*) >= 20 AND template LIKE '%*%') AS is_trap
+FROM t GROUP BY host, template, depth
+"""
+
+
 def q_f4_linkspam(spark, sf_dir):
     """F4 — link-spam filter (linkspam.cpp::isLinkSpam / Url.cpp::isSpam
     [U][M], pinned heuristic slice): a URL lattice planting every spam
@@ -5370,6 +5425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== slot 51+: scalar/diagnostic tier (driver-invisible; =======
         # ==== verified by tools/check_oracle.py at sf0.01 + sf0.1) ======
         "opic_scores": q_opic_scores,
+        "crawl_trap_templates": q_crawl_traps,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivfpq_topk": q_ann_ivfpq,
         "image_caption_ppl": q_caption_ppl,
@@ -5561,6 +5617,7 @@ def oracle_sql() -> dict[str, str]:
         "search_numeric_range": SQL_SEARCH_NUMRANGE,
         "pagerank": _sql_pagerank(),
         "opic_scores": _sql_opic(),
+        "crawl_trap_templates": SQL_CRAWL_TRAPS,
         "termlist_stats": SQL_TERMLIST_STATS,
         "related_docs": SQL_RELATED,
         "spider_queue_report": SQL_SPIDER_QUEUE,

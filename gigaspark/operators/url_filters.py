@@ -322,3 +322,59 @@ def eval_rules_py(rules: list[Rule], row: dict) -> dict:
         "max_spiders_per_ip": 1, "same_ip_wait_ms": 0,
         "harvest_links": False, "force_delete": False,
     }
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level crawl-trap detection (template explosion)
+# ---------------------------------------------------------------------------
+
+TRAP_MIN_URLS = 50
+TRAP_MAX_DEPTH = 6
+
+
+def trap_templates(urls: DataFrame, min_urls: int = TRAP_MIN_URLS,
+                   max_depth: int = TRAP_MAX_DEPTH) -> DataFrame:
+    """Per-host URL-template explosion detector → (host, template,
+    depth, n_urls, is_trap).
+
+    F4/``islinkspam`` judges each URL in isolation; real crawler traps
+    (calendars, faceted navigation, session paths) only show up in the
+    AGGREGATE: one path template expanding into unbounded distinct URLs
+    on one host (``Spiderdb``'s loop/trap guards are per-URL [U][M];
+    the corpus-level template view is the standard scale-path
+    complement, cf. IRLbot's SPAM/BEAST budgeting, public).
+
+    Pinned template law (identical in the DuckDB oracle):
+
+      * path = URL minus scheme://host and any ?query/#fragment;
+      * split on ``/``, drop empty segments, keep the first
+        ``max_depth`` (deeper segments don't refine a trap verdict);
+      * every segment containing a digit becomes ``*``;
+      * template = ``/`` + segments rejoined with ``/``;
+      * a (host, template) group is a trap iff it covers
+        ``>= min_urls`` distinct URLs AND the template has a ``*``
+        (a fully static template can't expand).
+
+    Scale shape: two narrow projections + ONE map-side-combinable
+    groupBy on (host, template) — no join, no window; the input URL
+    set is assumed pre-deduped (frontier/URL-seen upstream).  The trap
+    table is small (templates, not URLs) and broadcast-joins back into
+    the frontier as a suppression dim.
+    """
+    host = F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1)
+    path = F.regexp_extract("url", r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    segs = F.slice(
+        F.filter(F.split(path, "/"), lambda s: s != ""), 1, max_depth)
+    tpl = F.concat(
+        F.lit("/"),
+        F.array_join(
+            F.transform(segs, lambda s: F.when(s.rlike("[0-9]"), "*")
+                        .otherwise(s)), "/"))
+    return (urls
+            .select(host.alias("host"), tpl.alias("template"),
+                    F.size(segs).alias("depth"))
+            .groupBy("host", "template", "depth")
+            .agg(F.count("*").alias("n_urls"))
+            .select("host", "template", "depth", "n_urls",
+                    ((F.col("n_urls") >= min_urls) &
+                     F.col("template").contains("*")).alias("is_trap")))

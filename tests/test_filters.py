@@ -156,3 +156,35 @@ def test_insitelist_predicate_both_backends(spark):
         row = {"url": f"http://{h}/p", "host": h, "path": "/p",
                "hopcount": 0, "errorcount": 0, "is_seed": False}
         assert eval_rules_py(rules, row)["priority"] == want, h
+
+
+def test_trap_templates_planted(spark):
+    """Calendar trap flagged; static page and tiny variable template not."""
+    from gigaspark.operators.url_filters import trap_templates
+
+    rows = ([(f"http://a.example/cal/{m}/{d}",) for m in range(1, 6)
+             for d in range(1, 6)]                        # 25 urls, one tpl
+            + [("http://a.example/about",)] * 3           # static (deduped)
+            + [(f"http://b.example/p/{i}",) for i in range(3)])  # small
+    urls = spark.createDataFrame(rows, "url string").distinct()
+    got = {(r["host"], r["template"]): (r["n_urls"], r["is_trap"])
+           for r in trap_templates(urls, min_urls=10).collect()}
+    assert got[("a.example", "/cal/*/*")] == (25, True)
+    assert got[("a.example", "/about")] == (1, False)
+    assert got[("b.example", "/p/*")] == (3, False)
+
+
+def test_trap_templates_depth_cap(spark):
+    """Segments past max_depth are ignored — deep trap collapses to one
+    capped template."""
+    from gigaspark.operators.url_filters import trap_templates
+
+    rows = [(f"http://c.example/a/b/c/d/e/f/{i}/{j}",)
+            for i in range(4) for j in range(4)]
+    urls = spark.createDataFrame(rows, "url string")
+    got = trap_templates(urls, min_urls=10, max_depth=6).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["template"] == "/a/b/c/d/e/f" and r["depth"] == 6
+    # 16 distinct URLs but the capped template is static → not a trap
+    assert r["n_urls"] == 16 and not r["is_trap"]
