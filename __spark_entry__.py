@@ -644,6 +644,40 @@ FROM (SELECT * FROM orders LIMIT 2000)
 """
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC archive framing round-trip (ISO 28500, public — the
+    interoperable form of Titledb's fetched-page store [U][M]): build a
+    spec-shaped response record per document as ONE codegen string
+    Column, re-parse it with the Column-only record parser, and prove
+    identity + framing integrity.  The oracle states the expected
+    fields directly from `documents` — any drift in either direction
+    of the round-trip breaks the match."""
+    from gigaspark.io.warc import parse_warc_records, warc_record_col
+
+    d = _t(spark, sf_dir, "documents")
+    rec = warc_record_col(
+        F.col("doc_id"), F.lit("2026-01-01T00:00:00Z"),
+        F.concat(F.lit("http://doc.example/"), F.col("doc_id").cast("string")),
+        F.lit("text/plain"), F.col("text"))
+    parsed = parse_warc_records(d.select(rec.alias("record")))
+    return parsed.select(
+        "record_id", "target_uri", "content_type", "content_length",
+        F.md5("payload").alias("payload_md5"),
+        (F.octet_length("payload") == F.col("content_length"))
+        .alias("framing_ok"))
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT 'urn:gigaspark:' || doc_id::VARCHAR AS record_id,
+       'http://doc.example/' || doc_id::VARCHAR AS target_uri,
+       'text/plain' AS content_type,
+       strlen(text)::INT AS content_length,
+       md5(text) AS payload_md5,
+       TRUE AS framing_ok
+FROM documents
+"""
+
+
 def q_crawl_traps(spark, sf_dir):
     """Corpus-level crawl-trap detection — per-host URL-template
     explosion (the aggregate complement of F4's per-URL heuristics;
@@ -5426,6 +5460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== verified by tools/check_oracle.py at sf0.01 + sf0.1) ======
         "opic_scores": q_opic_scores,
         "crawl_trap_templates": q_crawl_traps,
+        "warc_roundtrip": q_warc_roundtrip,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivfpq_topk": q_ann_ivfpq,
         "image_caption_ppl": q_caption_ppl,
@@ -5618,6 +5653,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(),
         "opic_scores": _sql_opic(),
         "crawl_trap_templates": SQL_CRAWL_TRAPS,
+        "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "termlist_stats": SQL_TERMLIST_STATS,
         "related_docs": SQL_RELATED,
         "spider_queue_report": SQL_SPIDER_QUEUE,

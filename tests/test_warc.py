@@ -1,0 +1,83 @@
+"""WARC framing: in-plan build/parse round-trips + binary file walk."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gigaspark.functions.png import decode_png, encode_png
+from gigaspark.io.warc import (parse_warc_file_pandas, parse_warc_records,
+                               warc_record_col)
+
+
+def _build_record(rid: str, uri: str, mime: str, payload: bytes) -> bytes:
+    head = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <{rid}>\r\n"
+            f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Type: {mime}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n").encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def test_column_roundtrip_multibyte(spark):
+    """Build → parse is identity, including multibyte UTF-8 payloads
+    (Content-Length counts bytes; extraction is char-safe)."""
+    rows = [(1, "snow ☃ and cjk 漢字"),
+            (2, "plain ascii"),
+            (3, "embedded WARC/1.0\r\nContent-Length: 9\r\n\r\n decoy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rec = warc_record_col(
+        F.col("doc_id"), F.lit("2026-01-01T00:00:00Z"),
+        F.concat(F.lit("http://d/"), F.col("doc_id").cast("string")),
+        F.lit("text/plain"), F.col("text"))
+    parsed = parse_warc_records(df.select(rec.alias("record")))
+    got = {r["record_id"]: r for r in parsed.collect()}
+    for doc_id, text in rows:
+        r = got[f"urn:gigaspark:{doc_id}"]
+        assert bytes(r["payload"]).decode() == text
+        assert r["content_length"] == len(text.encode())
+        assert r["target_uri"] == f"http://d/{doc_id}"
+        assert r["warc_type"] == "response"
+
+
+def test_file_walk_binary_png(spark):
+    """Multi-record file with binary image payloads (one of them
+    containing header-lookalike bytes) walks back intact."""
+    rng = np.random.RandomState(7)
+    pix = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    png = encode_png(pix)
+    decoy = b"junk WARC/1.0\r\nContent-Length: 3\r\n\r\nxyz" * 3
+    blob = (_build_record("urn:g:1", "http://a/1.png", "image/png", png)
+            + _build_record("urn:g:2", "http://a/2.bin",
+                            "application/octet-stream", decoy)
+            + _build_record("urn:g:3", "http://a/3.png", "image/png", png))
+    files = spark.createDataFrame([(blob,)], "file_bytes binary")
+    rows = sorted(parse_warc_file_pandas(files).collect(),
+                  key=lambda r: r["record_id"])
+    assert [r["record_id"] for r in rows] == ["urn:g:1", "urn:g:2", "urn:g:3"]
+    assert bytes(rows[1]["payload"]) == decoy
+    for i in (0, 2):
+        assert bytes(rows[i]["payload"]) == png
+        assert np.array_equal(decode_png(bytes(rows[i]["payload"])), pix)
+    assert [r["content_length"] for r in rows] == [len(png), len(decoy),
+                                                   len(png)]
+
+
+def test_file_walk_matches_column_parse(spark):
+    """The pandas file walker and the Column record parser agree on the
+    same text records."""
+    df = spark.createDataFrame([(i, f"text payload {i}") for i in range(20)],
+                               "doc_id long, text string")
+    rec = warc_record_col(
+        F.col("doc_id"), F.lit("2026-01-01T00:00:00Z"),
+        F.concat(F.lit("http://d/"), F.col("doc_id").cast("string")),
+        F.lit("text/plain"), F.col("text"))
+    recs = df.select(rec.alias("record")).collect()
+    blob = b"".join(r["record"].encode() for r in recs)
+    via_file = parse_warc_file_pandas(
+        spark.createDataFrame([(blob,)], "file_bytes binary"))
+    via_col = parse_warc_records(df.select(rec.alias("record")))
+    a = sorted([tuple(r) for r in via_file.collect()])
+    b = sorted([tuple(r) for r in via_col.collect()])
+    assert a == b
