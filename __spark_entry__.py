@@ -644,6 +644,79 @@ FROM (SELECT * FROM orders LIMIT 2000)
 """
 
 
+def q_fasttext_quality(spark, sf_dir):
+    """fastText-style hashed-n-gram logistic quality classifier (Joulin
+    et al. 2016, public — the CCNet/LLaMA pipeline's learned filter):
+    2 pinned integer GD rounds on a deterministic train split
+    (doc_id % 3 != 0, y = long-doc proxy n_chars >= 300), then score
+    the WHOLE corpus.  Training and scoring are both in the oracle —
+    any drift in the GD arithmetic breaks the hash."""
+    from gigaspark.operators.classifier import (classify, hashed_features,
+                                                train_quality_logreg)
+
+    d = _t(spark, sf_dir, "documents")
+    feats = _cache_slot("fasttext_feats", hashed_features(d))
+    labels = (d.filter(F.col("doc_id") % 3 != 0)
+              .select("doc_id",
+                      (F.col("n_chars") >= 300).cast("int").alias("y")))
+    w = train_quality_logreg(feats, labels, n_iter=2)
+    return classify(d, feats, w)
+
+
+def _sql_fasttext(n_iter: int = 2, scale: int = 1_000_000,
+                  eta_den: int = 64, n_buckets: int = 4096) -> str:
+    half = scale // 2
+    parts = [f"""
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(regexp_replace(text,
+              '[^A-Za-z0-9 ]+', ' ', 'g')), ' {{2,}}', ' ', 'g')) AS t,
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+  FROM documents),
+wsx AS (SELECT doc_id, y,
+               list_filter(string_split(t, ' '), w -> w <> '') AS ws
+        FROM base),
+uni AS (SELECT doc_id, unnest(ws) AS feat FROM wsx),
+bi AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(ws) - 1),
+                     i -> ws[i] || '_' || ws[i+1])) AS feat
+       FROM wsx WHERE len(ws) >= 2),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(feat), 1, 8))::BIGINT % {n_buckets} AS bucket,
+         count(*)::BIGINT AS x
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  GROUP BY 1, 2),
+lab AS (SELECT doc_id, y FROM base WHERE doc_id % 3 <> 0),
+nt AS (SELECT count(*) AS n FROM lab),
+w0 AS (SELECT DISTINCT bucket, 0::BIGINT AS w FROM feats)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+m{i} AS (SELECT f.doc_id, l.y, sum(f.x * w.w)::BIGINT AS m
+         FROM feats f JOIN w{i-1} w USING (bucket)
+                      JOIN lab l ON l.doc_id = f.doc_id
+         GROUP BY f.doc_id, l.y),
+e{i} AS (SELECT doc_id,
+                (LEAST({scale}, GREATEST(0, {half} + m // 4))
+                 - y * {scale})::BIGINT AS err
+         FROM m{i}),
+g{i} AS (SELECT f.bucket, sum(e.err * f.x)::BIGINT AS g
+         FROM feats f JOIN e{i} e ON e.doc_id = f.doc_id
+         GROUP BY f.bucket),
+w{i} AS (SELECT w.bucket,
+                (w.w - coalesce(g.g, 0) // ({eta_den} * (SELECT n FROM nt)))::BIGINT AS w
+         FROM w{i-1} w LEFT JOIN g{i} g ON g.bucket = w.bucket)""")
+    parts.append(f""",
+sm AS (SELECT f.doc_id, sum(f.x * w.w)::BIGINT AS margin
+       FROM feats f JOIN w{n_iter} w USING (bucket)
+       GROUP BY f.doc_id)
+SELECT b.doc_id, coalesce(sm.margin, 0)::BIGINT AS margin,
+       LEAST({scale}, GREATEST(0, {half} + coalesce(sm.margin, 0) // 4))::BIGINT AS p_fp,
+       (coalesce(sm.margin, 0) > 0) AS keep
+FROM base b LEFT JOIN sm ON sm.doc_id = b.doc_id""")
+    return "".join(parts)
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC archive framing round-trip (ISO 28500, public — the
     interoperable form of Titledb's fetched-page store [U][M]): build a
@@ -5461,6 +5534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opic_scores": q_opic_scores,
         "crawl_trap_templates": q_crawl_traps,
         "warc_roundtrip": q_warc_roundtrip,
+        "fasttext_quality": q_fasttext_quality,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivfpq_topk": q_ann_ivfpq,
         "image_caption_ppl": q_caption_ppl,
@@ -5654,6 +5728,7 @@ def oracle_sql() -> dict[str, str]:
         "opic_scores": _sql_opic(),
         "crawl_trap_templates": SQL_CRAWL_TRAPS,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
+        "fasttext_quality": _sql_fasttext(),
         "termlist_stats": SQL_TERMLIST_STATS,
         "related_docs": SQL_RELATED,
         "spider_queue_report": SQL_SPIDER_QUEUE,

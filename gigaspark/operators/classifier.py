@@ -1,0 +1,128 @@
+"""fastText-style hashed bag-of-n-grams quality classifier
+(Joulin et al. 2016, "Bag of Tricks for Efficient Text
+Classification", public) — the linear classifier every large-scale
+LLM-data pipeline runs for quality/domain selection (CCNet, LLaMA's
+Wikipedia-reference filter; public papers).
+
+Reference parity note: Gigablast has no learned text classifier; this
+is driver-mandated training-data-pipeline surface (SURVEY §2-LLM),
+spec'd from the public paper, not from ``/root/reference`` (empty
+checkout, citations stay [U] per SURVEY §0).
+
+Model shape: word unigrams + adjacent-word bigrams, hashed into
+``n_buckets`` (the paper's hashing trick), count-valued; a single
+linear layer trained by full-batch gradient descent on a logistic-
+style loss.  Everything is pinned to INTEGER arithmetic so the DuckDB
+oracle reproduces training AND scoring bit-for-bit:
+
+  * weights live at probability scale ``S = 1e6``, start at 0;
+  * margin ``m = Σ_b w_b · x_b`` (x = feature count, exact int);
+  * probability is the HARD sigmoid (Courbariaux et al. 2016, public):
+    ``p = clamp(S/2 + m DIV 4, 0, S)`` — piecewise-linear, so both
+    engines agree exactly (true sigmoid would put a transcendental
+    float in the training loop);
+  * error ``e = p − y·S``; gradient ``g_b = Σ_docs e·x_b``;
+  * update ``w' = w − g DIV (eta_den · n_train)`` — the 1/n batch
+    mean and learning rate 1/eta_den folded into one floor division.
+    NOTE both engines' integer division TRUNCATES TOWARD ZERO on
+    negatives (verified: Spark ``DIV`` and DuckDB ``//`` give
+    −7/2 = −3) — a pure-python mirror must use ``int(a/b)``, not
+    ``//`` (which floors).
+
+Scale shape (100 TB story): features are ONE explode + ONE uniform
+(doc_id, bucket) count agg — map-side combinable, no skew (md5
+buckets).  Each GD round is two broadcast-sized joins: the model is at
+most ``n_buckets`` rows (2^12 by default — KBs), so margins come from
+a broadcast join against the cached training features and the
+gradient is one more uniform bucket agg.  The corpus is never joined
+to itself; scoring the full corpus is the same broadcast join once.
+Training-set size enters as a broadcast 1-row aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 1_000_000
+N_BUCKETS = 4096
+ETA_DEN = 64
+
+
+def _norm(c) -> F.Column:
+    """ASCII-pinned normalisation (same law as the CCNet LM filter)."""
+    x = F.regexp_replace(c, "[^A-Za-z0-9 ]+", " ")
+    x = F.lower(x)
+    x = F.regexp_replace(x, " {2,}", " ")
+    return F.trim(x)
+
+
+def hashed_features(docs: DataFrame, text_col: str = "text",
+                    n_buckets: int = N_BUCKETS) -> DataFrame:
+    """(doc_id, bucket, x) — hashed unigram+bigram counts per doc."""
+    ws = F.filter(F.split(_norm(F.col(text_col)), " "), lambda w: w != "")
+    base = docs.select("doc_id", ws.alias("ws"))
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.expr("transform(sequence(1, size(ws) - 1),"
+               " i -> concat(ws[i-1], '_', ws[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = base.select(
+        "doc_id", F.explode(F.concat(F.col("ws"), bigrams)).alias("feat"))
+    bucket = (F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10)
+              .cast("long") % n_buckets)
+    return (feats.select("doc_id", bucket.alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count("*").alias("x")))
+
+
+def _hard_sigmoid(m, scale: int = SCALE):
+    return F.least(F.lit(scale).cast("long"),
+                   F.greatest(F.lit(0).cast("long"),
+                              F.lit(scale // 2) + F.expr(f"({m}) DIV 4")))
+
+
+def train_quality_logreg(feats: DataFrame, labels: DataFrame,
+                         n_iter: int = 2, eta_den: int = ETA_DEN,
+                         scale: int = SCALE) -> DataFrame:
+    """(bucket, w) after ``n_iter`` pinned full-batch GD rounds.
+
+    ``labels``: (doc_id, y) with y in {0,1}, restricted to the
+    TRAINING docs (the caller picks the split — a deterministic hash
+    split keeps the oracle exact).
+    """
+    from gigaspark.session import stable_checkpoint
+
+    ntr = labels.agg(F.count("*").alias("n"))      # 1 row, broadcast
+    tf = stable_checkpoint(feats.join(labels, "doc_id"))  # (doc_id,bucket,x,y)
+    w = stable_checkpoint(
+        feats.select("bucket").distinct()
+        .select("bucket", F.lit(0).cast("long").alias("w")))
+    for _ in range(n_iter):
+        m = (tf.join(F.broadcast(w), "bucket")
+             .groupBy("doc_id", "y")
+             .agg(F.sum(F.expr("x * w")).alias("m")))
+        err = m.select(
+            "doc_id",
+            (_hard_sigmoid("m", scale) - F.col("y") * scale).alias("err"))
+        g = (tf.join(err, "doc_id")
+             .groupBy("bucket").agg(F.sum(F.expr("err * x")).alias("g")))
+        w = stable_checkpoint(
+            w.join(g, "bucket", "left").join(F.broadcast(ntr))
+            .select("bucket", F.expr(
+                f"w - coalesce(g, CAST(0 AS BIGINT)) DIV ({eta_den} * n)")
+                .alias("w")))
+    return w
+
+
+def classify(docs: DataFrame, feats: DataFrame, weights: DataFrame,
+             scale: int = SCALE) -> DataFrame:
+    """(doc_id, margin, p_fp, keep) for EVERY doc (feature-less docs
+    score margin 0).  keep is pinned to margin > 0."""
+    m = (feats.join(F.broadcast(weights), "bucket")
+         .groupBy("doc_id").agg(F.sum(F.expr("x * w")).alias("m")))
+    return (docs.select("doc_id").join(m, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("m", F.lit(0).cast("long")).alias("margin"))
+            .select("doc_id", "margin",
+                    _hard_sigmoid("margin", scale).alias("p_fp"),
+                    (F.col("margin") > 0).alias("keep")))
