@@ -4308,6 +4308,51 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(images).orderBy("image_id")
 
 
+def q_image_quality(spark, sf_dir):
+    """LAION-style image curation metrics over a planted corpus mixing
+    flat / checkerboard / gradient / noise / dark / bright content plus
+    JPEGs at known IJG qualities (DQT-header quality estimation) and a
+    corrupt blob (decode_ok=false channel).  Rows-only driver check —
+    pixel decode is not SQL-expressible; the metric laws are pytest-
+    verified against closed-form fixtures (tests/test_image_quality.py)."""
+    import numpy as np
+
+    from gigaspark.functions.images import encode_image
+    from gigaspark.functions.jpeg import encode_jpeg
+    from gigaspark.operators.multimodal import image_quality
+
+    rows = []
+    for i in range(60):
+        rng = np.random.default_rng(7000 + i)
+        kind = i % 6
+        if kind == 0:
+            pix = np.full((16, 16, 3), 128, dtype=np.uint8)
+        elif kind == 1:
+            yy, xx = np.mgrid[0:16, 0:16]
+            pix = np.where(((yy + xx) % 2 == 0)[..., None], 255,
+                           0).astype(np.uint8).repeat(3, axis=2)
+        elif kind == 2:
+            pix = np.repeat(np.arange(16, dtype=np.uint8)[None, :] * 16,
+                            16, 0)[..., None].repeat(3, axis=2)
+        elif kind == 3:
+            pix = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        elif kind == 4:
+            pix = rng.integers(0, 20, (16, 16, 3), dtype=np.uint8)
+        else:
+            pix = rng.integers(236, 256, (16, 16, 3), dtype=np.uint8)
+        if i % 5 == 0:
+            q = (30, 50, 75, 90)[i % 4]
+            rows.append((f"img{i:04d}", bytearray(encode_jpeg(pix, quality=q)),
+                         "jpg"))
+        else:
+            rows.append((f"img{i:04d}", bytearray(encode_image("png", pix)),
+                         "png"))
+    rows.append(("imgcorrupt", bytearray(b"\x89PNG\r\n\x1a\njunk"), "png"))
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string")
+    return image_quality(images).orderBy("image_id")
+
+
 def q_image_exif(spark, sf_dir):
     """EXIF provenance + orientation normalization over a planted
     camera-style corpus: 48 JPEGs cycling through all 8 EXIF
@@ -5612,6 +5657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_align": q_image_align,
         "image_aspect_batches": q_image_aspect_batches,
         "image_exif_orientation": q_image_exif,
+        "image_quality_metrics": q_image_quality,
         "image_curation_e2e": q_image_curation_e2e,
     }
 

@@ -895,3 +895,62 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             grid = np.repeat(np.repeat(grid, fy, axis=0), fx, axis=1)
         chans.append(grid[:h, :w])
     return _ycbcr_to_rgb(np.stack(chans, axis=-1))
+
+
+def estimate_jpeg_quality(data: bytes) -> int | None:
+    """Estimate the IJG quality factor from the FIRST DQT luma table.
+
+    Inverts :func:`_scaled_quant`'s law (the spec-suggested scaling of
+    the Annex K luminance table, T.81 K.1): per-coefficient scale
+    estimates ``(q*100 - 50) / base`` are averaged (DC excluded — many
+    encoders hand-tune it), then mapped back through the two-branch
+    IJG rule.  Returns None when no DQT is present (or the stream is
+    truncated before one); raises ValueError on non-JPEG bytes.
+
+    A curation signal, not a decode: recompression detection and
+    low-quality filtering at corpus scale read ONLY the header bytes —
+    no entropy decode, so it is cheap enough to run on every blob.
+    """
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: bad SOI")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no DQT seen
+            return None
+        seg_len = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        if marker == 0xDB:
+            seg = data[pos + 4:pos + 2 + seg_len]
+            off = 0
+            while off < len(seg):
+                prec_id = seg[off]
+                precision, tid = prec_id >> 4, prec_id & 0x0F
+                n = 64 * (2 if precision else 1)
+                raw = seg[off + 1:off + 1 + n]
+                if len(raw) < n:
+                    return None  # truncated table
+                if tid == 0:  # luma
+                    if precision:
+                        q = np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                    else:
+                        q = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                    q = q[UNZIGZAG].reshape(8, 8).ravel()
+                    base = QUANT_LUMA.ravel().astype(np.float64)
+                    est = (q[1:] * 100.0 - 50.0) / base[1:]
+                    scale = float(np.mean(est))
+                    if scale <= 0:
+                        return 100
+                    if scale >= 100.0:
+                        qf = 5000.0 / scale
+                    else:
+                        qf = (200.0 - scale) / 2.0
+                    return int(min(100, max(1, round(qf))))
+                off += 1 + n
+        pos += 2 + seg_len
+    return None

@@ -498,3 +498,85 @@ def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
             yield pd.DataFrame(out)
 
     return videos.select("video_id", "bytes", "fmt").mapInPandas(_run, FRAME_SCHEMA)
+
+
+QUALITY_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("decode_ok", T.BooleanType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("brightness", T.DoubleType()),
+    T.StructField("contrast", T.DoubleType()),
+    T.StructField("sharpness", T.DoubleType()),
+    T.StructField("colorfulness", T.DoubleType()),
+    T.StructField("dark_frac", T.DoubleType()),
+    T.StructField("bright_frac", T.DoubleType()),
+    T.StructField("jpeg_quality", T.IntegerType()),
+])
+
+
+def image_quality(images: DataFrame) -> DataFrame:
+    """Per-image curation metrics (LAION-style filter inputs, public):
+
+    * ``brightness`` — mean gray (ITU-R 601 luma weights);
+    * ``contrast`` — gray std;
+    * ``sharpness`` — variance of the 4-neighbour Laplacian (the
+      classic blur detector);
+    * ``colorfulness`` — Hasler & Süsstrunk 2003 metric
+      (``sqrt(σ²_rg + σ²_yb) + 0.3·sqrt(μ²_rg + μ²_yb)``);
+    * ``dark_frac`` / ``bright_frac`` — pixel share under 32 / over 223;
+    * ``jpeg_quality`` — IJG quality factor estimated from the DQT
+      header (jpeg formats only; header-read, no entropy decode).
+
+    One ``mapInPandas`` pass, whole-array numpy per blob; corrupt blobs
+    surface as decode_ok=false rows (same error channel as
+    :func:`extract_features`).
+    """
+    from gigaspark.functions.jpeg import estimate_jpeg_quality
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in QUALITY_SCHEMA.fieldNames()}
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                row = dict.fromkeys(out, None)
+                row["image_id"], row["fmt"], row["decode_ok"] = iid, fmt, False
+                try:
+                    data = bytes(blob)
+                    pix = decode_stub(fmt, data)
+                    rgb = pix.astype(np.float64)
+                    gray = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+                            + 0.114 * rgb[:, :, 2])
+                    lap = (4.0 * gray
+                           - np.roll(gray, 1, 0) - np.roll(gray, -1, 0)
+                           - np.roll(gray, 1, 1) - np.roll(gray, -1, 1))
+                    lap = lap[1:-1, 1:-1] if min(gray.shape) > 2 else lap
+                    rg = rgb[:, :, 0] - rgb[:, :, 1]
+                    yb = 0.5 * (rgb[:, :, 0] + rgb[:, :, 1]) - rgb[:, :, 2]
+                    colorful = (np.sqrt(rg.var() + yb.var())
+                                + 0.3 * np.sqrt(rg.mean() ** 2
+                                                + yb.mean() ** 2))
+                    qf = (estimate_jpeg_quality(data)
+                          if fmt in ("jpg", "jpeg", "jpgp", "jpg420")
+                          else None)
+                    row.update(
+                        w=int(pix.shape[1]), h=int(pix.shape[0]),
+                        decode_ok=True,
+                        brightness=float(gray.mean()),
+                        contrast=float(gray.std()),
+                        sharpness=float(lap.var()),
+                        colorfulness=float(colorful),
+                        dark_frac=float((gray < 32).mean()),
+                        bright_frac=float((gray > 223).mean()),
+                        jpeg_quality=qf,
+                    )
+                except (NotImplementedError, ValueError, KeyError,
+                        IndexError, struct.error, zlib.error):
+                    pass  # corrupt blob → decode_ok=false row
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return (images.select("image_id", "bytes", "fmt")
+            .mapInPandas(_run, QUALITY_SCHEMA))

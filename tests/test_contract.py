@@ -16,6 +16,7 @@ ROWS_ONLY = {
     "video_frames",
     "video_scene_cuts",
     "image_exif_orientation",
+    "image_quality_metrics",
 }
 
 
