@@ -1827,6 +1827,58 @@ FROM documents
 """
 
 
+def q_domain_priors(spark, sf_dir):
+    """Per-domain quality priors (RefinedWeb/C4 practice, public:
+    aggregate document quality to the registrable-domain level and feed
+    the verdict BACK into crawl priority — Gigablast's Tagdb site tags
+    steer getUrlFilterNum the same way [U][M]).  `source` stands in for
+    the domain key.  Quality rides the pinned quarter-integer composite
+    (quality*4 ∈ 0..4 exact), keep-rate is integer permille, and the
+    verdict ladder (block/demote/neutral/boost with a crawl-priority
+    delta) is a pinned CASE — all exact cross-engine."""
+    from gigaspark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    q4 = (quality_score(F.col("text")) * 4).cast("long")
+    per_doc = d.select("source", q4.alias("q4"))
+    agg = (per_doc.groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("q4").alias("sum_q4"),
+                F.sum((F.col("q4") >= 2).cast("long")).alias("n_keep")))
+    kp = F.expr("(1000 * n_keep) DIV n_docs")
+    verdict = (F.when(kp < 300, "block").when(kp < 500, "demote")
+               .when(kp >= 800, "boost").otherwise("neutral"))
+    delta = (F.when(kp < 300, -99).when(kp < 500, -8)
+             .when(kp >= 800, 8).otherwise(0))
+    return agg.select(
+        "source", "n_docs", "sum_q4",
+        kp.alias("keep_permille"), verdict.alias("verdict"),
+        delta.cast("int").alias("priority_delta"))
+
+
+def _sql_domain_priors() -> str:
+    p = _sql_quality_parts()
+    return f"""
+WITH per_doc AS (
+  SELECT source, (({p["quality"]}) * 4)::BIGINT AS q4 FROM documents),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(q4)::BIGINT AS sum_q4,
+         sum(CASE WHEN q4 >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_keep
+  FROM per_doc GROUP BY source)
+SELECT source, n_docs, sum_q4,
+       ((1000 * n_keep) // n_docs)::BIGINT AS keep_permille,
+       CASE WHEN (1000 * n_keep) // n_docs < 300 THEN 'block'
+            WHEN (1000 * n_keep) // n_docs < 500 THEN 'demote'
+            WHEN (1000 * n_keep) // n_docs >= 800 THEN 'boost'
+            ELSE 'neutral' END AS verdict,
+       (CASE WHEN (1000 * n_keep) // n_docs < 300 THEN -99
+             WHEN (1000 * n_keep) // n_docs < 500 THEN -8
+             WHEN (1000 * n_keep) // n_docs >= 800 THEN 8
+             ELSE 0 END)::INT AS priority_delta
+FROM agg
+"""
+
+
 def q_text_langid(spark, sf_dir):
     """Language ID — marker-word argmax heuristic (Lang.cpp analogue
     [U][M]); deterministic tie-break, portable length/replace counting."""
@@ -5580,6 +5632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trap_templates": q_crawl_traps,
         "warc_roundtrip": q_warc_roundtrip,
         "fasttext_quality": q_fasttext_quality,
+        "domain_quality_priors": q_domain_priors,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivfpq_topk": q_ann_ivfpq,
         "image_caption_ppl": q_caption_ppl,
@@ -5775,6 +5828,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_trap_templates": SQL_CRAWL_TRAPS,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "fasttext_quality": _sql_fasttext(),
+        "domain_quality_priors": _sql_domain_priors(),
         "termlist_stats": SQL_TERMLIST_STATS,
         "related_docs": SQL_RELATED,
         "spider_queue_report": SQL_SPIDER_QUEUE,
