@@ -806,6 +806,103 @@ FROM t GROUP BY host, template, depth
 """
 
 
+def q_frontier_trap_suppress(spark, sf_dir):
+    """Trap suppression composed into frontier winner selection: the
+    trap-template table (small — templates, not URLs) broadcasts back
+    onto the candidate URL set as a suppression dim, then the A1
+    winner window runs per host over the survivors.  Output per host:
+    candidate/suppressed counts + the surviving winner.  Same lattice
+    as `crawl_trap_templates`, priority pinned to o_orderkey % 89."""
+    from gigaspark.operators.url_filters import trap_templates
+
+    o = _t(spark, sf_dir, "orders")
+    okey, ckey = F.col("o_orderkey"), F.col("o_custkey")
+    url = F.concat(
+        F.lit("http://host"), (ckey % 8).cast("string"), F.lit(".example"),
+        F.when(okey % 4 == 0, F.lit("/about/contact"))
+         .when(okey % 4 == 1, F.concat(F.lit("/p/"), okey.cast("string")))
+         .when(okey % 4 == 2, F.concat(
+             F.lit("/cal/"), (okey % 12 + 1).cast("string"),
+             F.lit("/"), (okey % 28 + 1).cast("string")))
+         .otherwise(F.concat(F.lit("/doc/"), okey.cast("string"),
+                             F.lit("/view"))))
+    cand = (o.select(url.alias("url"), (okey % 89).cast("int")
+                     .alias("priority"))
+            .groupBy("url").agg(F.max("priority").alias("priority")))
+    traps = trap_templates(cand.select("url"), min_urls=20) \
+        .where("is_trap").select("host", "template")
+    host = F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1)
+    path = F.regexp_extract("url", r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    segs = F.slice(F.filter(F.split(path, "/"), lambda s: s != ""), 1, 6)
+    tpl = F.concat(F.lit("/"), F.array_join(
+        F.transform(segs, lambda s: F.when(s.rlike("[0-9]"), "*")
+                    .otherwise(s)), "/"))
+    tagged = (cand.select("url", "priority", host.alias("host"),
+                          tpl.alias("template"))
+              .join(F.broadcast(traps.withColumn("trapped", F.lit(True))),
+                    ["host", "template"], "left")
+              .withColumn("trapped", F.coalesce("trapped", F.lit(False))))
+    counts = (tagged.groupBy("host")
+              .agg(F.count("*").alias("n_candidates"),
+                   F.sum(F.col("trapped").cast("long")).alias("n_trapped")))
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("url").asc())
+    winners = (tagged.where(~F.col("trapped"))
+               .withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1)
+               .select("host", F.col("url").alias("winner_url"),
+                       F.col("priority").alias("winner_priority")))
+    return counts.join(winners, "host")
+
+
+SQL_FRONTIER_TRAP = """
+WITH u AS (
+  SELECT 'http://host' || (o_custkey % 8)::VARCHAR || '.example' ||
+    CASE o_orderkey % 4
+      WHEN 0 THEN '/about/contact'
+      WHEN 1 THEN '/p/' || o_orderkey::VARCHAR
+      WHEN 2 THEN '/cal/' || (o_orderkey % 12 + 1)::VARCHAR || '/' ||
+                  (o_orderkey % 28 + 1)::VARCHAR
+      ELSE '/doc/' || o_orderkey::VARCHAR || '/view'
+    END AS url, (o_orderkey % 89)::INT AS priority
+  FROM orders),
+cand AS (SELECT url, max(priority) AS priority FROM u GROUP BY url),
+segs AS (
+  SELECT url, priority,
+         regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+         (list_filter(string_split(
+            regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), '/'),
+            s -> s <> ''))[1:6] AS sl
+  FROM cand),
+tagged AS (
+  SELECT url, priority, host,
+         '/' || array_to_string(list_transform(sl,
+             s -> CASE WHEN regexp_matches(s, '[0-9]') THEN '*' ELSE s END),
+             '/') AS template
+  FROM segs),
+traps AS (
+  SELECT host, template FROM tagged GROUP BY host, template
+  HAVING count(*) >= 20 AND template LIKE '%*%'),
+flagged AS (
+  SELECT t.*, (tr.host IS NOT NULL) AS trapped
+  FROM tagged t LEFT JOIN traps tr
+    ON tr.host = t.host AND tr.template = t.template),
+counts AS (
+  SELECT host, count(*)::BIGINT AS n_candidates,
+         sum(CASE WHEN trapped THEN 1 ELSE 0 END)::BIGINT AS n_trapped
+  FROM flagged GROUP BY host),
+winners AS (
+  SELECT host, url AS winner_url, priority AS winner_priority
+  FROM (SELECT *, row_number() OVER (PARTITION BY host
+            ORDER BY priority DESC, url ASC) AS rn
+        FROM flagged WHERE NOT trapped)
+  WHERE rn = 1)
+SELECT c.host, c.n_candidates, c.n_trapped, w.winner_url,
+       w.winner_priority
+FROM counts c JOIN winners w ON w.host = c.host
+"""
+
+
 def q_f4_linkspam(spark, sf_dir):
     """F4 — link-spam filter (linkspam.cpp::isLinkSpam / Url.cpp::isSpam
     [U][M], pinned heuristic slice): a URL lattice planting every spam
@@ -5633,6 +5730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "fasttext_quality": q_fasttext_quality,
         "domain_quality_priors": q_domain_priors,
+        "frontier_trap_suppress": q_frontier_trap_suppress,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivfpq_topk": q_ann_ivfpq,
         "image_caption_ppl": q_caption_ppl,
@@ -5829,6 +5927,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "fasttext_quality": _sql_fasttext(),
         "domain_quality_priors": _sql_domain_priors(),
+        "frontier_trap_suppress": SQL_FRONTIER_TRAP,
         "termlist_stats": SQL_TERMLIST_STATS,
         "related_docs": SQL_RELATED,
         "spider_queue_report": SQL_SPIDER_QUEUE,
