@@ -1924,6 +1924,52 @@ FROM documents
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """Line-level boilerplate removal (CCNet paragraph dedup /
+    RefinedWeb line-wise corrections, public): docs are rebuilt as
+    title + body + per-source copyright footer; lines occurring in >5
+    distinct docs of the same domain are dropped with order preserved.
+    The footer (and any repeated body line) disappears; titles stay."""
+    from gigaspark.operators.dedup import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    built = F.concat_ws(
+        "\n",
+        F.concat(F.lit("title of "), F.col("doc_id").cast("string")),
+        F.substring("text", 1, 60),
+        F.concat(F.lit("copyright "), F.col("source"),
+                 F.lit(" all rights reserved")))
+    docs = d.select("doc_id", F.col("source").alias("domain"),
+                    built.alias("text"))
+    return line_dedup(docs, max_df=5)
+
+
+SQL_LINE_DEDUP = """
+WITH d AS (
+  SELECT doc_id, source AS domain,
+         'title of ' || doc_id::VARCHAR || chr(10) ||
+         substr(text, 1, 60) || chr(10) ||
+         'copyright ' || source || ' all rights reserved' AS text
+  FROM documents),
+l0 AS (SELECT doc_id, domain, string_split(text, chr(10)) AS ls FROM d),
+l1 AS (SELECT doc_id, domain,
+              unnest(generate_series(1, len(ls))) AS pos, ls
+       FROM l0),
+lines AS (SELECT doc_id, domain, pos, ls[pos] AS line FROM l1),
+freq AS (SELECT domain, md5(line) AS lh, count(DISTINCT doc_id) AS df
+         FROM lines GROUP BY 1, 2),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line, (f.df > 5) AS removed
+  FROM lines l JOIN freq f ON f.domain = l.domain AND f.lh = md5(l.line))
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT removed THEN line END,
+                           chr(10) ORDER BY pos), '') AS clean_text,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN removed THEN 1 ELSE 0 END)::BIGINT AS n_removed
+FROM flagged GROUP BY doc_id
+"""
+
+
 def q_domain_priors(spark, sf_dir):
     """Per-domain quality priors (RefinedWeb/C4 practice, public:
     aggregate document quality to the registrable-domain level and feed
@@ -5731,6 +5777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fasttext_quality": q_fasttext_quality,
         "domain_quality_priors": q_domain_priors,
         "frontier_trap_suppress": q_frontier_trap_suppress,
+        "line_dedup": q_line_dedup,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivfpq_topk": q_ann_ivfpq,
         "image_caption_ppl": q_caption_ppl,
@@ -5928,6 +5975,7 @@ def oracle_sql() -> dict[str, str]:
         "fasttext_quality": _sql_fasttext(),
         "domain_quality_priors": _sql_domain_priors(),
         "frontier_trap_suppress": SQL_FRONTIER_TRAP,
+        "line_dedup": SQL_LINE_DEDUP,
         "termlist_stats": SQL_TERMLIST_STATS,
         "related_docs": SQL_RELATED,
         "spider_queue_report": SQL_SPIDER_QUEUE,

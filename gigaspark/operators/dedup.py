@@ -416,3 +416,46 @@ def image_caption_neardup(imgs: DataFrame, id_col: str = "image_id",
         .agg(F.min("dist").cast("int").alias("phash_dist"),
              F.max("same_caption").alias("same_caption"))
     )
+
+
+def line_dedup(docs: DataFrame, max_df: int = 5,
+               domain_col: str = "domain",
+               text_col: str = "text") -> DataFrame:
+    """Line-level boilerplate removal (CCNet's paragraph dedup /
+    RefinedWeb's line-wise corrections, public papers): drop every line
+    that occurs in MORE THAN ``max_df`` distinct documents of the same
+    domain (nav bars, cookie banners, copyright footers), preserving
+    the remaining lines' order.  Returns
+    (doc_id, clean_text, n_lines, n_removed).
+
+    Pinned laws: lines split on ``\\n`` exactly (no trimming — byte
+    drift would change the count key); the duplicate key is
+    (domain, line) by md5; empty lines are lines too; a doc whose
+    every line is boilerplate comes back with ``clean_text = ''``.
+
+    Scale shape: posexplode → ONE (domain, line-md5) count agg
+    (map-side combinable, uniform md5 keys) → the line-frequency dim
+    joins back by the same uniform key → one doc_id agg rebuilds the
+    text via sort_array (per-doc arrays, no global window).  The
+    corpus shuffles twice on uniform keys and never self-joins.
+    """
+    lines = docs.select(
+        "doc_id", F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1))
+        .alias("pos", "line"))
+    freq = (lines.groupBy("domain", F.md5("line").alias("lh"))
+            .agg(F.countDistinct("doc_id").alias("df")))
+    flagged = (lines.withColumn("lh", F.md5("line"))
+               .join(freq, ["domain", "lh"])
+               .withColumn("removed", F.col("df") > max_df))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.col("removed").cast("long")).alias("n_removed"),
+                 F.array_join(
+                     F.transform(
+                         F.filter(
+                             F.array_sort(F.collect_list(
+                                 F.struct("pos", "removed", "line"))),
+                             lambda x: ~x["removed"]),
+                         lambda x: x["line"]), "\n").alias("clean_text"))
+            .select("doc_id", "clean_text", "n_lines", "n_removed"))

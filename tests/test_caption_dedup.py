@@ -37,3 +37,23 @@ def test_lossless_banding_at_threshold(spark):
     out = image_caption_neardup(imgs, bits=56, n_bands=7, max_dist=4).collect()
     assert len(out) == 1 and out[0]["phash_dist"] == 4
     assert not out[0]["same_caption"]
+
+
+def test_line_dedup_boilerplate(spark):
+    """Footer shared by 6 docs of one domain is removed; a doc that is
+    ALL boilerplate comes back empty; order of kept lines preserved;
+    the same footer on another domain (below threshold) survives."""
+    from gigaspark.operators.dedup import line_dedup
+
+    rows = [(i, "a.com", f"unique {i}\nshared footer\ntail {i}")
+            for i in range(6)]
+    rows.append((6, "a.com", "shared footer"))
+    rows.append((7, "b.com", "unique 7\nshared footer"))
+    docs = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    got = {r["doc_id"]: r for r in line_dedup(docs, max_df=5).collect()}
+    for i in range(6):
+        assert got[i]["clean_text"] == f"unique {i}\ntail {i}"
+        assert got[i]["n_lines"] == 3 and got[i]["n_removed"] == 1
+    assert got[6]["clean_text"] == "" and got[6]["n_removed"] == 1
+    # b.com's copy of the footer has df=1 there → kept
+    assert got[7]["clean_text"] == "unique 7\nshared footer"
