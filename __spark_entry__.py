@@ -751,6 +751,78 @@ FROM documents
 """
 
 
+def q_surt_cdx(spark, sf_dir):
+    """CDX-style URL index keyed by SURT (the Internet Archive's
+    sort-friendly URI transform, public): same-site URLs share a key
+    prefix, so the 10^10-row index answers host/domain scans by
+    parquet min-max RANGE PRUNING on one sorted column instead of a
+    host join.  A messy URL lattice exercises case folding, www/port/
+    userinfo stripping, fragment drop, and query-param sorting."""
+    from gigaspark.functions.urls import surt_col
+
+    o = _t(spark, sf_dir, "orders")
+    okey, ckey = F.col("o_orderkey"), F.col("o_custkey")
+    hostn = (ckey % 30).cast("string")
+    url = (F.when(okey % 5 == 0, F.concat(
+               F.lit("HTTP://WWW.Host"), hostn, F.lit(".Example/Products/"),
+               okey.cast("string")))
+           .when(okey % 5 == 1, F.concat(
+               F.lit("http://host"), hostn, F.lit(".example:80/a/b?z=1&a=2")))
+           .when(okey % 5 == 2, F.concat(
+               F.lit("https://user@host"), hostn,
+               F.lit(".example/secure?b=2&a=1&a=0")))
+           .when(okey % 5 == 3, F.concat(
+               F.lit("http://www2.host"), hostn, F.lit(".example")))
+           .otherwise(F.concat(
+               F.lit("http://sub.host"), hostn, F.lit(".example/x#frag"))))
+    return o.select(
+        surt_col(url).alias("surt"),
+        url.alias("url"),
+        F.lit("20260101000000").alias("ts"),
+        F.when(okey % 10 == 0, 404).otherwise(200).cast("int")
+        .alias("status"),
+        F.md5(url).alias("digest"))
+
+
+SQL_SURT_CDX = """
+WITH u AS (
+  SELECT CASE o_orderkey % 5
+    WHEN 0 THEN 'HTTP://WWW.Host' || (o_custkey % 30)::VARCHAR ||
+                '.Example/Products/' || o_orderkey::VARCHAR
+    WHEN 1 THEN 'http://host' || (o_custkey % 30)::VARCHAR ||
+                '.example:80/a/b?z=1&a=2'
+    WHEN 2 THEN 'https://user@host' || (o_custkey % 30)::VARCHAR ||
+                '.example/secure?b=2&a=1&a=0'
+    WHEN 3 THEN 'http://www2.host' || (o_custkey % 30)::VARCHAR ||
+                '.example'
+    ELSE 'http://sub.host' || (o_custkey % 30)::VARCHAR || '.example/x#frag'
+  END AS url, o_orderkey FROM orders),
+parts AS (
+  SELECT url, o_orderkey, lower(url) AS lo FROM u),
+hostp AS (
+  SELECT url, o_orderkey, lo,
+         regexp_replace(regexp_replace(
+             regexp_extract(lo, '^[a-z]+://(?:[^@/?#]*@)?([^/?#]+)', 1),
+             ':[0-9]*$', ''), '^www[0-9]*\\.', '') AS host,
+         coalesce(regexp_extract(lo, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+                  '') AS path0,
+         coalesce(regexp_extract(lo, '\\?([^#]*)', 1), '') AS q
+  FROM parts),
+surted AS (
+  SELECT url, o_orderkey,
+         array_to_string(list_reverse(string_split(host, '.')), ',') || ')' ||
+         (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+         (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS surt
+  FROM (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+            string_split(q, '&'), x -> x <> '')), '&'), '') AS qs
+        FROM hostp))
+SELECT surt, url, '20260101000000' AS ts,
+       (CASE WHEN o_orderkey % 10 = 0 THEN 404 ELSE 200 END)::INT AS status,
+       md5(url) AS digest
+FROM surted
+"""
+
+
 def q_crawl_traps(spark, sf_dir):
     """Corpus-level crawl-trap detection — per-host URL-template
     explosion (the aggregate complement of F4's per-URL heuristics;
@@ -5778,6 +5850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality_priors": q_domain_priors,
         "frontier_trap_suppress": q_frontier_trap_suppress,
         "line_dedup": q_line_dedup,
+        "surt_cdx_index": q_surt_cdx,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivfpq_topk": q_ann_ivfpq,
         "image_caption_ppl": q_caption_ppl,
@@ -5976,6 +6049,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_quality_priors": _sql_domain_priors(),
         "frontier_trap_suppress": SQL_FRONTIER_TRAP,
         "line_dedup": SQL_LINE_DEDUP,
+        "surt_cdx_index": SQL_SURT_CDX,
         "termlist_stats": SQL_TERMLIST_STATS,
         "related_docs": SQL_RELATED,
         "spider_queue_report": SQL_SPIDER_QUEUE,

@@ -339,3 +339,40 @@ def py_firstip(host: str) -> int:
 
 
 py_urlhash48 = _py_urlhash48
+
+
+def surt_col(url: Column) -> Column:
+    """SURT key (Sort-friendly URI Reordering Transform — the Internet
+    Archive's CDX index key, public): same-site URLs become PREFIX
+    RANGES of one sorted key space, so a 10^10-row URL index answers
+    host/domain scans with parquet min-max range pruning instead of a
+    host join.
+
+    Pinned canonicalization subset (documented deviations from IA's
+    full canonicalizer: no %-decode, no session-id strip — those live
+    in `canonicalize_url` upstream):
+
+      * lowercase the whole URL;
+      * host: strip userinfo, one leading ``www[0-9]*.`` label, and any
+        explicit port; reverse dot-labels joined by commas;
+      * key = ``revhost)/path`` (empty path → ``/``);
+      * query: split on ``&``, drop empties, SORT (byte order), rejoin
+        — appended as ``?sorted`` when non-empty; fragments dropped.
+
+    Pure Column ops, mirrored verbatim in DuckDB SQL by the
+    `surt_cdx_index` oracle.
+    """
+    lo = F.lower(url)
+    host = F.regexp_extract(lo, r"^[a-z]+://(?:[^@/?#]*@)?([^/?#]+)", 1)
+    host = F.regexp_replace(host, r":[0-9]*$", "")
+    host = F.regexp_replace(host, r"^www[0-9]*\.", "")
+    revhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(lo, r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(lo, r"\?([^#]*)", 1)
+    qsorted = F.array_join(
+        F.array_sort(F.filter(F.split(q, "&"), lambda x: x != "")), "&")
+    return F.concat(
+        revhost, F.lit(")"), path,
+        F.when(qsorted == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), qsorted)))

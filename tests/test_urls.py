@@ -143,3 +143,41 @@ def test_domain_property_suffix_of_host(labels):
     d = py_domain(host)
     assert host == d or host.endswith("." + d)
     assert 1 <= len(d.split(".")) <= 3
+
+
+def test_surt_key_edges(spark):
+    """SURT pinned subset: case fold, www/wwwN strip, port + userinfo
+    strip, fragment drop, query-param sort, empty path → '/'."""
+    from gigaspark.functions.urls import surt_col
+    from pyspark.sql import functions as F
+
+    cases = {
+        "HTTP://WWW.Example.COM:80/A/B?z=1&a=2#frag":
+            "com,example)/a/b?a=2&z=1",
+        "http://www3.example.com": "com,example)/",
+        "https://u:p@sub.example.com/x": "com,example,sub)/x",
+        "http://example.com/x?": "com,example)/x",
+        "http://example.com/x?&&b=1&a=1": "com,example)/x?a=1&b=1",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["surt"]
+           for r in df.select("url", surt_col(F.col("url")).alias("surt"))
+                      .collect()}
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u])
+
+
+def test_surt_prefix_groups_site(spark):
+    """All URLs of one host share a SURT prefix that sorts contiguously
+    (the range-pruning property the CDX index relies on)."""
+    from gigaspark.functions.urls import surt_col
+    from pyspark.sql import functions as F
+
+    urls = ([f"http://a.example.com/p/{i}" for i in range(5)]
+            + [f"http://b.example.com/p/{i}" for i in range(5)])
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    keys = sorted(r["surt"] for r in
+                  df.select(surt_col(F.col("url")).alias("surt")).collect())
+    # sorted keys cluster: first 5 all a, last 5 all b
+    assert all(k.startswith("com,example,a)") for k in keys[:5])
+    assert all(k.startswith("com,example,b)") for k in keys[5:])
