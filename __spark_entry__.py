@@ -751,6 +751,40 @@ FROM documents
 """
 
 
+def q_adaptive_delay(spark, sf_dir):
+    """Adaptive per-host politeness delay (AIMD backoff over fetch
+    history): events stand in for fetch attempts (host = user_id,
+    failure = event_type 'error'); delay doubles per trailing
+    consecutive failure, capped at base<<6, resets on success."""
+    from gigaspark.operators.robots import adaptive_crawl_delay
+
+    e = _t(spark, sf_dir, "events")
+    fetches = e.select(
+        F.col("user_id").alias("host"), "ts", "event_id",
+        (F.col("event_type") != "error").alias("ok"))
+    return adaptive_crawl_delay(fetches)
+
+
+SQL_ADAPTIVE_DELAY = """
+WITH ranked AS (
+  SELECT user_id AS host, (event_type <> 'error') AS ok,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events),
+agg AS (
+  SELECT host, count(*)::BIGINT AS n_fetches,
+         sum(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS n_errors,
+         max(rn) AS last_rn,
+         max(CASE WHEN ok THEN rn END) AS last_ok_rn
+  FROM ranked GROUP BY host)
+SELECT host, n_fetches, n_errors,
+       (last_rn - coalesce(last_ok_rn, 0))::INT AS trailing_errors,
+       (250 * (1 << LEAST(last_rn - coalesce(last_ok_rn, 0), 6)))::BIGINT
+         AS next_delay_ms
+FROM agg
+"""
+
+
 def q_surt_cdx(spark, sf_dir):
     """CDX-style URL index keyed by SURT (the Internet Archive's
     sort-friendly URI transform, public): same-site URLs share a key
@@ -5851,6 +5885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_trap_suppress": q_frontier_trap_suppress,
         "line_dedup": q_line_dedup,
         "surt_cdx_index": q_surt_cdx,
+        "adaptive_crawl_delay": q_adaptive_delay,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivfpq_topk": q_ann_ivfpq,
         "image_caption_ppl": q_caption_ppl,
@@ -6050,6 +6085,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_trap_suppress": SQL_FRONTIER_TRAP,
         "line_dedup": SQL_LINE_DEDUP,
         "surt_cdx_index": SQL_SURT_CDX,
+        "adaptive_crawl_delay": SQL_ADAPTIVE_DELAY,
         "termlist_stats": SQL_TERMLIST_STATS,
         "related_docs": SQL_RELATED,
         "spider_queue_report": SQL_SPIDER_QUEUE,

@@ -152,3 +152,49 @@ class RobotsOracle:
 
     def crawl_delay_ms(self, host: str) -> int:
         return self.delay.get(host, 0)
+
+
+def adaptive_crawl_delay(fetches: DataFrame, base_ms: int = 250,
+                         max_shift: int = 6,
+                         host_col: str = "host",
+                         ok_col: str = "ok",
+                         order_cols: tuple[str, ...] = ("ts", "event_id"),
+                         ) -> DataFrame:
+    """Per-host adaptive politeness delay from fetch history — the AIMD
+    backoff every production crawler layers on top of robots
+    crawl-delay (exponential increase on consecutive failures,
+    reset on success; Gigablast's analogue is the tmp-error retry
+    ladder feeding same-ip wait [U][M], cf. url_filters
+    ``hastmperror``).
+
+    Pinned law: order a host's fetches by ``order_cols``;
+    ``trailing_errors`` = fetches after the last success (all of them
+    if no success); ``next_delay_ms = base_ms << min(trailing_errors,
+    max_shift)`` — pure integer, bit-exact cross-engine.
+
+    Scale shape: one per-host window (row_number) + one
+    map-side-combinable host agg.  Hosts are the natural partition key
+    here and per-host history is politeness-bounded (a polite crawler
+    fetches one host O(86400/delay) times/day), so the window never
+    sees a pathological partition; the megahost salting concern of the
+    frontier does not apply to per-host HISTORY.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        *[F.col(c).asc() for c in order_cols])
+    ranked = fetches.withColumn("rn", F.row_number().over(w))
+    agg = (ranked.groupBy(host_col)
+           .agg(F.count("*").alias("n_fetches"),
+                F.sum((~F.col(ok_col)).cast("long")).alias("n_errors"),
+                F.max("rn").alias("last_rn"),
+                F.max(F.when(F.col(ok_col), F.col("rn")))
+                .alias("last_ok_rn")))
+    trailing = (F.col("last_rn")
+                - F.coalesce(F.col("last_ok_rn"), F.lit(0)))
+    return (agg.withColumn("trailing_errors", trailing.cast("int"))
+            .select(F.col(host_col), "n_fetches", "n_errors",
+                    "trailing_errors",
+                    F.expr(f"CAST({base_ms} * shiftleft(CAST(1 AS BIGINT),"
+                           f" least(trailing_errors, {max_shift}))"
+                           " AS BIGINT)").alias("next_delay_ms")))

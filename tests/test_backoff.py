@@ -114,3 +114,31 @@ def test_unchanged_refetch_waits_longer(backoff_run):
             assert t2 >= t1 + FETCH_MS + FREQ_MS * backoff, \
                 f"hash {h} gen {gen}: {t2} < {t1}+{FETCH_MS}+{FREQ_MS}*{backoff}"
     assert doubled > 0, "no unchanged re-fetch ever doubled — signal inert"
+
+
+def test_adaptive_crawl_delay_law(spark):
+    """Exponential growth on trailing failures, cap at <<6, reset on
+    success, all-failure host counts every fetch."""
+    from gigaspark.operators.robots import adaptive_crawl_delay
+
+    rows = []
+    # host 1: ok, err, err      → trailing 2 → 250<<2 = 1000
+    for i, ok in enumerate([True, False, False]):
+        rows.append((1, i, i, ok))
+    # host 2: err x10           → trailing 10 → cap 250<<6 = 16000
+    for i in range(10):
+        rows.append((2, i, i, False))
+    # host 3: err, err, ok      → trailing 0 → 250
+    for i, ok in enumerate([False, False, True]):
+        rows.append((3, i, i, ok))
+    df = spark.createDataFrame(rows, "host long, ts long, event_id long,"
+                                     " ok boolean")
+    got = {r["host"]: r for r in adaptive_crawl_delay(
+        df, order_cols=("ts", "event_id")).collect()}
+    assert got[1]["trailing_errors"] == 2
+    assert got[1]["next_delay_ms"] == 1000
+    assert got[2]["trailing_errors"] == 10
+    assert got[2]["next_delay_ms"] == 16000
+    assert got[3]["trailing_errors"] == 0
+    assert got[3]["next_delay_ms"] == 250
+    assert got[2]["n_errors"] == 10 and got[2]["n_fetches"] == 10
