@@ -1306,6 +1306,101 @@ ORDER BY doc_id
 """
 
 
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/eval split (Lee et al. 2022 dedup practice,
+    public): near-dup CLUSTERS are the split unit, so two near-copies
+    can never straddle the boundary.  Cluster roots come from the same
+    LSH→verify→connected-components ladder as `dedup_clusters`
+    (singletons root at themselves); split = md5(root) % 10 (8/2)."""
+    from gigaspark.operators.dedup import (
+        connected_components, doc_shingles, lsh_candidate_pairs,
+        minhash_signatures, ngram_jaccard_pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = _cache_slot("lsh_shingles", doc_shingles(docs, k=3))
+    pairs = ngram_jaccard_pairs(
+        sh, lsh_candidate_pairs(minhash_signatures(sh, n_perm=8), n_bands=4),
+        threshold=0.5)
+    cc = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    full = (docs.select("doc_id").join(cc, "doc_id", "left")
+            .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id")))
+    bucket = (F.conv(F.substring(
+        F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10)
+    return full.select(
+        "doc_id", "cluster_id",
+        F.when(bucket < 8, "train").otherwise("eval").alias("split"))
+
+
+def _leakage_split_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+reach(u, v) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+cc AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+allx AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id)
+SELECT doc_id, cluster_id,
+       CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT
+                 % 10 < 8
+            THEN 'train' ELSE 'eval' END AS split
+FROM allx
+"""
+
+
+def q_cdx_revisit(spark, sf_dir):
+    """WARC revisit-record dedup (ISO 28500 revisit semantics, public;
+    CDX `warc/revisit` rows): across 4 crawl generations per URL, a
+    re-fetch whose payload digest equals the PREVIOUS generation's is
+    stored as a zero-payload revisit record.  Digests churn on a
+    pinned (doc_id + gen) DIV 3 law so every doc alternates stable and
+    changed stretches; one per-URL lag window decides."""
+    d = _t(spark, sf_dir, "documents")
+    gens = d.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(3)))
+        .alias("gen"))
+    digest = F.md5(F.concat(
+        F.col("text"), F.lit("#"),
+        F.expr("CAST((doc_id + gen) DIV 3 AS STRING)")))
+    w = Window.partitionBy("doc_id").orderBy("gen")
+    rows = (gens.withColumn("digest", digest)
+            .withColumn("is_revisit",
+                        F.col("digest") == F.lag("digest").over(w)))
+    return rows.select(
+        "doc_id", "gen", "digest",
+        F.coalesce("is_revisit", F.lit(False)).alias("is_revisit"),
+        F.when(F.coalesce("is_revisit", F.lit(False)), F.lit(0))
+        .otherwise(F.octet_length("text")).cast("long")
+        .alias("stored_bytes"))
+
+
+SQL_CDX_REVISIT = """
+WITH g AS (
+  SELECT doc_id, text, unnest(generate_series(0, 3)) AS gen
+  FROM documents),
+d AS (
+  SELECT doc_id, gen, text,
+         md5(text || '#' || ((doc_id + gen) // 3)::VARCHAR) AS digest
+  FROM g),
+l AS (
+  SELECT doc_id, gen, text, digest,
+         (digest = lag(digest) OVER (PARTITION BY doc_id ORDER BY gen))
+           AS rv
+  FROM d)
+SELECT doc_id, gen, digest,
+       coalesce(rv, FALSE) AS is_revisit,
+       (CASE WHEN coalesce(rv, FALSE) THEN 0
+             ELSE strlen(text) END)::BIGINT AS stored_bytes
+FROM l
+"""
+
+
 def q_dedup_keep(spark, sf_dir):
     """The dedup ACTION: per near-dup cluster keep the best document —
     argmax quality, ties to min doc_id (a real pipeline keeps the
@@ -5886,6 +5981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "surt_cdx_index": q_surt_cdx,
         "adaptive_crawl_delay": q_adaptive_delay,
+        "leakage_safe_split": q_leakage_split,
+        "cdx_revisit_dedup": q_cdx_revisit,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivfpq_topk": q_ann_ivfpq,
         "image_caption_ppl": q_caption_ppl,
@@ -6086,6 +6183,8 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": SQL_LINE_DEDUP,
         "surt_cdx_index": SQL_SURT_CDX,
         "adaptive_crawl_delay": SQL_ADAPTIVE_DELAY,
+        "leakage_safe_split": _leakage_split_sql(),
+        "cdx_revisit_dedup": SQL_CDX_REVISIT,
         "termlist_stats": SQL_TERMLIST_STATS,
         "related_docs": SQL_RELATED,
         "spider_queue_report": SQL_SPIDER_QUEUE,

@@ -155,3 +155,43 @@ def test_substring_dup_spans(spark):
     assert got[2] == (3, 1, 33)    # 7 tokens -> 3 windows
     assert got[3] == (3, 0, 0)
     assert got[4] == (0, 0, 0)
+
+
+def test_leakage_safe_split_property(spark):
+    """No near-dup cluster straddles the train/eval boundary, and the
+    split rate is roughly 8/2 over singletons."""
+    import sys
+    sys.path.insert(0, ".")
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    df = E.queries()["leakage_safe_split"](spark, "/root/testdata/sf0.001")
+    per_cluster = df.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_splits"))
+    assert per_cluster.filter("n_splits > 1").count() == 0
+    counts = {r["split"]: r["count"]
+              for r in df.groupBy("split").count().collect()}
+    total = sum(counts.values())
+    assert total == 500
+    assert 0.6 < counts.get("train", 0) / total < 0.95
+
+
+def test_cdx_revisit_storage_savings(spark):
+    """Unchanged re-fetches store zero bytes; each doc's digest changes
+    exactly when (doc_id+gen) crosses a DIV-3 boundary."""
+    import sys
+    sys.path.insert(0, ".")
+    import __spark_entry__ as E
+
+    rows = E.queries()["cdx_revisit_dedup"](
+        spark, "/root/testdata/sf0.001").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["gen"])
+        assert rs[0]["is_revisit"] is False  # first fetch always stored
+        for prev, cur in zip(rs, rs[1:]):
+            same = (doc_id + prev["gen"]) // 3 == (doc_id + cur["gen"]) // 3
+            assert cur["is_revisit"] == same
+            assert (cur["stored_bytes"] == 0) == same
