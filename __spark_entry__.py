@@ -5931,9 +5931,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_change_rate": q_w4_change_rate,
         # -- query language + ranking --------------------------------- 17-29
         "search_querylang_topk": q_querylang,
-        "search_querylang_site": q_querylang_site,
-        "search_querylang_title": q_querylang_title,
-        "search_querylang_numeric": q_querylang_numeric,
+        # round-3b flagships occupy three window slots; the displaced
+        # querylang site/title/numeric variants (same parser/compiler
+        # family as topk+boolean above) moved to 51+ — still tri-scale
+        # verified by tools/check_oracle.py
+        "fasttext_quality": q_fasttext_quality,
+        "line_dedup": q_line_dedup,
+        "frontier_trap_suppress": q_frontier_trap_suppress,
         "search_querylang_boolean": q_querylang_boolean,
         "search_proximity_topk": q_search_proximity,
         "search_window_topk": q_search_window,
@@ -5975,10 +5979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opic_scores": q_opic_scores,
         "crawl_trap_templates": q_crawl_traps,
         "warc_roundtrip": q_warc_roundtrip,
-        "fasttext_quality": q_fasttext_quality,
         "domain_quality_priors": q_domain_priors,
-        "frontier_trap_suppress": q_frontier_trap_suppress,
-        "line_dedup": q_line_dedup,
+        "search_querylang_site": q_querylang_site,
+        "search_querylang_title": q_querylang_title,
+        "search_querylang_numeric": q_querylang_numeric,
         "surt_cdx_index": q_surt_cdx,
         "adaptive_crawl_delay": q_adaptive_delay,
         "leakage_safe_split": q_leakage_split,
