@@ -41,6 +41,8 @@ HEADLINE = [
     "ivf_kmeans_centroids", "substring_dup_spans", "shard_balance",
     "image_filter_pipeline", "image_shard_pack",
     "ccnet_ppl_buckets", "image_caption_ppl",
+    "fasttext_quality", "line_dedup", "surt_cdx_index",
+    "frontier_trap_suppress",
 ]
 
 

@@ -79,8 +79,11 @@ PINNED DEVIATIONS (documented, swap-for-spec noted in place):
     with MS (matrixing then applies to the sub-bound lines only); the
     encoder's bound is pinned at sfb 14 (``_L3_IS_BOUND``) and
     intensity+short-blocks stays pinned out (typed).
-  * L1/L2 joint stereo is pinned out (modes supported there:
-    stereo, dual, single).
+  * L1/L2 JOINT (intensity) STEREO is real on both sides: mode 01
+    with the ISO bound law (4*mode_ext+4) — shared allocation and
+    shared sample codes above the bound, per-channel scalefactors
+    panning the (L+R)/2 carrier (normalized by the louder channel's
+    scalefactor, pinned).
 """
 
 from __future__ import annotations
@@ -164,17 +167,33 @@ def _frame_bytes(bitrate_kbps: int, fs: int, padding: int) -> int:
 
 
 def encode_layer1(samples: np.ndarray, sample_rate: int = 32000,
-                  alloc: int = 7) -> bytes:
+                  alloc: int = 7,
+                  intensity_bound: int | None = None) -> bytes:
     """Encode float PCM in [-1, 1] (shape [n] or [n, ch], ch ≤ 2) as
     MPEG-1 Layer I with a flat allocation of ``alloc`` (→ ``alloc+1``
     bits per sample code) across all 32 subbands.  Picks the smallest
     standard bitrate whose frame holds the data; raises if none fits
-    (lower ``alloc`` or channel count)."""
+    (lower ``alloc`` or channel count).
+
+    ``intensity_bound`` (4/8/12/16, stereo input only) enables Layer I
+    JOINT (intensity) STEREO — mode 01, ``mode_extension =
+    (bound-4)/4``: from the bound subband up, ONE allocation field and
+    ONE sample code per (granule, subband) are transmitted while
+    scalefactors stay per-channel (ISO 11172-3 joint_stereo layout);
+    the shared code carries (L+R)/2 normalized by the LOUDER channel's
+    scalefactor (pinned), so each channel reconstructs the carrier
+    panned by its own scalefactor — the spec's intensity semantics.
+    """
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
     if ch > 2:
         raise ValueError("at most 2 channels")
+    if intensity_bound is not None:
+        if ch != 2:
+            raise ValueError("intensity stereo needs 2 channels")
+        if intensity_bound not in (4, 8, 12, 16):
+            raise ValueError("bound must be 4/8/12/16")
     if sample_rate not in SAMPLE_RATES:
         raise ValueError(f"unsupported rate {sample_rate}")
     if not 1 <= alloc <= 14:
@@ -184,7 +203,9 @@ def encode_layer1(samples: np.ndarray, sample_rate: int = 32000,
     pad = (-n) % FRAME_SAMPLES
     if pad:
         samples = np.vstack([samples, np.zeros((pad, ch))])
-    data_bits = ch * (SBANDS * 4 + SBANDS * 6 + GRANULES * SBANDS * nb)
+    bound = SBANDS if intensity_bound is None else intensity_bound
+    ncodes = ch * bound + (SBANDS - bound)  # shared slots above the bound
+    data_bits = ncodes * 4 + ch * SBANDS * 6 + GRANULES * ncodes * nb
     need = 4 + (data_bits + 7) // 8
     br_idx = next((i for i in range(1, 15)
                    if _frame_bytes(BITRATES_L1[i], sample_rate, 0) >= need),
@@ -193,7 +214,9 @@ def encode_layer1(samples: np.ndarray, sample_rate: int = 32000,
         raise ValueError("frame does not fit max Layer I bitrate")
     frame_len = _frame_bytes(BITRATES_L1[br_idx], sample_rate, 0)
     sr_idx = SAMPLE_RATES.index(sample_rate)
-    mode = 3 if ch == 1 else 0  # single_channel / stereo
+    # single_channel / stereo / joint_stereo(intensity)
+    mode = 3 if ch == 1 else (1 if intensity_bound is not None else 0)
+    mode_ext = 0 if intensity_bound is None else (intensity_bound - 4) // 4
 
     out = bytearray()
     L = 1 << nb
@@ -207,11 +230,13 @@ def encode_layer1(samples: np.ndarray, sample_rate: int = 32000,
         # original(1)=1, emphasis(2)=0
         w.write(0xFFF, 12); w.write(1, 1); w.write(0b11, 2); w.write(1, 1)
         w.write(br_idx, 4); w.write(sr_idx, 2); w.write(0, 1); w.write(0, 1)
-        w.write(mode, 2); w.write(0, 2); w.write(0, 1); w.write(1, 1)
+        w.write(mode, 2); w.write(mode_ext, 2); w.write(0, 1); w.write(1, 1)
         w.write(0, 2)
         for c in range(ch):
-            for _sb in range(SBANDS):
+            for _sb in range(bound):
                 w.write(alloc, 4)
+        for _sb in range(bound, SBANDS):    # joint region: one field
+            w.write(alloc, 4)
         sf_idx = np.zeros((ch, SBANDS), np.int32)
         for c in range(ch):
             for sb in range(SBANDS):
@@ -223,9 +248,17 @@ def encode_layer1(samples: np.ndarray, sample_rate: int = 32000,
                 w.write(idx, 6)
         for g in range(GRANULES):
             for sb in range(SBANDS):
-                for c in range(ch):
-                    x = sub[c, g, sb] / _sf_value(int(sf_idx[c, sb]))
-                    # inverse of the ISO requant law (see decode)
+                if sb < bound:
+                    for c in range(ch):
+                        x = sub[c, g, sb] / _sf_value(int(sf_idx[c, sb]))
+                        # inverse of the ISO requant law (see decode)
+                        s = int(np.floor((L - 1) * (x + 1.0) / 2.0 + 0.5))
+                        w.write(max(0, min(L - 1, s)), nb)
+                else:
+                    # intensity carrier: (L+R)/2 against the louder
+                    # channel's scalefactor (smaller idx = larger sf)
+                    sfm = _sf_value(int(min(sf_idx[0, sb], sf_idx[1, sb])))
+                    x = (sub[0, g, sb] + sub[1, g, sb]) / 2.0 / sfm
                     s = int(np.floor((L - 1) * (x + 1.0) / 2.0 + 0.5))
                     w.write(max(0, min(L - 1, s)), nb)
         w.pad_to(frame_len)
@@ -267,35 +300,52 @@ def _l2_alloc_code(sb: int) -> tuple[int, int]:
     return code, steps_list[code - 1]
 
 
-def encode_layer2(samples: np.ndarray, sample_rate: int = 32000) -> bytes:
+def encode_layer2(samples: np.ndarray, sample_rate: int = 32000,
+                  intensity_bound: int | None = None) -> bytes:
     """Encode float PCM in [-1, 1] (shape [n] or [n, ch], ch ≤ 2) as
     MPEG-1 Layer II: 1152-sample frames, pinned per-subband allocation
     (see _l2_alloc_code), scfsi scalefactor sharing, grouping for the
-    3/5/9-level classes."""
+    3/5/9-level classes.
+
+    ``intensity_bound`` (4/8/12/16, stereo only) enables Layer II
+    JOINT (intensity) STEREO — mode 01, ``mode_extension =
+    (bound-4)/4``: shared allocation + shared sample groups above the
+    bound, per-channel scalefactors; the shared group carries (L+R)/2
+    normalized by the louder channel's scalefactor per 12-sample third
+    (pinned), mirroring the Layer I law."""
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
     if ch > 2:
         raise ValueError("at most 2 channels")
+    if intensity_bound is not None:
+        if ch != 2:
+            raise ValueError("intensity stereo needs 2 channels")
+        if intensity_bound not in (4, 8, 12, 16):
+            raise ValueError("bound must be 4/8/12/16")
     if sample_rate not in SAMPLE_RATES:
         raise ValueError(f"unsupported rate {sample_rate}")
     pad = (-n) % L2_FRAME_SAMPLES
     if pad:
         samples = np.vstack([samples, np.zeros((pad, ch))])
     sr_idx = SAMPLE_RATES.index(sample_rate)
-    mode = 3 if ch == 1 else 0
+    mode = 3 if ch == 1 else (1 if intensity_bound is not None else 0)
+    mode_ext = 0 if intensity_bound is None else (intensity_bound - 4) // 4
+    bound = L2_SBLIMIT if intensity_bound is None else intensity_bound
 
     # worst-case bit need (no scfsi sharing) to pick the bitrate
-    alloc_bits = ch * sum(_L2_NBAL[sb] for sb in range(L2_SBLIMIT))
+    alloc_bits = (ch * sum(_L2_NBAL[sb] for sb in range(bound))
+                  + sum(_L2_NBAL[sb] for sb in range(bound, L2_SBLIMIT)))
     scfsi_bits = ch * 2 * L2_SBLIMIT
     sf_bits = ch * 3 * 6 * L2_SBLIMIT
     smp_bits = 0
     for sb in range(L2_SBLIMIT):
+        nslots = ch if sb < bound else 1
         _, steps = _l2_alloc_code(sb)
         if steps in _L2_GROUP_BITS:
-            smp_bits += ch * L2_GRANULES * _L2_GROUP_BITS[steps]
+            smp_bits += nslots * L2_GRANULES * _L2_GROUP_BITS[steps]
         else:
-            smp_bits += ch * L2_GRANULES * 3 * max(1, steps.bit_length())
+            smp_bits += nslots * L2_GRANULES * 3 * max(1, steps.bit_length())
     need = 4 + (alloc_bits + scfsi_bits + sf_bits + smp_bits + 7) // 8
     br_idx = next((i for i in range(1, 15)
                    if _l2_frame_bytes(BITRATES_L2[i], sample_rate, 0) >= need),
@@ -311,12 +361,14 @@ def encode_layer2(samples: np.ndarray, sample_rate: int = 32000) -> bytes:
         w = _BitWriter()
         w.write(0xFFF, 12); w.write(1, 1); w.write(0b10, 2); w.write(1, 1)
         w.write(br_idx, 4); w.write(sr_idx, 2); w.write(0, 1); w.write(0, 1)
-        w.write(mode, 2); w.write(0, 2); w.write(0, 1); w.write(1, 1)
+        w.write(mode, 2); w.write(mode_ext, 2); w.write(0, 1); w.write(1, 1)
         w.write(0, 2)
-        # allocation
+        # allocation (shared fields above the joint bound)
         for c in range(ch):
-            for sb in range(L2_SBLIMIT):
+            for sb in range(bound):
                 w.write(_l2_alloc_code(sb)[0], _L2_NBAL[sb])
+        for sb in range(bound, L2_SBLIMIT):
+            w.write(_l2_alloc_code(sb)[0], _L2_NBAL[sb])
         # scalefactors: one per 12-sample third; scfsi picks sharing
         sf_idx = np.zeros((ch, L2_SBLIMIT, 3), np.int32)
         scfsi = np.zeros((ch, L2_SBLIMIT), np.int32)
@@ -346,35 +398,62 @@ def encode_layer2(samples: np.ndarray, sample_rate: int = 32000) -> bytes:
                     w.write(a, 6); w.write(b, 6)
                 else:
                     w.write(a, 6); w.write(b, 6); w.write(d, 6)
-        # samples: 12 granules of 3
+        # samples: 12 granules of 3 (one shared group above the bound)
+        def _emit(codes: list[int], steps: int) -> None:
+            if steps in _L2_GROUP_BITS:
+                grouped = (codes[0] + steps * codes[1]
+                           + steps * steps * codes[2])
+                w.write(grouped, _L2_GROUP_BITS[steps])
+            else:
+                nb = max(1, steps.bit_length())
+                for cc in codes:
+                    w.write(cc, nb)
+
         for g in range(L2_GRANULES):
             for sb in range(L2_SBLIMIT):
-                for c in range(ch):
-                    _, steps = _l2_alloc_code(sb)
+                _, steps = _l2_alloc_code(sb)
+                if sb < bound:
+                    for c in range(ch):
+                        codes = []
+                        for j in range(3):
+                            t = 3 * g + j
+                            sf = _sf_value(int(sf_idx[c, sb, t // 12]))
+                            x = sub[c, t, sb] / sf
+                            cc = int(np.floor((steps - 1) * (x + 1.0) / 2.0
+                                              + 0.5))
+                            codes.append(max(0, min(steps - 1, cc)))
+                        _emit(codes, steps)
+                else:
                     codes = []
                     for j in range(3):
                         t = 3 * g + j
-                        sf = _sf_value(int(sf_idx[c, sb, t // 12]))
-                        x = sub[c, t, sb] / sf
+                        sfm = _sf_value(int(min(sf_idx[0, sb, t // 12],
+                                                sf_idx[1, sb, t // 12])))
+                        x = (sub[0, t, sb] + sub[1, t, sb]) / 2.0 / sfm
                         cc = int(np.floor((steps - 1) * (x + 1.0) / 2.0
                                           + 0.5))
                         codes.append(max(0, min(steps - 1, cc)))
-                    if steps in _L2_GROUP_BITS:
-                        grouped = (codes[0] + steps * codes[1]
-                                   + steps * steps * codes[2])
-                        w.write(grouped, _L2_GROUP_BITS[steps])
-                    else:
-                        nb = max(1, steps.bit_length())
-                        for cc in codes:
-                            w.write(cc, nb)
+                    _emit(codes, steps)
         w.pad_to(frame_len)
         out.extend(w.buf)
     return bytes(out)
 
 
-def _decode_layer2_frame(r: _BitReader, ch: int) -> np.ndarray:
-    allocs = [[r.read(_L2_NBAL[sb]) for sb in range(L2_SBLIMIT)]
-              for _ in range(ch)]
+def _decode_layer2_frame(r: _BitReader, ch: int,
+                         jbound: int | None = None) -> np.ndarray:
+    """One Layer II frame body.  ``jbound`` (joint/intensity stereo,
+    mode 01): from that subband up, ONE allocation field and ONE
+    sample group per (granule, subband) apply to both channels while
+    scalefactors stay per-channel."""
+    bound = L2_SBLIMIT if jbound is None else min(L2_SBLIMIT, jbound)
+    allocs = [[0] * L2_SBLIMIT for _ in range(ch)]
+    for c in range(ch):
+        for sb in range(bound):
+            allocs[c][sb] = r.read(_L2_NBAL[sb])
+    for sb in range(bound, L2_SBLIMIT):    # joint region: one field
+        a = r.read(_L2_NBAL[sb])
+        for c in range(ch):
+            allocs[c][sb] = a
     for c in range(ch):
         for sb in range(L2_SBLIMIT):
             if allocs[c][sb] >= len(_L2_STEPS[_L2_NBAL[sb]]) + 1:
@@ -400,27 +479,45 @@ def _decode_layer2_frame(r: _BitReader, ch: int) -> np.ndarray:
                 sfs[c, sb] = (_sf_value(r.read(6)), _sf_value(r.read(6)),
                               _sf_value(r.read(6)))
     sub = np.zeros((ch, L2_GRANULES * 3, SBANDS))
+
+    def _read_codes(sb: int, a: int) -> tuple[list[int], int]:
+        steps = _L2_STEPS[_L2_NBAL[sb]][a - 1]
+        if steps in _L2_GROUP_BITS:
+            v = r.read(_L2_GROUP_BITS[steps])
+            codes = [v % steps, (v // steps) % steps,
+                     v // (steps * steps)]
+            if codes[2] >= steps:
+                raise ValueError("grouped code out of range")
+        else:
+            nb = max(1, steps.bit_length())
+            codes = [r.read(nb) for _ in range(3)]
+        return codes, steps
+
     for g in range(L2_GRANULES):
         for sb in range(L2_SBLIMIT):
-            for c in range(ch):
-                a = allocs[c][sb]
+            if sb < bound:
+                for c in range(ch):
+                    a = allocs[c][sb]
+                    if not a:
+                        continue
+                    codes, steps = _read_codes(sb, a)
+                    for j, cc in enumerate(codes):
+                        t = 3 * g + j
+                        frac = (2 * cc + 1 - steps) / steps
+                        sub[c, t, sb] = (frac * steps / (steps - 1)
+                                         * sfs[c, sb, t // 12])
+            else:
+                a = allocs[0][sb]
                 if not a:
                     continue
-                steps = _L2_STEPS[_L2_NBAL[sb]][a - 1]
-                if steps in _L2_GROUP_BITS:
-                    v = r.read(_L2_GROUP_BITS[steps])
-                    codes = [v % steps, (v // steps) % steps,
-                             v // (steps * steps)]
-                    if codes[2] >= steps:
-                        raise ValueError("grouped code out of range")
-                else:
-                    nb = max(1, steps.bit_length())
-                    codes = [r.read(nb) for _ in range(3)]
+                codes, steps = _read_codes(sb, a)
                 for j, cc in enumerate(codes):
                     t = 3 * g + j
                     frac = (2 * cc + 1 - steps) / steps
-                    sub[c, t, sb] = (frac * steps / (steps - 1)
-                                     * sfs[c, sb, t // 12])
+                    for c in range(ch):
+                        # intensity: shared code, per-channel sf
+                        sub[c, t, sb] = (frac * steps / (steps - 1)
+                                         * sfs[c, sb, t // 12])
     return sub
 
 
@@ -1022,7 +1119,8 @@ def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
     (samples [n, ch] float in [-1, 1], sample_rate).  Layer III decodes
     the bit reservoir (main_data_begin, up to the 9-bit 511-byte reach),
     MS joint stereo and long-block intensity stereo.  Raises ValueError
-    on garbage, NotImplementedError on L1-L2 joint stereo / L3
+    Layer I/II joint (intensity) stereo decodes per the ISO bound law.
+    Raises ValueError on garbage, NotImplementedError on L3
     intensity-with-short-blocks (pinned out — see module header)."""
     if len(data) < 4:
         raise ValueError("too short for an MPEG audio frame")
@@ -1050,11 +1148,13 @@ def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
         if br_idx in (0, 15) or sr_idx == 3:
             raise ValueError("free-format/invalid bitrate or rate")
         ms = istereo = False
+        jbound = None                      # L1/L2 intensity bound
         if mode == 1:
-            if layer != 0b01:
-                raise NotImplementedError("L1/L2 joint stereo pinned out")
-            ms = bool(mode_ext & 2)
-            istereo = bool(mode_ext & 1)
+            if layer == 0b01:
+                ms = bool(mode_ext & 2)
+                istereo = bool(mode_ext & 1)
+            else:
+                jbound = 4 * mode_ext + 4  # ISO 11172-3 joint bound law
         fs = SAMPLE_RATES[sr_idx]
         ch = 1 if mode == 3 else 2
         if rate is None:
@@ -1121,12 +1221,20 @@ def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
             pos += flen
             continue
         if layer == 0b10:
-            sub2 = _decode_layer2_frame(r, ch)
+            sub2 = _decode_layer2_frame(r, ch, jbound)
             pcm = np.stack([_synthesis(sub2[c]) for c in range(ch)], axis=1)
             chunks.append(pcm)
             pos += flen
             continue
-        allocs = [[r.read(4) for _ in range(SBANDS)] for _ in range(ch)]
+        bound = SBANDS if jbound is None else min(SBANDS, jbound)
+        allocs = [[0] * SBANDS for _ in range(ch)]
+        for c in range(ch):
+            for sb in range(bound):
+                allocs[c][sb] = r.read(4)
+        for sb in range(bound, SBANDS):    # joint region: one field
+            a = r.read(4)
+            for c in range(ch):
+                allocs[c][sb] = a
         if any(a == 15 for row in allocs for a in row):
             raise ValueError("forbidden allocation 15")
         sfs = [[_sf_value(r.read(6)) if allocs[c][sb] else 1.0
@@ -1134,16 +1242,28 @@ def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
         sub = np.zeros((ch, GRANULES, SBANDS))
         for g in range(GRANULES):
             for sb in range(SBANDS):
-                for c in range(ch):
-                    a = allocs[c][sb]
+                if sb < bound:
+                    for c in range(ch):
+                        a = allocs[c][sb]
+                        if a == 0:
+                            continue
+                        nb = a + 1
+                        L = 1 << nb
+                        s = r.read(nb)
+                        # ISO Layer I requantization law
+                        frac = (2 * s + 1 - L) / L
+                        sub[c, g, sb] = frac * L / (L - 1) * sfs[c][sb]
+                else:
+                    a = allocs[0][sb]
                     if a == 0:
                         continue
                     nb = a + 1
                     L = 1 << nb
                     s = r.read(nb)
-                    # ISO Layer I requantization law
                     frac = (2 * s + 1 - L) / L
-                    sub[c, g, sb] = frac * L / (L - 1) * sfs[c][sb]
+                    for c in range(ch):
+                        # intensity: shared code, per-channel scalefactor
+                        sub[c, g, sb] = frac * L / (L - 1) * sfs[c][sb]
         pcm = np.stack([_synthesis(sub[c]) for c in range(ch)], axis=1)
         chunks.append(pcm)
         pos += flen

@@ -591,3 +591,65 @@ def test_mpeg1_layer3_short_blocks():
     og, _ = decode_mpeg1(bytes(sb))
     assert not np.array_equal(og, out)
     assert np.array_equal(og[1152 + D:], out[1152 + D:])
+
+
+def test_l1_l2_intensity_stereo_roundtrip():
+    """Layer I/II joint (intensity) stereo: identical above-bound
+    content round-trips near-transparently in fewer bytes; header mode
+    is 01 with the bound encoded in mode_extension; per-channel
+    scalefactors pan the shared carrier."""
+    import numpy as np
+
+    from gigaspark.functions.mpeg_audio import (decode_mpeg1,
+                                                encode_layer1,
+                                                encode_layer2)
+
+    fs = 32000
+    t = np.arange(4096) / fs
+    low_l = 0.3 * np.sin(2 * np.pi * 200.0 * t)    # below bound, differs
+    low_r = 0.3 * np.sin(2 * np.pi * 300.0 * t)
+    hi = 0.5 * np.sin(2 * np.pi * 5000.0 * t)      # above bound, shared
+    st = np.stack([low_l + hi, low_r + hi], axis=1)
+
+    for enc, full_kw in ((lambda b: encode_layer1(st, fs, alloc=5,
+                                                  intensity_bound=b), {}),
+                         (lambda b: encode_layer2(st, fs,
+                                                  intensity_bound=b), {})):
+        full = enc(None)
+        joint = enc(8)
+        assert len(joint) < len(full)              # shared codes save bits
+        assert (joint[3] >> 6) == 0b01             # mode = joint_stereo
+        assert ((joint[3] >> 4) & 3) == 1          # mode_ext: bound 8
+        out, rate = decode_mpeg1(joint)
+        assert rate == fs and out.shape[1] == 2
+        n = min(len(out), len(st))
+        ref, got = st[600:n - 600], out[600:n - 600]
+        err = got - ref
+        snr = 10 * np.log10((ref ** 2).mean() / max((err ** 2).mean(),
+                                                    1e-12))
+        assert snr > 20.0, snr
+
+
+def test_intensity_stereo_pans_by_scalefactor():
+    """With the right channel's above-bound content quieter, the
+    decoded right channel keeps less energy than the left (the
+    per-channel-scalefactor panning law)."""
+    import numpy as np
+
+    from gigaspark.functions.mpeg_audio import decode_mpeg1, encode_layer1
+
+    fs = 32000
+    t = np.arange(4096) / fs
+    hi = 0.6 * np.sin(2 * np.pi * 6000.0 * t)
+    st = np.stack([hi, 0.15 * hi], axis=1)
+    out, _ = decode_mpeg1(encode_layer1(st, fs, alloc=5, intensity_bound=4))
+    n = len(out)
+    el = float((out[600:n - 600, 0] ** 2).mean())
+    er = float((out[600:n - 600, 1] ** 2).mean())
+    assert er < el * 0.5
+    # encoder guards
+    import pytest
+    with pytest.raises(ValueError):
+        encode_layer1(st[:, :1], fs, intensity_bound=8)
+    with pytest.raises(ValueError):
+        encode_layer1(st, fs, intensity_bound=5)
