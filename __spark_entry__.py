@@ -751,6 +751,95 @@ FROM documents
 """
 
 
+def q_robots_txt_parse(spark, sf_dir):
+    """Raw robots.txt TEXT parsing in-plan (the step upstream of the
+    RobotsIndex fixtures; Msg13 robots fetch [U][M]): a planted lattice
+    exercises mixed-case directives, comments, multi-UA groups, empty
+    Disallow, unknown directives, group-scoped vs global Sitemap, and
+    a trailing rule binding to the last open group."""
+    from gigaspark.operators.robots import parse_robots_txt
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("host_k")
+    hosts = (o.select((F.col("o_custkey") % 40).alias("host_k")).distinct())
+    txt = F.concat(
+        F.lit("# robots for host "), k.cast("string"), F.lit("\n"),
+        F.lit("User-Agent: *\n"),
+        F.lit("Disallow: /private"), (k % 3).cast("string"), F.lit("\n"),
+        F.lit("Allow: /private"), (k % 3).cast("string"),
+        F.lit("/public  # inline comment\n"),
+        F.lit("Crawl-delay: "), (k % 5).cast("string"), F.lit("\n\n"),
+        F.when(k % 2 == 0,
+               F.lit("User-agent: GigablastOpenSource\n"
+                     "User-agent: OtherBot\nDisallow:\n"))
+         .otherwise(F.lit("")),
+        F.lit("Sitemap: http://host"), k.cast("string"),
+        F.lit(".example/sitemap.xml\n"),
+        F.lit("Orphan: /ignored\n"),
+        F.lit("Disallow: /tail"))
+    robots = hosts.select(
+        F.concat(F.lit("host"), k.cast("string"), F.lit(".example"))
+        .alias("host"), txt.alias("robots_txt"))
+    return parse_robots_txt(robots)
+
+
+SQL_ROBOTS_TXT = """
+WITH hosts AS (SELECT DISTINCT (o_custkey % 40) AS k FROM orders),
+docs AS (
+  SELECT 'host' || k::VARCHAR || '.example' AS host,
+         '# robots for host ' || k::VARCHAR || chr(10) ||
+         'User-Agent: *' || chr(10) ||
+         'Disallow: /private' || (k % 3)::VARCHAR || chr(10) ||
+         'Allow: /private' || (k % 3)::VARCHAR ||
+         '/public  # inline comment' || chr(10) ||
+         'Crawl-delay: ' || (k % 5)::VARCHAR || chr(10) || chr(10) ||
+         CASE WHEN k % 2 = 0
+              THEN 'User-agent: GigablastOpenSource' || chr(10) ||
+                   'User-agent: OtherBot' || chr(10) || 'Disallow:' || chr(10)
+              ELSE '' END ||
+         'Sitemap: http://host' || k::VARCHAR || '.example/sitemap.xml' ||
+         chr(10) || 'Orphan: /ignored' || chr(10) ||
+         'Disallow: /tail' AS txt
+  FROM hosts),
+l0 AS (SELECT host, string_split(txt, chr(10)) AS ls FROM docs),
+l1 AS (SELECT host, unnest(generate_series(1, len(ls))) AS pos, ls FROM l0),
+lines AS (
+  SELECT host, pos,
+         regexp_replace(regexp_replace(ls[pos], '#.*$', ''),
+                        '^[\\s\\r]+|[\\s\\r]+$', '', 'g') AS clean
+  FROM l1),
+keyed AS (
+  SELECT host, pos, clean,
+         lower(coalesce(regexp_extract(clean, '^([A-Za-z-]+)\\s*:', 1),
+                        '')) AS key,
+         regexp_replace(coalesce(
+             regexp_extract(clean, '^[A-Za-z-]+\\s*:(.*)$', 1), ''),
+             '^[\\s\\r]+|[\\s\\r]+$', '', 'g') AS val
+  FROM lines),
+flagged AS (
+  SELECT *, (key = 'user-agent') AS is_ua,
+         ((key = 'user-agent') AND NOT coalesce(
+             lag(key = 'user-agent') OVER (PARTITION BY host ORDER BY pos),
+             FALSE)) AS new_grp
+  FROM keyed),
+grps AS (
+  SELECT *, sum(CASE WHEN new_grp THEN 1 ELSE 0 END)
+             OVER (PARTITION BY host ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged),
+uas AS (SELECT host, grp, val AS user_agent FROM grps WHERE is_ua),
+scoped AS (
+  SELECT host, grp, replace(key, '-', '_') AS rule_type, val AS value
+  FROM grps
+  WHERE key IN ('allow', 'disallow', 'crawl-delay') AND grp > 0)
+SELECT s.host, u.user_agent, s.rule_type, s.value
+FROM scoped s JOIN uas u ON u.host = s.host AND u.grp = s.grp
+UNION ALL
+SELECT host, '' AS user_agent, 'sitemap' AS rule_type, val AS value
+FROM grps WHERE key = 'sitemap'
+"""
+
+
 def q_adaptive_delay(spark, sf_dir):
     """Adaptive per-host politeness delay (AIMD backoff over fetch
     history): events stand in for fetch attempts (host = user_id,
@@ -5985,6 +6074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_querylang_numeric": q_querylang_numeric,
         "surt_cdx_index": q_surt_cdx,
         "adaptive_crawl_delay": q_adaptive_delay,
+        "robots_txt_parse": q_robots_txt_parse,
         "leakage_safe_split": q_leakage_split,
         "cdx_revisit_dedup": q_cdx_revisit,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -6187,6 +6277,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": SQL_LINE_DEDUP,
         "surt_cdx_index": SQL_SURT_CDX,
         "adaptive_crawl_delay": SQL_ADAPTIVE_DELAY,
+        "robots_txt_parse": SQL_ROBOTS_TXT,
         "leakage_safe_split": _leakage_split_sql(),
         "cdx_revisit_dedup": SQL_CDX_REVISIT,
         "termlist_stats": SQL_TERMLIST_STATS,

@@ -198,3 +198,94 @@ def adaptive_crawl_delay(fetches: DataFrame, base_ms: int = 250,
                     F.expr(f"CAST({base_ms} * shiftleft(CAST(1 AS BIGINT),"
                            f" least(trailing_errors, {max_shift}))"
                            " AS BIGINT)").alias("next_delay_ms")))
+
+
+def parse_robots_txt(df: DataFrame, host_col: str = "host",
+                     text_col: str = "robots_txt") -> DataFrame:
+    """Raw ``robots.txt`` text → rule rows, ALL in-plan (no UDF).
+
+    The upstream fixtures feed :class:`RobotsIndex` pre-parsed rows;
+    a real crawl fetches text (``Msg13`` robots fetch [U][M]) and must
+    parse it.  Pinned RFC 9309 subset, case-insensitive directives:
+
+      * comments (``#`` to end of line) stripped, whitespace/CR
+        trimmed;
+      * consecutive ``User-agent:`` lines form ONE group; every
+        directive line after a group belongs to ALL that group's
+        agents (until the next group starts);
+      * ``Allow:`` / ``Disallow:`` (empty value kept — "allow all")
+        and ``Crawl-delay:`` are group-scoped; ``Sitemap:`` is global
+        (emitted with ``user_agent = ''``);
+      * directives before any group are INVALID and dropped (pinned);
+        unknown directives are ignored.
+
+    Output: (host, user_agent, rule_type, value) with rule_type in
+    allow | disallow | crawl_delay | sitemap.
+
+    Scale shape: posexplode of per-host line arrays, two per-host
+    window passes (lag to find group starts, running sum to number
+    groups — robots.txt is KBs, so per-host partitions are tiny by
+    construction), one (host, grp) equi-join fanning rules out to
+    their group's agents.  Hosts are the natural uniform key; nothing
+    broadcasts, nothing big shuffles.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1))
+        .alias("pos", "raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), "#.*$", ""), r"^[\s\r]+|[\s\r]+$", "")
+    lines = (lines.withColumn("clean", clean)
+             .withColumn("key", F.lower(
+                 F.regexp_extract("clean", r"^([A-Za-z-]+)\s*:", 1)))
+             .withColumn("val", F.regexp_replace(
+                 F.regexp_extract("clean", r"^[A-Za-z-]+\s*:(.*)$", 1),
+                 r"^[\s\r]+|[\s\r]+$", "")))
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("key") == "user-agent"
+    new_grp = is_ua & ~F.coalesce(F.lag(is_ua.cast("boolean")).over(w),
+                                  F.lit(False))
+    grp = F.sum(new_grp.cast("int")).over(
+        Window.partitionBy("host").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    lines = lines.withColumn("grp", grp)
+    uas = (lines.where(is_ua)
+           .select("host", "grp", F.col("val").alias("user_agent")))
+    scoped = (lines.where(F.col("key").isin("allow", "disallow",
+                                            "crawl-delay")
+                          & (F.col("grp") > 0))
+              .select("host", "grp",
+                      F.replace(F.col("key"), F.lit("-"), F.lit("_"))
+                      .alias("rule_type"),
+                      F.col("val").alias("value")))
+    grouped = scoped.join(uas, ["host", "grp"]).select(
+        "host", "user_agent", "rule_type", "value")
+    sitemaps = (lines.where(F.col("key") == "sitemap")
+                .select("host", F.lit("").alias("user_agent"),
+                        F.lit("sitemap").alias("rule_type"),
+                        F.col("val").alias("value")))
+    return grouped.unionByName(sitemaps)
+
+
+def fixture_rows_from_parsed(parsed: DataFrame) -> DataFrame:
+    """Bridge: :func:`parse_robots_txt` output → the RobotsIndex
+    fixture schema (host, user_agent, rule_type, path_prefix,
+    crawl_delay_ms).  allow/disallow rows carry their path — EMPTY
+    paths are dropped (RFC 9309: an empty Disallow matches no path,
+    whereas the fixture evaluator would read '' as match-everything);
+    each
+    (host, agent)'s crawl_delay (SECONDS in the wild) becomes
+    crawl_delay_ms on every row of that group, 0 when absent."""
+    rules = (parsed.where(F.col("rule_type").isin("allow", "disallow")
+                          & (F.col("value") != ""))
+             .select("host", "user_agent", "rule_type",
+                     F.col("value").alias("path_prefix")))
+    delays = (parsed.where(F.col("rule_type") == "crawl_delay")
+              .groupBy("host", "user_agent")
+              .agg((F.max(F.col("value").cast("int")) * 1000)
+                   .alias("crawl_delay_ms")))
+    return (rules.join(delays, ["host", "user_agent"], "left")
+            .withColumn("crawl_delay_ms",
+                        F.coalesce("crawl_delay_ms", F.lit(0))))
