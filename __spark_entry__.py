@@ -148,6 +148,156 @@ FROM (
 """
 
 
+def q_frontier_priority_aging(spark, sf_dir):
+    """A1 with STARVATION-PROOF aging (Heritrix/wget wait-cost
+    practice, public; the reference ages via spiderTimeMs re-sorts
+    [U][M]): eff_priority = base + min(waited_days DIV 7, 16) — a
+    low-priority URL that waited long enough eventually outranks a
+    fresh high-priority one, bounded by the cap.  waited_days is
+    pinned from a fixed clock (1998-12-01) minus o_orderdate; winners
+    measurably move vs A1 within host groups."""
+    o = _t(spark, sf_dir, "orders").withColumn("priority", _f1_priority_col())
+    aged = o.withColumn(
+        "age_bonus",
+        F.least(F.expr("datediff(DATE'1998-12-01', o_orderdate) DIV 7"),
+                F.lit(16)).cast("long"))
+    aged = aged.withColumn(
+        "eff_priority", F.col("priority").cast("long") + F.col("age_bonus"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("eff_priority").desc(), F.col("o_orderdate").asc(),
+        F.col("o_orderkey").asc())
+    return (aged.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.col("o_orderkey").alias("winner_orderkey"),
+                    "eff_priority", "age_bonus"))
+
+
+SQL_FRONTIER_AGING = f"""
+SELECT o_custkey AS custkey, o_orderkey AS winner_orderkey,
+       eff_priority, age_bonus
+FROM (
+  SELECT o_custkey, o_orderkey, eff_priority, age_bonus,
+         row_number() OVER (PARTITION BY o_custkey
+             ORDER BY eff_priority DESC, o_orderdate ASC, o_orderkey ASC)
+           AS rn
+  FROM (
+    SELECT *,
+           LEAST(datediff('day', o_orderdate, DATE '1998-12-01') // 7,
+                 16)::BIGINT AS age_bonus,
+           (({_F1_CASE_SQL})::BIGINT
+            + LEAST(datediff('day', o_orderdate, DATE '1998-12-01') // 7,
+                    16))::BIGINT AS eff_priority
+    FROM orders))
+WHERE rn = 1
+"""
+
+
+def q_host_shard_rendezvous(spark, sf_dir):
+    """Rendezvous (highest-random-weight) host→shard assignment
+    (Thaler & Ravishankar 1998, public — the consistent-hashing law
+    behind Hostdb-style shard maps with MINIMAL remapping when shards
+    join/leave): shard(host) = argmax over shards of md5(host '#' s).
+    Emitted per host with per-shard load counts ridealong; the
+    minimal-remapping property is pytest-verified."""
+    o = _t(spark, sf_dir, "orders")
+    hosts = (o.select(F.concat(F.lit("host"), (F.col("o_custkey") % 997)
+                               .cast("string"), F.lit(".example"))
+                      .alias("host")).distinct())
+    n_shards = 16
+    exploded = hosts.select(
+        "host", F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1)))
+        .alias("shard"))
+    wgt = F.conv(F.substring(F.md5(
+        F.concat(F.col("host"), F.lit("#"), F.col("shard").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    w = Window.partitionBy("host").orderBy(F.col("wgt").desc(),
+                                           F.col("shard").asc())
+    assigned = (exploded.withColumn("wgt", wgt)
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("host", "shard", F.col("wgt").alias("weight")))
+    loads = assigned.groupBy("shard").agg(F.count("*").alias("shard_load"))
+    return assigned.join(loads, "shard").select(
+        "host", "shard", "weight", "shard_load")
+
+
+SQL_HOST_SHARD = """
+WITH hosts AS (
+  SELECT DISTINCT 'host' || (o_custkey % 997)::VARCHAR || '.example' AS host
+  FROM orders),
+exploded AS (
+  SELECT host, unnest(generate_series(0, 15)) AS shard FROM hosts),
+weighted AS (
+  SELECT host, shard,
+         ('0x' || substr(md5(host || '#' || shard::VARCHAR), 1, 8))::BIGINT
+           AS wgt
+  FROM exploded),
+assigned AS (
+  SELECT host, shard, wgt AS weight
+  FROM (SELECT *, row_number() OVER (PARTITION BY host
+            ORDER BY wgt DESC, shard ASC) AS rn
+        FROM weighted)
+  WHERE rn = 1),
+loads AS (SELECT shard, count(*)::BIGINT AS shard_load
+          FROM assigned GROUP BY shard)
+SELECT a.host, a.shard, a.weight, l.shard_load
+FROM assigned a JOIN loads l ON l.shard = a.shard
+"""
+
+
+def q_crawl_budget(spark, sf_dir):
+    """Per-domain crawl-budget allocation (IRLbot's rank-proportional
+    budgeting, public): give each site a share of the global fetch
+    budget proportional to its inlink rank, by the exact
+    largest-remainder (Hamilton) method — base = (rank*B) DIV Σrank,
+    the leftover seats go to the largest remainders (ties → smaller
+    site id, pinned).  Integer throughout; the remainder ranking is a
+    bounded window over #sites rows, not URLs."""
+    li = _t(spark, sf_dir, "lineitem")
+    budget = 100_000
+    ranks = (li.select(F.col("l_orderkey").alias("src"),
+                       F.col("l_partkey").alias("dst")).distinct()
+             .groupBy("dst").agg(F.count("*").alias("rank"))
+             .select(F.col("dst").alias("site"), "rank"))
+    tot = ranks.agg(F.sum("rank").alias("t"))
+    base = (ranks.join(F.broadcast(tot))
+            .select("site", "rank",
+                    F.expr(f"(rank * {budget}) DIV t").alias("base"),
+                    F.expr(f"(rank * {budget}) % t").alias("rem")))
+    k_df = base.agg((F.lit(budget) - F.sum("base")).alias("k"))  # 1 row
+    w = Window.orderBy(F.col("rem").desc(), F.col("site").asc())
+    return (base.withColumn("rr", F.row_number().over(w))
+            .join(F.broadcast(k_df))
+            .select("site", "rank",
+                    (F.col("base")
+                     + (F.col("rr") <= F.col("k")).cast("long"))
+                    .alias("budget"))
+            .orderBy("site"))
+
+
+SQL_CRAWL_BUDGET = """
+WITH ranks AS (
+  SELECT dst AS site, count(*)::BIGINT AS rank
+  FROM (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem)
+  GROUP BY dst),
+tot AS (SELECT sum(rank)::BIGINT AS t FROM ranks),
+base AS (
+  SELECT site, rank,
+         ((rank * 100000) // (SELECT t FROM tot))::BIGINT AS base,
+         ((rank * 100000) % (SELECT t FROM tot))::BIGINT AS rem
+  FROM ranks),
+k AS (SELECT (100000 - sum(base))::BIGINT AS k FROM base),
+seated AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, site ASC) AS rr
+  FROM base)
+SELECT site, rank,
+       (base + CASE WHEN rr <= (SELECT k FROM k) THEN 1 ELSE 0 END)::BIGINT
+         AS budget
+FROM seated ORDER BY site
+"""
+
+
 def q_a2_host_next_ok(spark, sf_dir):
     """A2 — per-host next-allowed-time aggregate: max(last end + wait)."""
     e = _t(spark, sf_dir, "events")
@@ -6075,6 +6225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_cdx_index": q_surt_cdx,
         "adaptive_crawl_delay": q_adaptive_delay,
         "robots_txt_parse": q_robots_txt_parse,
+        "frontier_priority_aging": q_frontier_priority_aging,
+        "host_shard_rendezvous": q_host_shard_rendezvous,
+        "crawl_budget_allocation": q_crawl_budget,
         "leakage_safe_split": q_leakage_split,
         "cdx_revisit_dedup": q_cdx_revisit,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -6278,6 +6431,9 @@ def oracle_sql() -> dict[str, str]:
         "surt_cdx_index": SQL_SURT_CDX,
         "adaptive_crawl_delay": SQL_ADAPTIVE_DELAY,
         "robots_txt_parse": SQL_ROBOTS_TXT,
+        "frontier_priority_aging": SQL_FRONTIER_AGING,
+        "host_shard_rendezvous": SQL_HOST_SHARD,
+        "crawl_budget_allocation": SQL_CRAWL_BUDGET,
         "leakage_safe_split": _leakage_split_sql(),
         "cdx_revisit_dedup": SQL_CDX_REVISIT,
         "termlist_stats": SQL_TERMLIST_STATS,

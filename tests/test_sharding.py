@@ -1,0 +1,63 @@
+"""Rendezvous sharding + largest-remainder budget laws."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def _assign(spark, hosts, n_shards):
+    """Pure-python rendezvous mirror for property checks."""
+    import hashlib
+
+    def shard(h):
+        return max(range(n_shards),
+                   key=lambda s: (int(hashlib.md5(
+                       f"{h}#{s}".encode()).hexdigest()[:8], 16), -s))
+    return {h: shard(h) for h in hosts}
+
+
+def test_rendezvous_minimal_remapping():
+    """Dropping one shard only moves the hosts that were ON it; all
+    other assignments are untouched (the consistent-hashing property
+    plain mod-N sharding lacks)."""
+    hosts = [f"host{i}.example" for i in range(300)]
+    a16 = _assign(None, hosts, 16)
+    # remove shard 15 == rendezvous over shards 0..14
+    a15 = _assign(None, hosts, 15)
+    moved = [h for h in hosts if a16[h] != a15[h]]
+    assert all(a16[h] == 15 for h in moved)          # only shard-15 hosts move
+    assert any(a16[h] == 15 for h in hosts)          # non-vacuous
+    # mod-N control: most hosts move
+    mod_moved = sum(1 for i in range(300) if i % 16 != i % 15)
+    assert mod_moved > 250
+
+
+def test_rendezvous_spark_matches_mirror(spark):
+    import __spark_entry__ as E
+
+    rows = E.queries()["host_shard_rendezvous"](
+        spark, "/root/testdata/sf0.001").collect()
+    got = {r["host"]: r["shard"] for r in rows}
+    want = _assign(None, list(got), 16)
+    assert got == want
+    # every shard's reported load equals the actual count
+    from collections import Counter
+    loads = Counter(got.values())
+    for r in rows:
+        assert r["shard_load"] == loads[r["shard"]]
+
+
+def test_budget_largest_remainder_exact(spark):
+    """Budgets sum EXACTLY to the global budget and are within 1 of the
+    proportional share (the Hamilton-method guarantees)."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["crawl_budget_allocation"](
+        spark, "/root/testdata/sf0.001").collect()
+    total_rank = sum(r["rank"] for r in rows)
+    assert sum(r["budget"] for r in rows) == 100_000
+    for r in rows:
+        exact = r["rank"] * 100_000 / total_rank
+        assert abs(r["budget"] - exact) < 1.0 + 1e-9
