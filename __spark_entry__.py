@@ -3365,6 +3365,79 @@ FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
+def q_search_hybrid(spark, sf_dir):
+    """Hybrid BM25 + vector retrieval fused by Reciprocal Rank Fusion
+    (Cormack et al. 2009, public): the df-rank-3..4 lexical list and
+    the exact-cosine neighbour list of query vector 0 fuse by
+    rrf = 1e9 DIV (60 + rank) per list, top-20.  Both rank windows are
+    depth-bounded; the corpora never meet — only the two ranked lists
+    join."""
+    from gigaspark.operators.search import (search_bm25_scored,
+                                            search_hybrid_rrf)
+    from gigaspark.operators.similarity import cosine_topk
+
+    postings, terms = _query_terms(spark, sf_dir, 3, 4)
+    scored = search_bm25_scored(postings, terms)
+    emb = _t(spark, sf_dir, "embeddings")
+    v = (cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=50)
+         .select(F.col("n_id").alias("doc_id"),
+                 F.col("rank").alias("v_rank")))
+    return search_hybrid_rrf(scored, v, k=20, depth=50)
+
+
+SQL_SEARCH_HYBRID = f"""
+WITH {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r BETWEEN 3 AND 4),
+dl AS (SELECT doc_id, count(*) AS dl FROM p GROUP BY doc_id),
+stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM p),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+dfq AS (SELECT p.term, count(DISTINCT doc_id) AS df
+        FROM p JOIN q USING (term) GROUP BY p.term),
+tf AS (SELECT p.term, doc_id, count(*) AS tf FROM p JOIN q USING (term)
+       GROUP BY p.term, doc_id),
+contrib AS (
+  SELECT tf.doc_id,
+         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS c
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats, ad),
+scored AS (SELECT doc_id, round(sum(c), 4) AS score
+           FROM contrib GROUP BY doc_id),
+ttop AS (
+  SELECT doc_id, t_rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+             AS t_rank
+    FROM scored) WHERE t_rank <= 50),
+qv AS (SELECT list_transform(embedding,
+           x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS v
+       FROM embeddings WHERE vec_id = 0),
+cv AS (SELECT vec_id AS doc_id,
+              list_transform(embedding,
+                  x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT) AS v
+       FROM embeddings),
+vscored AS (
+  SELECT doc_id,
+    round(list_sum(list_transform(list_zip(qv.v, cv.v), pr -> pr[1] * pr[2]))
+      / sqrt(list_sum(list_transform(qv.v, x -> x * x))::DOUBLE
+           * list_sum(list_transform(cv.v, x -> x * x))::DOUBLE), 4) AS cos
+  FROM cv, qv WHERE doc_id <> 0),
+vtop AS (
+  SELECT doc_id, v_rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC)
+             AS v_rank
+    FROM vscored) WHERE v_rank <= 50),
+fused AS (
+  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+         (coalesce(1000000000 // (60 + t.t_rank), 0)
+          + coalesce(1000000000 // (60 + v.v_rank), 0))::BIGINT AS rrf,
+         coalesce(t.t_rank, 0)::INT AS t_rank,
+         coalesce(v.v_rank, 0)::INT AS v_rank
+  FROM ttop t FULL OUTER JOIN vtop v ON v.doc_id = t.doc_id)
+SELECT doc_id, rrf, t_rank, v_rank
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20
+"""
+
+
 # same CTE chain, reweighted ×1.2 for lang='en' BEFORE the top-10 cut
 SQL_SEARCH_LANGWEIGHT = SQL_SEARCH_BM25.replace(
     "SELECT doc_id, round(sum(c), 4) AS score\n"
@@ -6226,6 +6299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_crawl_delay": q_adaptive_delay,
         "robots_txt_parse": q_robots_txt_parse,
         "frontier_priority_aging": q_frontier_priority_aging,
+        "search_hybrid_rrf": q_search_hybrid,
         "host_shard_rendezvous": q_host_shard_rendezvous,
         "crawl_budget_allocation": q_crawl_budget,
         "leakage_safe_split": q_leakage_split,
@@ -6432,6 +6506,7 @@ def oracle_sql() -> dict[str, str]:
         "adaptive_crawl_delay": SQL_ADAPTIVE_DELAY,
         "robots_txt_parse": SQL_ROBOTS_TXT,
         "frontier_priority_aging": SQL_FRONTIER_AGING,
+        "search_hybrid_rrf": SQL_SEARCH_HYBRID,
         "host_shard_rendezvous": SQL_HOST_SHARD,
         "crawl_budget_allocation": SQL_CRAWL_BUDGET,
         "leakage_safe_split": _leakage_split_sql(),

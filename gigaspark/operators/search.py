@@ -894,3 +894,43 @@ def spell_correct(vocab: DataFrame, queries: DataFrame,
             .select("qterm", F.col("term").alias("corrected"), "freq"))
     return queries.join(F.broadcast(best), "qterm", "left").select(
         "qterm", "corrected", F.col("freq").cast("long").alias("freq"))
+
+
+def search_hybrid_rrf(text_scored: DataFrame, vec_ranked: DataFrame,
+                      k: int = 20, depth: int = 50, k_rrf: int = 60,
+                      scale: int = 1_000_000_000) -> DataFrame:
+    """Hybrid lexical+vector retrieval by Reciprocal Rank Fusion
+    (Cormack, Clarke & Büttcher 2009, public — the standard way modern
+    engines fuse BM25 with embedding search; the reference has no
+    vector tier, so this composes OUR bm25 and ANN rungs).
+
+    ``text_scored``: (doc_id, score) — full BM25 scores
+    (:func:`search_bm25_scored`); ``vec_ranked``: (doc_id, v_rank) —
+    an ANN ladder rung's ranked neighbours.  Law (integer-pinned):
+    ``rrf = scale DIV (k_rrf + t_rank) + scale DIV (k_rrf + v_rank)``,
+    a list contributing nothing for docs it missed; ranks come from
+    the top-``depth`` cut of each list.
+
+    Scale shape: both rank windows run over bounded ``depth``-row
+    inputs (orderBy+limit = TakeOrderedAndProject, partial per
+    partition, then the window sees <= depth rows); the fusion join is
+    depth×depth-bounded.  The corpora never meet — only the two tiny
+    ranked lists do.
+    """
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    t = (text_scored.orderBy(*order).limit(depth)
+         .withColumn("t_rank", F.row_number().over(Window.orderBy(*order)))
+         .select("doc_id", "t_rank"))
+    v = vec_ranked.where(F.col("v_rank") <= depth)
+    j = t.join(v, "doc_id", "full")
+    rrf = (F.coalesce(F.expr(f"CAST({scale} AS BIGINT) DIV ({k_rrf} + t_rank)"),
+                      F.lit(0).cast("long"))
+           + F.coalesce(F.expr(f"CAST({scale} AS BIGINT) DIV ({k_rrf} + v_rank)"),
+                        F.lit(0).cast("long")))
+    return (j.select("doc_id", rrf.alias("rrf"),
+                     F.coalesce("t_rank", F.lit(0)).cast("int")
+                     .alias("t_rank"),
+                     F.coalesce("v_rank", F.lit(0)).cast("int")
+                     .alias("v_rank"))
+            .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+            .limit(k))

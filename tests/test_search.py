@@ -386,3 +386,26 @@ def test_min_cover_window_vs_bruteforce(spark):
                      for d, s in want.items()),
                     key=lambda t: (-t[1], t[0]))
     assert res == expect
+
+
+def test_hybrid_rrf_law(spark):
+    """RRF fuses two ranked lists exactly: shared docs sum both
+    reciprocal terms, single-list docs get one, order by fused score."""
+    from gigaspark.operators.search import search_hybrid_rrf
+    from pyspark.sql import functions as F
+
+    text = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (3, 3.0)], "doc_id long, score double")
+    vec = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, v_rank int")
+    got = {r["doc_id"]: r for r in
+           search_hybrid_rrf(text, vec, k=10, depth=50).collect()}
+    S = 1_000_000_000
+    assert got[2]["rrf"] == S // 62 + S // 61      # t_rank 2, v_rank 1
+    assert got[1]["rrf"] == S // 61                # text only
+    assert got[4]["rrf"] == S // 62                # vector only
+    assert got[3]["rrf"] == S // 63
+    assert got[2]["t_rank"] == 2 and got[2]["v_rank"] == 1
+    assert got[1]["v_rank"] == 0                   # missing side = 0
+    ordered = sorted(got.values(), key=lambda r: (-r["rrf"], r["doc_id"]))
+    assert [r["doc_id"] for r in ordered][0] == 2  # both lists wins
