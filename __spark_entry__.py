@@ -901,6 +901,151 @@ FROM documents
 """
 
 
+def _html_fixture(spark, sf_dir):
+    """Planted per-doc HTML exercising every pinned parse rule."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), s(i),
+        F.lit("  of corpus</title>"),
+        F.lit('<meta name="description" content="summary '), s(i),
+        F.lit('">'),
+        F.when(i % 3 == 0, F.concat(
+            F.lit('<link rel="canonical" href="/canon/'), s(i),
+            F.lit('">'))).otherwise(F.lit("")),
+        F.lit("</head><body>"),
+        F.lit('<a href="http://ext.example/p/'), s(i % 7),
+        F.lit('">external  link</a>'),
+        F.lit("<a class=\"nav\" href='/nav/home'>Home page</a>"),
+        F.lit('<a href="//cdn.example/a/'), s(i % 5), F.lit('">cdn</a>'),
+        F.lit('<a href="rel/'), s(i % 4), F.lit('.html">relative doc</a>'),
+        F.lit('<a href="#frag">skip me</a>'),
+        F.lit('<a href="mailto:x@y.z">mail</a>'),
+        F.when(i % 2 == 0,
+               F.lit('<a href="/nav/home">later duplicate</a>'))
+         .otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    url = F.concat(F.lit("http://host"), s(i % 9),
+                   F.lit(".example/dir/page"), s(i), F.lit(".html"))
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+_HTML_FIXTURE_SQL = """
+  SELECT 'http://host' || (doc_id % 9)::VARCHAR || '.example/dir/page' ||
+         doc_id::VARCHAR || '.html' AS url,
+         '<html><head><title>Doc ' || doc_id::VARCHAR ||
+         '  of corpus</title>' ||
+         '<meta name="description" content="summary ' || doc_id::VARCHAR ||
+         '">' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN '<link rel="canonical" href="/canon/' ||
+                   doc_id::VARCHAR || '">'
+              ELSE '' END ||
+         '</head><body>' ||
+         '<a href="http://ext.example/p/' || (doc_id % 7)::VARCHAR ||
+         '">external  link</a>' ||
+         '<a class="nav" href=''/nav/home''>Home page</a>' ||
+         '<a href="//cdn.example/a/' || (doc_id % 5)::VARCHAR ||
+         '">cdn</a>' ||
+         '<a href="rel/' || (doc_id % 4)::VARCHAR ||
+         '.html">relative doc</a>' ||
+         '<a href="#frag">skip me</a>' ||
+         '<a href="mailto:x@y.z">mail</a>' ||
+         CASE WHEN doc_id % 2 = 0
+              THEN '<a href="/nav/home">later duplicate</a>'
+              ELSE '' END ||
+         '</body></html>' AS html
+  FROM documents
+"""
+
+_SQL_RESOLVE = """
+      CASE
+        WHEN h = '' OR h LIKE '#%' THEN NULL
+        WHEN regexp_matches(h, '^https?://') THEN h
+        WHEN h LIKE '//%' THEN
+          coalesce(regexp_extract(url, '^(https?)://', 1), '') || ':' || h
+        WHEN regexp_matches(h, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN NULL
+        WHEN h LIKE '/%' THEN
+          coalesce(regexp_extract(url, '^(https?://[^/?#]+)', 1), '') || h
+        ELSE coalesce(regexp_extract(url, '^(https?://[^/?#]+)', 1), '')
+             || (CASE WHEN coalesce(regexp_extract(url,
+                          '^https?://[^/?#]+([^?#]*)', 1), '') = ''
+                      THEN '/'
+                      ELSE regexp_replace(coalesce(regexp_extract(url,
+                          '^https?://[^/?#]+([^?#]*)', 1), ''),
+                          '[^/]*$', '') END)
+             || h
+      END
+"""
+
+
+def q_html_links(spark, sf_dir):
+    """C6 in full: HTML outlink harvesting (Links.cpp [U][H]) as pure
+    Column regex/array ops — anchors with either quote style, absolute/
+    protocol-relative/root-relative/relative resolution, fragment and
+    non-http schemes dropped, (src, dst) dedup keeping the FIRST
+    anchor text in document order."""
+    from gigaspark.operators.html import extract_links
+
+    return extract_links(_html_fixture(spark, sf_dir))
+
+
+SQL_HTML_LINKS = f"""
+WITH docs AS ({_HTML_FIXTURE_SQL}),
+arrs AS (
+  SELECT url,
+         regexp_extract_all(html,
+           '<a [^>]*href=["'']([^"'']*)["''][^>]*>[^<]*</a>', 1) AS hrefs,
+         regexp_extract_all(html,
+           '<a [^>]*href=["''][^"'']*["''][^>]*>([^<]*)</a>', 1) AS texts
+  FROM docs),
+exploded AS (
+  SELECT url, unnest(generate_series(1, len(hrefs))) AS i, hrefs, texts
+  FROM arrs),
+rows_ AS (
+  SELECT url, i - 1 AS pos, trim(hrefs[i]) AS h,
+         trim(regexp_replace(texts[i], '\\s+', ' ', 'g')) AS anchor
+  FROM exploded),
+resolved AS (
+  SELECT url AS src_url, pos, anchor, {_SQL_RESOLVE} AS dst_url
+  FROM rows_)
+SELECT src_url, dst_url, arg_min(anchor, pos) AS anchor
+FROM resolved WHERE dst_url IS NOT NULL
+GROUP BY src_url, dst_url
+"""
+
+
+def q_html_meta(spark, sf_dir):
+    """C6 metadata slice: title (whitespace-squeezed), meta
+    description, and the page's OWN canonical link (<link
+    rel=canonical>, the in-page dedup signal [U][M]) resolved by the
+    same pinned law; NULL when absent."""
+    from gigaspark.operators.html import extract_meta
+
+    return extract_meta(_html_fixture(spark, sf_dir))
+
+
+SQL_HTML_META = f"""
+WITH docs AS ({_HTML_FIXTURE_SQL}),
+raw AS (
+  SELECT url,
+         trim(regexp_replace(coalesce(
+             regexp_extract(html, '<title>([^<]*)</title>', 1), ''),
+             '\\s+', ' ', 'g')) AS title,
+         coalesce(regexp_extract(html,
+             '<meta name="description" content="([^"]*)"', 1), '')
+           AS meta_description,
+         coalesce(regexp_extract(html,
+             '<link rel="canonical" href="([^"]*)"', 1), '') AS canon
+  FROM docs),
+res AS (SELECT url, title, meta_description, canon AS h FROM raw)
+SELECT url, title, meta_description,
+       CASE WHEN h = '' THEN NULL ELSE {_SQL_RESOLVE} END AS canonical_url
+FROM res
+"""
+
+
 def q_robots_txt_parse(spark, sf_dir):
     """Raw robots.txt TEXT parsing in-plan (the step upstream of the
     RobotsIndex fixtures; Msg13 robots fetch [U][M]): a planted lattice
@@ -6300,6 +6445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_txt_parse": q_robots_txt_parse,
         "frontier_priority_aging": q_frontier_priority_aging,
         "search_hybrid_rrf": q_search_hybrid,
+        "html_link_extract": q_html_links,
+        "html_meta_extract": q_html_meta,
         "host_shard_rendezvous": q_host_shard_rendezvous,
         "crawl_budget_allocation": q_crawl_budget,
         "leakage_safe_split": q_leakage_split,
@@ -6507,6 +6654,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_txt_parse": SQL_ROBOTS_TXT,
         "frontier_priority_aging": SQL_FRONTIER_AGING,
         "search_hybrid_rrf": SQL_SEARCH_HYBRID,
+        "html_link_extract": SQL_HTML_LINKS,
+        "html_meta_extract": SQL_HTML_META,
         "host_shard_rendezvous": SQL_HOST_SHARD,
         "crawl_budget_allocation": SQL_CRAWL_BUDGET,
         "leakage_safe_split": _leakage_split_sql(),
