@@ -3442,6 +3442,43 @@ def q_sitemap_extract(spark, sf_dir):
     )
 
 
+def q_sitemap_respider(spark, sf_dir):
+    """Sitemap-driven respider dueness (the sitemaps protocol's
+    <lastmod> contract, public; composes the sitemap source with W4's
+    respider semantics): a page whose sitemap lastmod is NEWER than
+    our last fetch is due now at a priority bump — ISO date strings
+    compare lexicographically, identically in both engines."""
+    o = _t(spark, sf_dir, "orders").limit(4000)
+    k = F.col("o_orderkey")
+    loc = F.concat(F.lit("https://site"), (k % 40).cast("string"),
+                   F.lit(".example/p/"), k.cast("string"))
+    lastmod = F.concat(F.lit("2026-0"), (k % 9 + 1).cast("string"),
+                       F.lit("-15"))
+    last_fetch = F.concat(F.lit("2026-0"), ((k + 3) % 9 + 1).cast("string"),
+                          F.lit("-01"))
+    due = lastmod > last_fetch
+    return o.select(
+        loc.alias("loc"), lastmod.alias("lastmod"),
+        last_fetch.alias("last_fetch"), due.alias("due"),
+        F.when(due, 70).otherwise(40).cast("int").alias("priority"))
+
+
+SQL_SITEMAP_RESPIDER = """
+SELECT 'https://site' || (o_orderkey % 40)::VARCHAR || '.example/p/' ||
+         o_orderkey::VARCHAR AS loc,
+       '2026-0' || (o_orderkey % 9 + 1)::VARCHAR || '-15' AS lastmod,
+       '2026-0' || ((o_orderkey + 3) % 9 + 1)::VARCHAR || '-01'
+         AS last_fetch,
+       ('2026-0' || (o_orderkey % 9 + 1)::VARCHAR || '-15')
+         > ('2026-0' || ((o_orderkey + 3) % 9 + 1)::VARCHAR || '-01')
+         AS due,
+       (CASE WHEN ('2026-0' || (o_orderkey % 9 + 1)::VARCHAR || '-15')
+                  > ('2026-0' || ((o_orderkey + 3) % 9 + 1)::VARCHAR || '-01')
+             THEN 70 ELSE 40 END)::INT AS priority
+FROM (SELECT * FROM orders LIMIT 4000)
+"""
+
+
 SQL_SITEMAP = """
 WITH sm AS (
   SELECT 'sm' || lpad(s::VARCHAR, 2, '0') AS sitemap_id,
@@ -6447,6 +6484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf": q_search_hybrid,
         "html_link_extract": q_html_links,
         "html_meta_extract": q_html_meta,
+        "sitemap_lastmod_respider": q_sitemap_respider,
         "host_shard_rendezvous": q_host_shard_rendezvous,
         "crawl_budget_allocation": q_crawl_budget,
         "leakage_safe_split": q_leakage_split,
@@ -6656,6 +6694,7 @@ def oracle_sql() -> dict[str, str]:
         "search_hybrid_rrf": SQL_SEARCH_HYBRID,
         "html_link_extract": SQL_HTML_LINKS,
         "html_meta_extract": SQL_HTML_META,
+        "sitemap_lastmod_respider": SQL_SITEMAP_RESPIDER,
         "host_shard_rendezvous": SQL_HOST_SHARD,
         "crawl_budget_allocation": SQL_CRAWL_BUDGET,
         "leakage_safe_split": _leakage_split_sql(),
