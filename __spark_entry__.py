@@ -5060,6 +5060,44 @@ FROM s{n_iter}""")
     return "".join(parts)
 
 
+def q_hits_scores(spark, sf_dir):
+    """Integer-pinned HITS hubs/authorities (Kleinberg 1999) over the
+    same lineitem-derived link graph as pagerank/opic — completes the
+    link-analysis family (inlink-count siterank, PageRank, OPIC,
+    HITS)."""
+    from gigaspark.operators.linkrank import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(F.col("l_orderkey").alias("src"),
+                      F.col("l_partkey").alias("dst")).distinct()
+    return hits(edges, n_iter=2)
+
+
+def _sql_hits(n_iter: int = 2, scale: int = 1_000_000) -> str:
+    parts = [f"""
+WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT id, {scale}::BIGINT AS h FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+ar{i} AS (SELECT dst, sum(h)::BIGINT AS ar
+          FROM e JOIN h{i-1} ON h{i-1}.id = e.src GROUP BY dst),
+am{i} AS (SELECT max(ar) AS m FROM ar{i}),
+a{i} AS (SELECT id, coalesce((ar * {scale}::BIGINT)
+                             // (SELECT m FROM am{i}), 0)::BIGINT AS a
+         FROM nodes LEFT JOIN ar{i} ON ar{i}.dst = nodes.id),
+hr{i} AS (SELECT src, sum(a)::BIGINT AS hr
+          FROM e JOIN a{i} ON a{i}.id = e.dst GROUP BY src),
+hm{i} AS (SELECT max(hr) AS m FROM hr{i}),
+h{i} AS (SELECT id, coalesce((hr * {scale}::BIGINT)
+                             // (SELECT m FROM hm{i}), 0)::BIGINT AS h
+         FROM nodes LEFT JOIN hr{i} ON hr{i}.src = nodes.id)""")
+    parts.append(f"""
+SELECT h{n_iter}.id, h AS hub, a AS authority
+FROM h{n_iter} JOIN a{n_iter} ON a{n_iter}.id = h{n_iter}.id""")
+    return "".join(parts)
+
+
 def _sql_pagerank(n_iter: int = 5, scale: int = 1_000_000_000) -> str:
     parts = [f"""
 WITH edges AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
@@ -6471,6 +6509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== slot 51+: scalar/diagnostic tier (driver-invisible; =======
         # ==== verified by tools/check_oracle.py at sf0.01 + sf0.1) ======
         "opic_scores": q_opic_scores,
+        "hits_scores": q_hits_scores,
         "crawl_trap_templates": q_crawl_traps,
         "warc_roundtrip": q_warc_roundtrip,
         "domain_quality_priors": q_domain_priors,
@@ -6681,6 +6720,7 @@ def oracle_sql() -> dict[str, str]:
         "search_numeric_range": SQL_SEARCH_NUMRANGE,
         "pagerank": _sql_pagerank(),
         "opic_scores": _sql_opic(),
+        "hits_scores": _sql_hits(),
         "crawl_trap_templates": SQL_CRAWL_TRAPS,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "fasttext_quality": _sql_fasttext(),

@@ -131,3 +131,58 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
                 " + (85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100"
             ).alias("r")))
     return r.select("id", F.col("r").alias("pagerank"))
+
+
+def hits(edges: DataFrame, n_iter: int = 2,
+         scale: int = 1_000_000) -> DataFrame:
+    """(id, hub, authority) after ``n_iter`` HITS rounds (Kleinberg
+    1999, public) — the hubs-and-authorities complement to PageRank/
+    OPIC: authorities are pages good hubs point AT, hubs are pages
+    that point at good authorities.
+
+    Integer-pinned law (bit-exact in the unrolled DuckDB oracle):
+
+      * ``h0 = scale`` for every node;
+      * per round: ``a'_v = Σ_{u→v} h_u`` then NORMALIZE
+        ``a = (a' * scale) DIV max(a')``; ``h'_u = Σ_{u→v} a_v`` then
+        the same max-normalization — floor division, max as a
+        broadcast 1-row aggregate (the paper's L2 norm is pinned to
+        max-norm so everything stays integer);
+      * nodes with no in/out edges hold score 0 after their first
+        respective round.
+
+    Scale shape: two |E| shuffles per round (dst-keyed then
+    src-keyed agg) — same class as :func:`pagerank`; the
+    normalization constant broadcasts.
+    """
+    from gigaspark.session import stable_checkpoint
+
+    nodes = (edges.select(F.col("src").alias("id"))
+             .unionByName(edges.select(F.col("dst").alias("id")))
+             .distinct())
+    nodes = stable_checkpoint(nodes)
+    e = stable_checkpoint(edges.select("src", "dst").distinct())
+    h = nodes.select("id", F.lit(scale).cast("long").alias("h"))
+    a = nodes.select("id", F.lit(0).cast("long").alias("a"))
+    for _ in range(n_iter):
+        araw = (e.join(h.withColumnRenamed("id", "src"), "src")
+                .groupBy("dst").agg(F.sum("h").alias("ar")))
+        amax = araw.agg(F.max("ar").alias("m"))
+        a = stable_checkpoint(
+            nodes.join(araw.withColumnRenamed("dst", "id"), "id", "left")
+            .join(F.broadcast(amax))
+            .select("id", F.expr(
+                f"coalesce((ar * CAST({scale} AS BIGINT)) DIV m,"
+                " CAST(0 AS BIGINT))").alias("a")))
+        hraw = (e.join(a.withColumnRenamed("id", "dst"), "dst")
+                .groupBy("src").agg(F.sum("a").alias("hr")))
+        hmax = hraw.agg(F.max("hr").alias("m"))
+        h = stable_checkpoint(
+            nodes.join(hraw.withColumnRenamed("src", "id"), "id", "left")
+            .join(F.broadcast(hmax))
+            .select("id", F.expr(
+                f"coalesce((hr * CAST({scale} AS BIGINT)) DIV m,"
+                " CAST(0 AS BIGINT))").alias("h")))
+    return (h.join(a, "id")
+            .select("id", F.col("h").alias("hub"),
+                    F.col("a").alias("authority")))

@@ -73,3 +73,20 @@ def test_pagerank_symmetric_cycle(spark):
     edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
     got = {r["id"]: r["pagerank"] for r in pagerank(edges, n_iter=4).collect()}
     assert got == {1: 500000000, 2: 500000000}
+
+
+def test_hits_star_graph(spark):
+    """Hub-and-spoke: the center pointed at by all others is the sole
+    max authority; the pointers are the max hubs."""
+    from gigaspark.operators.linkrank import hits
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (1, 5)], "src long, dst long")
+    got = {r["id"]: (r["hub"], r["authority"])
+           for r in hits(edges, n_iter=2).collect()}
+    S = 1_000_000
+    assert got[1][1] == S                        # normalized max authority
+    for spoke in (2, 3, 4):
+        assert got[spoke][0] == S                # all tie as max hubs
+        assert got[spoke][1] == 0                # nothing points at them
+    assert got[5][0] == 0                        # node 5 points at nothing
