@@ -47,6 +47,19 @@ CASES = [
     ("postings_reindex", ["BroadcastHashJoin LeftAnti"]),
     ("shard_balance", ["HashAggregate"]),
     ("corpus_filter_pipeline", ["BroadcastHashJoin LeftSemi"]),
+    # round-3b: trap dim must broadcast onto candidates; winner window
+    # keeps the rank-limit pushdown
+    ("frontier_trap_suppress",
+     ["BroadcastHashJoin LeftOuter", "WindowGroupLimit"]),
+    # classifier: the <=4096-row weight vector broadcasts every round;
+    # the corpus must never self-join
+    ("fasttext_quality", ["BroadcastHashJoin"]),
+    # trap detection alone: one agg, no join at all
+    ("crawl_trap_templates", ["HashAggregate"]),
+    # RRF: both lists bounded BEFORE their rank windows
+    ("search_hybrid_rrf", ["TakeOrderedAndProject"]),
+    # aging winner window keeps the A1 shape
+    ("frontier_priority_aging", ["WindowGroupLimit"]),
 ]
 
 
@@ -59,7 +72,14 @@ def test_plan_has_required_shape(spark, name, need):
 
 # queries where a BroadcastNestedLoopJoin is the INTENDED plan: a
 # no-condition join against a 1-row (or K-row) broadcast aggregate
-BNLJ_OK = {"shard_balance"}
+BNLJ_OK = {"shard_balance",
+           # 1-row broadcast aggregates by design: n_train / dangling
+           # pot / seat count join with no condition
+           "fasttext_quality",
+           # composes the labeled brute-force cosine baseline (1-row
+           # broadcast query vector, != condition) + bm25's 1-row
+           # corpus-stats cross joins
+           "search_hybrid_rrf"}
 
 
 @pytest.mark.parametrize("name", [c[0] for c in CASES])
