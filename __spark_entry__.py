@@ -962,7 +962,7 @@ _HTML_FIXTURE_SQL = """
 _SQL_RESOLVE = """
       CASE
         WHEN h = '' OR h LIKE '#%' THEN NULL
-        WHEN regexp_matches(h, '^https?://') THEN h
+        WHEN regexp_matches(h, '^(?i)https?://') THEN h
         WHEN h LIKE '//%' THEN
           coalesce(regexp_extract(url, '^(https?)://', 1), '') || ':' || h
         WHEN regexp_matches(h, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN NULL
@@ -1043,6 +1043,62 @@ res AS (SELECT url, title, meta_description, canon AS h FROM raw)
 SELECT url, title, meta_description,
        CASE WHEN h = '' THEN NULL ELSE {_SQL_RESOLVE} END AS canonical_url
 FROM res
+"""
+
+
+def q_discovery_pipeline(spark, sf_dir):
+    """The full discovery path in ONE plan (C6 ∘ C1 ∘ J5 — exactly
+    what each crawl round does to harvested pages): planted HTML →
+    anchor extraction + RFC 3986 resolution → full canonicalization
+    (case/port/dot-segments/session-id, the Arrow-batched C1
+    canonicalizer) → URL-seen anti-join → distinct new frontier
+    candidates with their source count.  The oracle derives the SAME
+    canonical forms independently (states the expected output of every
+    pinned law, the SQL_C1 pattern) and applies the same seen set."""
+    from gigaspark.functions.urls import canonicalize_udf
+    from gigaspark.operators.html import extract_links
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    html = F.concat(
+        F.lit('<a href="HTTP://Host'), s((i * 7) % 50),
+        F.lit(".EXAMPLE:80/a/../p/"), s(i),
+        F.lit('?PHPSESSID=zz&q=1">hot link</a>'),
+        F.lit('<a href="next/'), s(i % 11), F.lit('">more</a>'))
+    src = F.concat(F.lit("http://host"), s(i % 9),
+                   F.lit(".example/dir/page"), s(i), F.lit(".html"))
+    pages = d.select(src.alias("url"), html.alias("html"))
+    links = extract_links(pages)
+    cand = links.select(
+        canonicalize_udf(F.col("dst_url")).alias("dst_canon"))
+    seen = d.where(i % 3 == 0).select(
+        F.concat(F.lit("http://host"), s((i * 7) % 50),
+                 F.lit(".example/p/"), s(i), F.lit("?q=1")).alias("seen_url"))
+    fresh = cand.join(seen, cand["dst_canon"] == seen["seen_url"],
+                      "left_anti")
+    return (fresh.groupBy("dst_canon")
+            .agg(F.count("*").alias("n_sources")))
+
+
+SQL_DISCOVERY = """
+WITH d AS (SELECT doc_id FROM documents),
+links AS (
+  SELECT 'http://host' || ((doc_id * 7) % 50)::VARCHAR ||
+         '.example/p/' || doc_id::VARCHAR || '?q=1' AS dst_canon
+  FROM d
+  UNION ALL
+  SELECT 'http://host' || (doc_id % 9)::VARCHAR || '.example/dir/next/' ||
+         (doc_id % 11)::VARCHAR AS dst_canon
+  FROM d),
+seen AS (
+  SELECT 'http://host' || ((doc_id * 7) % 50)::VARCHAR ||
+         '.example/p/' || doc_id::VARCHAR || '?q=1' AS seen_url
+  FROM d WHERE doc_id % 3 = 0)
+SELECT dst_canon, count(*)::BIGINT AS n_sources
+FROM links l
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.seen_url = l.dst_canon)
+GROUP BY dst_canon
 """
 
 
@@ -6524,6 +6580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_link_extract": q_html_links,
         "html_meta_extract": q_html_meta,
         "sitemap_lastmod_respider": q_sitemap_respider,
+        "discovery_pipeline": q_discovery_pipeline,
         "host_shard_rendezvous": q_host_shard_rendezvous,
         "crawl_budget_allocation": q_crawl_budget,
         "leakage_safe_split": q_leakage_split,
@@ -6735,6 +6792,7 @@ def oracle_sql() -> dict[str, str]:
         "html_link_extract": SQL_HTML_LINKS,
         "html_meta_extract": SQL_HTML_META,
         "sitemap_lastmod_respider": SQL_SITEMAP_RESPIDER,
+        "discovery_pipeline": SQL_DISCOVERY,
         "host_shard_rendezvous": SQL_HOST_SHARD,
         "crawl_budget_allocation": SQL_CRAWL_BUDGET,
         "leakage_safe_split": _leakage_split_sql(),

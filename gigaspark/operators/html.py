@@ -12,7 +12,9 @@ both engines run the SAME pins, so the oracle is exact):
   * anchors are ``<a ...href=["']...["']...>flat text</a>`` — lowercase
     tags, quoted hrefs, no nested markup inside the anchor (RE2 has no
     backreferences, so quote pairing is ``["']([^"']*)["']``);
-  * URL resolution (RFC 3986 subset): absolute ``http(s)://`` kept;
+  * URL resolution (RFC 3986 subset): absolute ``http(s)://`` kept,
+    scheme matched case-insensitively (the canonicalizer downstream
+    owns case folding);
     ``//host/...`` adopts the base scheme; ``/path`` joins the base
     origin; other relative paths join the base DIRECTORY; fragments,
     empty hrefs, and non-http schemes (``mailto:``, ``javascript:``)
@@ -45,7 +47,7 @@ def resolve_href(base: F.Column, href: F.Column) -> F.Column:
          .otherwise(F.regexp_replace(path, "[^/]*$", "")))
     return (
         F.when((h == "") | h.startswith("#"), F.lit(None))
-        .when(h.rlike("^https?://"), h)
+        .when(h.rlike("^(?i)https?://"), h)
         .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
         .when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), F.lit(None))
         .when(h.startswith("/"), F.concat(origin, h))

@@ -57,3 +57,10 @@ def test_base_without_path(spark):
         _doc(spark, '<a href="p.html">x</a>', url="http://a.example")
     ).collect()
     assert got[0]["dst_url"] == "http://a.example/p.html"
+
+
+def test_uppercase_scheme_absolute_kept(spark):
+    """HTTP:// (any case) is an absolute link, not an unknown scheme."""
+    got = extract_links(
+        _doc(spark, '<a href="HTTP://B.Example/X">up</a>')).collect()
+    assert got[0]["dst_url"] == "HTTP://B.Example/X"
