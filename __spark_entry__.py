@@ -1046,6 +1046,84 @@ FROM res
 """
 
 
+def q_hll_cardinality(spark, sf_dir):
+    """Integer-pinned HyperLogLog distinct-URL counts per host
+    (Flajolet 2007; the Spiderdb per-site stats analogue at the scale
+    where exact counting stops — 64 registers, ~13% standard error,
+    O(1) memory per host, register-max mergeable across rounds).
+    Re-discovered URLs are planted (every even orderkey appears twice)
+    so the sketch must actually dedup; the exact count and the
+    error-permille ride along for inspection."""
+    from gigaspark.operators.sketch import hll_count_distinct
+
+    o = _t(spark, sf_dir, "orders")
+    okey, ckey = F.col("o_orderkey"), F.col("o_custkey")
+    base = o.select(
+        F.concat(F.lit("host"), (ckey % 12).cast("string")).alias("host"),
+        F.concat(F.lit("http://h"), (ckey % 12).cast("string"),
+                 F.lit(".example/p/"), okey.cast("string")).alias("url"))
+    urls = base.unionByName(base.where(okey % 2 == 0))
+    est = hll_count_distinct(urls, "host", "url") \
+        .withColumnRenamed("key", "host")
+    exact = urls.groupBy("host").agg(
+        F.countDistinct("url").alias("exact_distinct"))
+    return (exact.join(est, "host")
+            .select("host", "exact_distinct", "estimate",
+                    F.expr("abs(estimate - exact_distinct) * 1000"
+                           " DIV exact_distinct").alias("err_permille")))
+
+
+SQL_HLL = """
+WITH base AS (
+  SELECT 'host' || (o_custkey % 12)::VARCHAR AS host,
+         'http://h' || (o_custkey % 12)::VARCHAR || '.example/p/' ||
+           o_orderkey::VARCHAR AS url,
+         o_orderkey
+  FROM orders),
+urls AS (
+  SELECT host, url FROM base
+  UNION ALL SELECT host, url FROM base WHERE o_orderkey % 2 = 0),
+hashed AS (
+  SELECT host, ('0x' || substr(md5(url), 1, 15))::BIGINT AS h FROM urls),
+rhos AS (
+  SELECT host, h % 64 AS bucket, h // 64 AS w,
+         CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM hashed),
+regs AS (
+  SELECT host, bucket, max(rho) AS register
+  FROM rhos GROUP BY host, bucket),
+agg AS (
+  SELECT host, count(*) AS n_present,
+         sum(1073741824 // (1::BIGINT << register))::BIGINT AS s_present,
+         sum(CASE WHEN register = 0 THEN 1 ELSE 0 END)::BIGINT AS z_present
+  FROM regs GROUP BY host),
+est AS (
+  SELECT host,
+         s_present + (64 - n_present) * 1073741824::BIGINT AS s,
+         z_present + (64 - n_present) AS v
+  FROM agg),
+fin AS (
+  SELECT host,
+         (709::BIGINT * 64 * 64 * 1073741824) // (1000 * s) AS raw, v
+  FROM est),
+pick AS (
+  SELECT host,
+         CASE WHEN raw <= 160 AND v > 0
+              THEN (64 * round(ln(64 / v::DOUBLE) * 10000, 0)::BIGINT)
+                   // 10000
+              ELSE raw END AS estimate
+  FROM fin),
+exact AS (
+  SELECT host, count(DISTINCT url)::BIGINT AS exact_distinct
+  FROM urls GROUP BY host)
+SELECT e.host, e.exact_distinct, p.estimate,
+       (abs(p.estimate - e.exact_distinct) * 1000 // e.exact_distinct)
+         ::BIGINT AS err_permille
+FROM exact e JOIN pick p ON p.host = e.host
+"""
+
+
 def q_discovery_pipeline(spark, sf_dir):
     """The full discovery path in ONE plan (C6 ∘ C1 ∘ J5 — exactly
     what each crawl round does to harvested pages): planted HTML →
@@ -6581,6 +6659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta_extract": q_html_meta,
         "sitemap_lastmod_respider": q_sitemap_respider,
         "discovery_pipeline": q_discovery_pipeline,
+        "hll_url_cardinality": q_hll_cardinality,
         "host_shard_rendezvous": q_host_shard_rendezvous,
         "crawl_budget_allocation": q_crawl_budget,
         "leakage_safe_split": q_leakage_split,
@@ -6793,6 +6872,7 @@ def oracle_sql() -> dict[str, str]:
         "html_meta_extract": SQL_HTML_META,
         "sitemap_lastmod_respider": SQL_SITEMAP_RESPIDER,
         "discovery_pipeline": SQL_DISCOVERY,
+        "hll_url_cardinality": SQL_HLL,
         "host_shard_rendezvous": SQL_HOST_SHARD,
         "crawl_budget_allocation": SQL_CRAWL_BUDGET,
         "leakage_safe_split": _leakage_split_sql(),

@@ -61,3 +61,43 @@ def test_budget_largest_remainder_exact(spark):
     for r in rows:
         exact = r["rank"] * 100_000 / total_rank
         assert abs(r["budget"] - exact) < 1.0 + 1e-9
+
+
+def test_hll_accuracy_and_merge(spark):
+    """The pinned HLL lands within ~3 standard errors (64 registers →
+    13%) of the exact distinct count, duplicates don't move it, and
+    register tables merge by element-wise max (sketch associativity)."""
+    from pyspark.sql import functions as F
+
+    from gigaspark.operators.sketch import (hll_count_distinct,
+                                            hll_estimate, hll_registers)
+
+    n = 5000
+    rows = [("k", f"item-{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, item string")
+    est = hll_count_distinct(df, "key", "item").collect()[0]["estimate"]
+    assert abs(est - n) / n < 0.4  # 3σ at m=64 ≈ 0.39
+
+    # duplicates are invisible to the sketch
+    dup = df.unionByName(df)
+    est2 = hll_count_distinct(dup, "key", "item").collect()[0]["estimate"]
+    assert est2 == est
+
+    # split-merge equals whole: max-merge two half sketches
+    h1 = hll_registers(df.limit(2500), "key", "item")
+    h2 = hll_registers(df.subtract(df.limit(2500)), "key", "item")
+    merged = (h1.unionByName(h2).groupBy("key", "bucket")
+              .agg(F.max("register").alias("register")))
+    est3 = hll_estimate(merged).collect()[0]["estimate"]
+    assert est3 == est
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny sets route through linear counting and stay near-exact."""
+    from gigaspark.operators.sketch import hll_count_distinct
+
+    df = spark.createDataFrame([("k", f"x{i}") for i in range(20)],
+                               "key string, item string")
+    est = hll_count_distinct(df, "key", "item").collect()[0]["estimate"]
+    # LC standard error at m=64, n=20 allows a few units of slack
+    assert abs(est - 20) <= 7
