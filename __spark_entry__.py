@@ -1124,6 +1124,59 @@ FROM exact e JOIN pick p ON p.host = e.host
 """
 
 
+def q_cm_term_freq(spark, sf_dir):
+    """Count-Min term-frequency sketch (Cormode-Muthukrishnan 2005) —
+    the frequency companion to the HLL cardinality sketch: 4×256
+    exact-integer cells over the posting stream, point-queried for the
+    top-20 terms.  The CM guarantee (estimate >= exact, bounded
+    overestimate) rides along as over_permille."""
+    from gigaspark.operators.search import build_postings
+    from gigaspark.operators.sketch import cm_estimate, cm_sketch
+
+    p = build_postings(_t(spark, sf_dir, "documents"))
+    sk = cm_sketch(p, "term")
+    exact = p.groupBy("term").agg(F.count("*").alias("exact"))
+    top = (exact.orderBy(F.col("exact").desc(), F.col("term").asc())
+           .limit(20))
+    est = cm_estimate(sk, top.select("term"), "term")
+    return (top.join(est, top["term"] == est["key"])
+            .select("term", "exact", "estimate",
+                    F.expr("(estimate - exact) * 1000 DIV exact")
+                    .alias("over_permille")))
+
+
+def _sql_cm(depth: int = 4, width: int = 256) -> str:
+    cells = "\n  UNION ALL ".join(
+        f"SELECT {r} AS row,"
+        f" ('0x' || substr(md5('cm{r}#' || term), 1, 8))::BIGINT % {width}"
+        f" AS bucket, count(*)::BIGINT AS cell FROM p GROUP BY 2"
+        for r in range(depth))
+    probes = "\n  UNION ALL ".join(
+        f"SELECT term, exact, {r} AS row,"
+        f" ('0x' || substr(md5('cm{r}#' || term), 1, 8))::BIGINT % {width}"
+        f" AS bucket FROM topt"
+        for r in range(depth))
+    return f"""
+WITH {_POSTINGS_CTE},
+exact AS (SELECT term, count(*)::BIGINT AS exact FROM p GROUP BY term),
+topt AS (
+  SELECT term, exact FROM (
+    SELECT *, row_number() OVER (ORDER BY exact DESC, term ASC) AS rn
+    FROM exact) WHERE rn <= 20),
+cells AS (
+  {cells}),
+probes AS (
+  {probes}),
+est AS (
+  SELECT term, exact, min(cell) AS estimate
+  FROM probes JOIN cells USING (row, bucket)
+  GROUP BY term, exact)
+SELECT term, exact, estimate,
+       ((estimate - exact) * 1000 // exact)::BIGINT AS over_permille
+FROM est
+"""
+
+
 def q_discovery_pipeline(spark, sf_dir):
     """The full discovery path in ONE plan (C6 ∘ C1 ∘ J5 — exactly
     what each crawl round does to harvested pages): planted HTML →
@@ -6660,6 +6713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_lastmod_respider": q_sitemap_respider,
         "discovery_pipeline": q_discovery_pipeline,
         "hll_url_cardinality": q_hll_cardinality,
+        "cm_term_frequency": q_cm_term_freq,
         "host_shard_rendezvous": q_host_shard_rendezvous,
         "crawl_budget_allocation": q_crawl_budget,
         "leakage_safe_split": q_leakage_split,
@@ -6873,6 +6927,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_lastmod_respider": SQL_SITEMAP_RESPIDER,
         "discovery_pipeline": SQL_DISCOVERY,
         "hll_url_cardinality": SQL_HLL,
+        "cm_term_frequency": _sql_cm(),
         "host_shard_rendezvous": SQL_HOST_SHARD,
         "crawl_budget_allocation": SQL_CRAWL_BUDGET,
         "leakage_safe_split": _leakage_split_sql(),

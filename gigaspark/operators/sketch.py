@@ -79,3 +79,62 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
 def hll_count_distinct(df: DataFrame, key: str, item: str) -> DataFrame:
     """(key, estimate) in one pass — sketch + rollup."""
     return hll_estimate(hll_registers(df, key, item))
+
+
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def cm_sketch(df: DataFrame, key: str, weight: str | None = None,
+              depth: int = CM_DEPTH, width: int = CM_WIDTH) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, public) —
+    frequency estimation in O(depth·width) memory, the companion to
+    the HLL cardinality sketch (term/host heavy-hitters at the scale
+    where an exact histogram won't fit: Spiderdb hot-host stats,
+    Posdb hot-term stats [U][M]).
+
+    Pinned law: row r hashes an item to bucket
+    ``md5('cm<r>#' || item) % width`` (first-8-hex integer, the repo
+    idiom); cell = Σ weights (exact integers).  Returns
+    (row, bucket, cell) — sketches MERGE by cell-wise sum
+    (associative), exactly like the HLL register-max merge.
+
+    Scale shape: ``depth`` narrow projections unioned, then ONE
+    map-side-combinable (row, bucket) sum agg — same shuffle class as
+    a word count, with the output bounded at depth×width rows.
+    """
+    w = F.col(weight) if weight else F.lit(1).cast("long")
+    parts = []
+    for r in range(depth):
+        bucket = (F.conv(F.substring(F.md5(
+            F.concat(F.lit(f"cm{r}#"), F.col(key))), 1, 8), 16, 10)
+            .cast("long") % width)
+        parts.append(df.select(F.lit(r).alias("row"),
+                               bucket.alias("bucket"), w.alias("w")))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (allp.groupBy("row", "bucket")
+            .agg(F.sum("w").cast("long").alias("cell")))
+
+
+def cm_estimate(sketch: DataFrame, queries: DataFrame,
+                key: str, depth: int = CM_DEPTH,
+                width: int = CM_WIDTH) -> DataFrame:
+    """(key, estimate) — point queries against a sketch: min over the
+    depth cells the item hashes to (the CM guarantee: estimate >=
+    true, overestimate bounded by N·e/width per row).  The probe side
+    explodes ×depth and broadcast-joins the depth×width sketch."""
+    probes = []
+    for r in range(depth):
+        bucket = (F.conv(F.substring(F.md5(
+            F.concat(F.lit(f"cm{r}#"), F.col(key))), 1, 8), 16, 10)
+            .cast("long") % width)
+        probes.append(queries.select(F.col(key).alias("key"),
+                                     F.lit(r).alias("row"),
+                                     bucket.alias("bucket")))
+    allq = probes[0]
+    for p in probes[1:]:
+        allq = allq.unionByName(p)
+    return (allq.join(F.broadcast(sketch), ["row", "bucket"])
+            .groupBy("key").agg(F.min("cell").alias("estimate")))

@@ -101,3 +101,33 @@ def test_hll_small_range_linear_counting(spark):
     est = hll_count_distinct(df, "key", "item").collect()[0]["estimate"]
     # LC standard error at m=64, n=20 allows a few units of slack
     assert abs(est - 20) <= 7
+
+
+def test_cm_sketch_guarantee_and_merge(spark):
+    """CM estimates never undercount, are exact when collisions are
+    absent, and sketches merge by cell-wise sum."""
+    from pyspark.sql import functions as F
+
+    from gigaspark.operators.sketch import cm_estimate, cm_sketch
+
+    rows = ([("hot",)] * 500 + [("warm",)] * 50
+            + [(f"cold{i}",) for i in range(200)])
+    df = spark.createDataFrame(rows, "term string")
+    sk = cm_sketch(df, "term")
+    q = spark.createDataFrame([("hot",), ("warm",), ("cold0",)],
+                              "term string")
+    got = {r["key"]: r["estimate"]
+           for r in cm_estimate(sk, q, "term").collect()}
+    assert got["hot"] >= 500 and got["warm"] >= 50 and got["cold0"] >= 1
+    # 750 items in 4x256 cells → expected collision inflation is tiny
+    assert got["hot"] <= 520 and got["warm"] <= 70
+
+    # split-merge equality: sum-merge two half sketches (explicit
+    # halves — DataFrame limit/except are set-ish and drop duplicates)
+    half1 = spark.createDataFrame(rows[:375], "term string")
+    half2 = spark.createDataFrame(rows[375:], "term string")
+    m = (cm_sketch(half1, "term").unionByName(cm_sketch(half2, "term"))
+         .groupBy("row", "bucket").agg(F.sum("cell").alias("cell")))
+    got2 = {r["key"]: r["estimate"]
+            for r in cm_estimate(m, q, "term").collect()}
+    assert got2 == got
