@@ -859,12 +859,59 @@ w{i} AS (SELECT w.bucket,
     parts.append(f""",
 sm AS (SELECT f.doc_id, sum(f.x * w.w)::BIGINT AS margin
        FROM feats f JOIN w{n_iter} w USING (bucket)
-       GROUP BY f.doc_id)
+       GROUP BY f.doc_id)""")
+    body = "".join(parts)
+    final = f"""
 SELECT b.doc_id, coalesce(sm.margin, 0)::BIGINT AS margin,
        LEAST({scale}, GREATEST(0, {half} + coalesce(sm.margin, 0) // 4))::BIGINT AS p_fp,
        (coalesce(sm.margin, 0) > 0) AS keep
-FROM base b LEFT JOIN sm ON sm.doc_id = b.doc_id""")
-    return "".join(parts)
+FROM base b LEFT JOIN sm ON sm.doc_id = b.doc_id"""
+    return body + final
+
+
+def q_quality_ensemble(spark, sf_dir):
+    """Quality ENSEMBLE (the multi-signal keep decision production
+    pipelines actually ship — CCNet stacks heuristics + LM + learned
+    filters, public): the pinned heuristic composite (quarter-integer)
+    and the fastText margin agree-to-keep, with a 2-bit reason code;
+    trained and applied in the same plan as `fasttext_quality`."""
+    from gigaspark.functions.text import quality_score
+    from gigaspark.operators.classifier import (classify, hashed_features,
+                                                train_quality_logreg)
+
+    d = _t(spark, sf_dir, "documents")
+    feats = _cache_slot("fasttext_feats", hashed_features(d))
+    labels = (d.filter(F.col("doc_id") % 3 != 0)
+              .select("doc_id",
+                      (F.col("n_chars") >= 300).cast("int").alias("y")))
+    w = train_quality_logreg(feats, labels, n_iter=2)
+    ft = classify(d, feats, w).select("doc_id", "margin")
+    heur = d.select("doc_id",
+                    (quality_score(F.col("text")) * 4).cast("long")
+                    .alias("q4"))
+    j = heur.join(ft, "doc_id")
+    heur_ok = F.col("q4") >= 2
+    ft_ok = F.col("margin") > 0
+    return j.select(
+        "doc_id", "q4", "margin",
+        (heur_ok & ft_ok).alias("keep"),
+        (heur_ok.cast("int") * 2 + ft_ok.cast("int")).alias("reason"))
+
+
+def _sql_quality_ensemble() -> str:
+    p = _sql_quality_parts()
+    # reuse the fasttext CTE chain up to `sm` and join the heuristic
+    ft = _sql_fasttext()
+    body = ft[:ft.rindex("\nSELECT b.doc_id")]
+    return body + f""",
+heur AS (SELECT doc_id, (({p["quality"]}) * 4)::BIGINT AS q4
+         FROM documents)
+SELECT h.doc_id, h.q4, coalesce(sm.margin, 0)::BIGINT AS margin,
+       (h.q4 >= 2 AND coalesce(sm.margin, 0) > 0) AS keep,
+       ((CASE WHEN h.q4 >= 2 THEN 1 ELSE 0 END) * 2
+        + CASE WHEN coalesce(sm.margin, 0) > 0 THEN 1 ELSE 0 END)::INT
+         AS reason
+FROM heur h LEFT JOIN sm ON sm.doc_id = h.doc_id"""
 
 
 def q_warc_roundtrip(spark, sf_dir):
@@ -6714,6 +6761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_pipeline": q_discovery_pipeline,
         "hll_url_cardinality": q_hll_cardinality,
         "cm_term_frequency": q_cm_term_freq,
+        "quality_ensemble": q_quality_ensemble,
         "host_shard_rendezvous": q_host_shard_rendezvous,
         "crawl_budget_allocation": q_crawl_budget,
         "leakage_safe_split": q_leakage_split,
@@ -6928,6 +6976,7 @@ def oracle_sql() -> dict[str, str]:
         "discovery_pipeline": SQL_DISCOVERY,
         "hll_url_cardinality": SQL_HLL,
         "cm_term_frequency": _sql_cm(),
+        "quality_ensemble": _sql_quality_ensemble(),
         "host_shard_rendezvous": SQL_HOST_SHARD,
         "crawl_budget_allocation": SQL_CRAWL_BUDGET,
         "leakage_safe_split": _leakage_split_sql(),
