@@ -4866,11 +4866,14 @@ FROM dfr GROUP BY bucket
 
 def q_related_docs(spark, sf_dir):
     """Related-pages / more-like-this (Msg40 related-topics "Gigabits"
-    shape [U][M]): the corpus's busiest doc's RARE terms (2 <= df <= 20)
-    broadcast as a weighted probe vector; every other doc scores
-    Σ (10^6 DIV df) over distinct shared rare terms, top-10.  The rare
-    vector broadcasts — the posting table never shuffles for the
-    probe (BroadcastHashJoin, plan-audited)."""
+    shape [U][M]): the 8 rarest terms (df asc, term asc; df >= 2) form
+    the pool; the doc holding most of them is the target; every other
+    doc scores Σ (10^6 DIV df) over distinct shared probe terms,
+    top-10.  Rank-based rarity keeps the probe NON-EMPTY at every
+    corpus size (round-3 verdict: the absolute 2<=df<=20 band was
+    vacuous on the synthetic vocabulary).  The probe vector
+    broadcasts — the posting table never shuffles for the probe
+    (BroadcastHashJoin, plan-audited)."""
     from gigaspark.operators.search import build_postings, related_docs
 
     postings = build_postings(_t(spark, sf_dir, "documents"))
@@ -4880,16 +4883,18 @@ def q_related_docs(spark, sf_dir):
 SQL_RELATED = f"""
 WITH {_POSTINGS_CTE},
 td AS (SELECT DISTINCT term, doc_id FROM p),
+pool AS (
+  SELECT term, 1000000 // df AS w FROM dfr WHERE df >= 2
+  ORDER BY df ASC, term ASC LIMIT 8),
 tgt AS (
-  SELECT doc_id FROM (
-    SELECT doc_id, count(*) AS n_terms FROM td GROUP BY doc_id
-    ORDER BY n_terms DESC, doc_id ASC LIMIT 1)),
-rare AS (
-  SELECT td.term, 1000000 // dfr.df AS w
-  FROM td JOIN tgt USING (doc_id) JOIN dfr ON dfr.term = td.term
-  WHERE dfr.df BETWEEN 2 AND 20)
+  SELECT td.doc_id FROM td JOIN pool USING (term)
+  GROUP BY td.doc_id
+  ORDER BY count(*) DESC, td.doc_id ASC LIMIT 1),
+probe AS (
+  SELECT pool.term, pool.w
+  FROM td JOIN pool USING (term) JOIN tgt USING (doc_id))
 SELECT td.doc_id, sum(w)::BIGINT AS score
-FROM td JOIN rare ON rare.term = td.term
+FROM td JOIN probe ON probe.term = td.term
 WHERE td.doc_id <> (SELECT doc_id FROM tgt)
 GROUP BY td.doc_id ORDER BY score DESC, td.doc_id ASC LIMIT 10
 """

@@ -751,36 +751,47 @@ def search_linkrank(postings: DataFrame, anchors: DataFrame,
 
 
 def related_docs(postings: DataFrame, k: int = 10,
-                 df_cap: int = 20, scale: int = 1_000_000) -> DataFrame:
-    """Related-pages retrieval (more-like-this): pick the corpus's
-    busiest document (most distinct terms, ties to min doc_id) and
-    rank every other document by the rarity-weighted overlap of its
-    term set with the target's RARE terms — the Msg40 related-topics /
+                 n_rare: int = 8, scale: int = 1_000_000) -> DataFrame:
+    """Related-pages retrieval (more-like-this): rank every other
+    document by the rarity-weighted overlap of its term set with a
+    target document's RARE terms — the Msg40 related-topics /
     "Gigabits" shape, where a result doc's salient (low-df) terms
     drive relatedness, not its stopwords [U][M].
 
-    Pinned integer scoring (oracle-exact): a shared term with document
-    frequency df (2 <= df <= ``df_cap``) contributes ``scale DIV df``;
-    score = Σ over DISTINCT shared rare terms; top-``k`` by
-    (score desc, doc_id asc).
+    Pinned integer scoring (oracle-exact), RANK-based rare band so the
+    probe is non-empty at every corpus size (an absolute df cap goes
+    vacuous on small synthetic vocabularies — round-3 verdict):
 
-    Scale shape: the target's rare-term vector is tiny (df-capped) and
+    * rare pool = the ``n_rare`` lowest-df terms with df >= 2, total
+      order (df asc, term asc);
+    * target    = the doc containing the MOST pool terms, ties to min
+      doc_id (guaranteed >= 1 pool term, so the probe never empties —
+      every pool term has df >= 2, hence >= 1 other doc shares it);
+    * a shared probe term with document frequency df contributes
+      ``scale DIV df``; score = Σ over DISTINCT shared probe terms;
+      top-``k`` by (score desc, doc_id asc).
+
+    Scale shape: the pool is a bounded top-``n_rare`` (never a full
+    sort of the vocabulary at the driver — TakeOrdered) and
     BROADCASTS; the corpus postings probe it with a broadcast hash
     join and aggregate per doc — the posting table never shuffles for
-    the probe, and the busiest-doc argmax is a bounded top-1, never a
-    full sort."""
+    the probe, and the target argmax runs over the tiny pool-match
+    set, not the corpus."""
     td = postings.select("term", "doc_id").distinct()
-    target = (td.groupBy("doc_id").agg(F.count("*").alias("n_terms"))
-              .orderBy(F.col("n_terms").desc(), F.col("doc_id").asc())
-              .limit(1).select("doc_id"))
     dfr = td.groupBy("term").agg(F.count("*").alias("df"))
-    rare = (td.join(F.broadcast(target), "doc_id").select("term")
-            .join(dfr, "term")
-            .where((F.col("df") >= 2) & (F.col("df") <= df_cap))
+    pool = (dfr.where(F.col("df") >= 2)
+            .orderBy(F.col("df").asc(), F.col("term").asc())
+            .limit(n_rare)
             .select("term", F.floor(F.lit(scale) / F.col("df"))
                     .cast("long").alias("w")))
+    pool_td = td.join(F.broadcast(pool), "term")
+    target = (pool_td.groupBy("doc_id").agg(F.count("*").alias("n_pool"))
+              .orderBy(F.col("n_pool").desc(), F.col("doc_id").asc())
+              .limit(1).select("doc_id"))
+    probe = (pool_td.join(F.broadcast(target), "doc_id")
+             .select("term", "w"))
     tgt_id = F.broadcast(target.withColumnRenamed("doc_id", "tgt"))
-    return (td.join(F.broadcast(rare), "term")
+    return (td.join(F.broadcast(probe), "term")
             .join(tgt_id, F.col("doc_id") == F.col("tgt"), "left_anti")
             .groupBy("doc_id").agg(F.sum("w").alias("score"))
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
