@@ -1458,7 +1458,8 @@ hostp AS (
              ':[0-9]*$', ''), '^www[0-9]*\\.', '') AS host,
          coalesce(regexp_extract(lo, '^[a-z]+://[^/?#]+([^?#]*)', 1),
                   '') AS path0,
-         coalesce(regexp_extract(lo, '\\?([^#]*)', 1), '') AS q
+         coalesce(regexp_extract(regexp_replace(lo, '#.*', ''),
+                                 '\\?(.*)', 1), '') AS q
   FROM parts),
 surted AS (
   SELECT url, o_orderkey,

@@ -918,6 +918,14 @@ def estimate_jpeg_quality(data: bytes) -> int | None:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any run of 0xFF fill bytes may precede the
+        # marker code — skip the run so seg_len is read at the right
+        # offset (a fill byte mistaken for the marker would misparse
+        # or skip the DQT)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            break
         marker = data[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2

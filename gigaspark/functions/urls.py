@@ -369,7 +369,11 @@ def surt_col(url: Column) -> Column:
     revhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     path = F.regexp_extract(lo, r"^[a-z]+://[^/?#]+([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    q = F.regexp_extract(lo, r"\?([^#]*)", 1)
+    # strip the fragment FIRST, then take the query from the remainder —
+    # an unanchored \?([^#]*) over the whole URL would misread a '?'
+    # that appears only inside the fragment (e.g. /x#a?b) as a query
+    nofrag = F.regexp_replace(lo, r"#.*", "")
+    q = F.regexp_extract(nofrag, r"\?(.*)", 1)
     qsorted = F.array_join(
         F.array_sort(F.filter(F.split(q, "&"), lambda x: x != "")), "&")
     return F.concat(

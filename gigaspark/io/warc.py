@@ -104,7 +104,13 @@ def parse_warc_records(df: DataFrame, rec_col: str = "record") -> DataFrame:
 
 
 def _walk_warc(blob: bytes) -> list[tuple]:
-    """Sequential record walk of one concatenated WARC file (bytes)."""
+    """Sequential record walk of one concatenated WARC file (bytes).
+
+    A malformed record (non-numeric/negative Content-Length) is
+    FLAGGED, not fatal: it becomes a ``warc_type='invalid'`` row with
+    an empty payload and the walk resynchronizes at the next
+    ``WARC/`` magic — mirroring the image path's decode_ok=false
+    error channel instead of killing the whole mapInPandas task."""
     out, pos, n = [], 0, len(blob)
     while pos < n:
         hdr_end = blob.find(b"\r\n\r\n", pos)
@@ -115,7 +121,23 @@ def _walk_warc(blob: bytes) -> list[tuple]:
         for line in head.split(CRLF)[1:]:
             k, _, v = line.partition(": ")
             fields[k] = v
-        clen = int(fields.get("Content-Length", "0"))
+        try:
+            clen = int(fields.get("Content-Length", "0"))
+            if clen < 0:
+                raise ValueError("negative Content-Length")
+        except ValueError:
+            rid = fields.get("WARC-Record-ID", "")
+            out.append(("invalid",
+                        rid[1:-1] if rid.startswith("<") else rid,
+                        fields.get("WARC-Date", ""),
+                        fields.get("WARC-Target-URI", ""),
+                        fields.get("Content-Type", ""),
+                        -1, b""))
+            nxt = blob.find(b"WARC/", hdr_end + 4)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
         body = blob[hdr_end + 4:hdr_end + 4 + clen]
         rid = fields.get("WARC-Record-ID", "")
         out.append((fields.get("WARC-Type", ""),

@@ -98,3 +98,25 @@ def test_quality_estimator_roundtrip_range():
         assert abs(est - q) <= 4, (q, est)
     with pytest.raises(ValueError):
         estimate_jpeg_quality(b"not a jpeg")
+
+
+def test_quality_estimator_skips_ff_fill_bytes():
+    """T.81 B.1.1.2 fill bytes: a run of 0xFF padding before a marker
+    must not shift the seg_len read or hide the DQT."""
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    blob = encode_jpeg(pix, quality=60)
+    base = estimate_jpeg_quality(blob)
+    # inject fill bytes before every marker after SOI
+    out, i, n = bytearray(blob[:2]), 2, len(blob)
+    dqt_seen = False
+    while i + 1 < n:
+        if blob[i] == 0xFF and blob[i + 1] not in (0x00, 0xFF):
+            out += b"\xff\xff\xff"       # fill run, then real marker
+            if blob[i + 1] == 0xDA:
+                out += blob[i:]          # entropy data: stop rewriting
+                break
+            dqt_seen = dqt_seen or blob[i + 1] == 0xDB
+        out.append(blob[i]); i += 1
+    assert dqt_seen
+    assert estimate_jpeg_quality(bytes(out)) == base

@@ -158,6 +158,9 @@ def test_surt_key_edges(spark):
         "https://u:p@sub.example.com/x": "com,example,sub)/x",
         "http://example.com/x?": "com,example)/x",
         "http://example.com/x?&&b=1&a=1": "com,example)/x?a=1&b=1",
+        # '?' ONLY inside the fragment must NOT be misread as a query
+        "http://example.com/x#a?b": "com,example)/x",
+        "http://example.com/#q?y=1&x=2": "com,example)/",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {r["url"]: r["surt"]

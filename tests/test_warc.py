@@ -81,3 +81,22 @@ def test_file_walk_matches_column_parse(spark):
     a = sorted([tuple(r) for r in via_file.collect()])
     b = sorted([tuple(r) for r in via_col.collect()])
     assert a == b
+
+
+def test_file_walk_malformed_content_length(spark):
+    """A record with a non-numeric Content-Length becomes a flagged
+    warc_type='invalid' row (error channel) and the walk resyncs at
+    the next WARC/ magic — good neighbours still parse."""
+    good1 = _build_record("ok-1", "http://a/1", "text/plain", b"alpha")
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Record-ID: <bad-1>\r\n"
+           b"Content-Length: oops\r\n\r\npayload junk ")
+    good2 = _build_record("ok-2", "http://a/2", "text/plain", b"beta")
+    blob = good1 + bad + good2
+    df = spark.createDataFrame([(blob,)], "file_bytes binary")
+    rows = {r["record_id"]: r
+            for r in parse_warc_file_pandas(df).collect()}
+    assert rows["bad-1"]["warc_type"] == "invalid"
+    assert rows["bad-1"]["content_length"] == -1
+    assert bytes(rows["ok-1"]["payload"]) == b"alpha"
+    assert bytes(rows["ok-2"]["payload"]) == b"beta"
