@@ -7,17 +7,10 @@ from __future__ import annotations
 
 import __spark_entry__ as E
 
-# ops whose output genuinely isn't SQL-expressible (binary decode,
-# PCM/DCT math) — the driver records a rows-only check for these
-ROWS_ONLY = {
-    "multimodal_features",
-    "image_neardup",
-    "audio_features",
-    "video_frames",
-    "video_scene_cuts",
-    "image_exif_orientation",
-    "image_quality_metrics",
-}
+# ops whose output genuinely isn't SQL-expressible AND has no golden
+# fixture — none since round 4: the multimodal decode queries now
+# carry golden-parquet value oracles (tools/make_golden.py)
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_is_oracled_or_allowlisted():
