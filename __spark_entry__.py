@@ -6688,22 +6688,73 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 4 OR a.caption = b.caption
 # =========================================================================== #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver's CORRECTNESS check records only the FIRST
-    # 50 entries, so slots 1-50 carry the load-bearing spread across every
-    # operator family (crawl loop, query language, dedup/pipeline, ANN
-    # ladder + training, packing/sampling, ranking).  Slots 51+ are the
-    # scalar/diagnostic tier, all still verified by tools/check_oracle.py.
+    # ORDER MATTERS: the driver's CORRECTNESS check records only the
+    # FIRST 50 entries.  Round-4 window (see WINDOW.md for the full
+    # audit trail): slots 1-6 keep the flagship crawl loop; slots 7-13
+    # are the multimodal decode queries whose new golden-parquet
+    # oracles upgrade their driver rows from rows-only to value-hash;
+    # slots 14-50 rotate in never-driver-recorded entries (r1-r3
+    # recorded 87 distinct queries; this window + CORRECTNESS_FULL
+    # sweeps close the visibility gap).  Slots 51+ remain tri-scale
+    # verified by tools/check_oracle.py (CORRECTNESS_FULL_r04.json).
     return {
-        # -- crawl core (VERDICT r2 item 1) --------------------------- 1-16
+        # ---- flagship crawl loop (slots 1-6)
         "crawl_round": q_crawl_round,
         "crawl_dedup_round": q_crawl_dedup_round,
         "respider_due": q_respider_due,
+        "urlseen_filter": q_urlseen_filter,
+        "fetch_validate": q_fetch_validate,
+        "w1_emit_order": q_w1_emit_order,
+        # ---- golden-parquet multimodal oracles (slots 7-13)
+        "multimodal_features": q_multimodal_features,
+        "image_neardup": q_image_neardup,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
+        "video_scene_cuts": q_video_scene_cuts,
+        "image_exif_orientation": q_image_exif,
+        "image_quality_metrics": q_image_quality,
+        # ---- never-driver-recorded rotation (slots 14-50)
+        "related_docs": q_related_docs,
+        "surt_cdx_index": q_surt_cdx,
+        "robots_txt_parse": q_robots_txt_parse,
+        "adaptive_crawl_delay": q_adaptive_delay,
+        "frontier_priority_aging": q_frontier_priority_aging,
+        "frontier_siterank_priority": q_frontier_siterank_priority,
+        "crawl_trap_templates": q_crawl_traps,
+        "crawl_budget_allocation": q_crawl_budget,
+        "domain_quality_priors": q_domain_priors,
+        "sitemap_extract": q_sitemap_extract,
+        "sitemap_lastmod_respider": q_sitemap_respider,
+        "discovery_pipeline": q_discovery_pipeline,
+        "cdx_revisit_dedup": q_cdx_revisit,
+        "warc_roundtrip": q_warc_roundtrip,
+        "html_link_extract": q_html_links,
+        "html_meta_extract": q_html_meta,
+        "search_querylang_site": q_querylang_site,
+        "search_querylang_title": q_querylang_title,
+        "search_querylang_numeric": q_querylang_numeric,
+        "search_querylang_trigram": q_querylang_trigram,
+        "search_hybrid_rrf": q_search_hybrid,
+        "quality_ensemble": q_quality_ensemble,
+        "leakage_safe_split": q_leakage_split,
+        "image_caption_ppl": q_caption_ppl,
+        "image_filter_pipeline": q_image_filter,
+        "image_search_topk": q_image_search,
+        "ccnet_ppl_perlang": q_ccnet_perlang,
+        "dsir_select": q_dsir_select,
+        "pii_redact": q_pii_redact,
+        "repetition_stats": q_repetition,
+        "pack_shuffle": q_pack_shuffle,
+        "sample_weighted_repeat": q_sample_weighted_repeat,
+        "termlist_stats": q_termlist_stats,
+        "spider_queue_report": q_spider_queue_report,
+        "mixture_plan": q_mixture_plan,
+        "latency_percentiles": q_latency_percentiles,
+        "frontier_skew_stats": q_frontier_skew_stats,
+        # ---- slot 51+: previously recorded r1-r3 or deferred to the r5 window
         "a1_best_per_group": q_a1_best_per_group,
         "a2_host_next_ok": q_a2_host_next_ok,
-        "w1_emit_order": q_w1_emit_order,
-        "urlseen_filter": q_urlseen_filter,
         "urlseen_cuckoo": q_urlseen_cuckoo,
-        "fetch_validate": q_fetch_validate,
         "t3_tombstone_dedup": q_t3_tombstone_dedup,
         "a3_crawl_counters": q_a3_crawl_counters,
         "a6_site_quota": q_a6_site_quota,
@@ -6711,12 +6762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_filter_chain": q_f1_filter_chain,
         "f4_linkspam": q_f4_linkspam,
         "w4_change_rate": q_w4_change_rate,
-        # -- query language + ranking --------------------------------- 17-29
         "search_querylang_topk": q_querylang,
-        # round-3b flagships occupy three window slots; the displaced
-        # querylang site/title/numeric variants (same parser/compiler
-        # family as topk+boolean above) moved to 51+ — still tri-scale
-        # verified by tools/check_oracle.py
         "fasttext_quality": q_fasttext_quality,
         "line_dedup": q_line_dedup,
         "frontier_trap_suppress": q_frontier_trap_suppress,
@@ -6729,7 +6775,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_linkrank_topk": q_search_linkrank,
         "postings_reindex": q_postings_reindex,
         "t4_boolean_ops": q_t4_boolean_ops,
-        # -- dedup / corpus / image pipeline --------------------------- 29-40
         "semantic_dedup": q_semantic_dedup,
         "image_filter_ppl": q_image_filter_ppl,
         "image_shard_pack": q_image_shard_pack,
@@ -6743,53 +6788,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_pipeline": q_corpus_filter,
         "ccnet_ppl_buckets": q_ccnet_ppl,
         "substring_dup_spans": q_substring_dups,
-        # -- ANN ladder + training ------------------------------------- 42-45
-        # (ann_recall COMPOSES lsh/multiprobe/ivf/pq/ivfpq against the
-        # exact baseline, so the mid-ladder rungs — including ivfpq —
-        # sit below slot 50; recall-green implies the rungs ran)
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf,
         "ivf_kmeans_centroids": q_ivf_kmeans,
         "ann_recall": q_ann_recall,
-        # -- training-data prep + link analysis ------------------------ 46-50
         "pack_blocks": q_pack_blocks,
         "sample_stratified": q_sample_stratified,
         "bpe_tokens": q_bpe_tokens,
         "pagerank": q_pagerank,
-        # ==== slot 51+: scalar/diagnostic tier (driver-invisible; =======
-        # ==== verified by tools/check_oracle.py at sf0.01 + sf0.1) ======
         "opic_scores": q_opic_scores,
         "hits_scores": q_hits_scores,
-        "crawl_trap_templates": q_crawl_traps,
-        "warc_roundtrip": q_warc_roundtrip,
-        "domain_quality_priors": q_domain_priors,
-        "search_querylang_site": q_querylang_site,
-        "search_querylang_title": q_querylang_title,
-        "search_querylang_numeric": q_querylang_numeric,
-        "surt_cdx_index": q_surt_cdx,
-        "adaptive_crawl_delay": q_adaptive_delay,
-        "robots_txt_parse": q_robots_txt_parse,
-        "frontier_priority_aging": q_frontier_priority_aging,
-        "search_hybrid_rrf": q_search_hybrid,
-        "html_link_extract": q_html_links,
-        "html_meta_extract": q_html_meta,
-        "sitemap_lastmod_respider": q_sitemap_respider,
-        "discovery_pipeline": q_discovery_pipeline,
         "hll_url_cardinality": q_hll_cardinality,
         "cm_term_frequency": q_cm_term_freq,
-        "quality_ensemble": q_quality_ensemble,
         "host_shard_rendezvous": q_host_shard_rendezvous,
-        "crawl_budget_allocation": q_crawl_budget,
-        "leakage_safe_split": q_leakage_split,
-        "cdx_revisit_dedup": q_cdx_revisit,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivfpq_topk": q_ann_ivfpq,
-        "image_caption_ppl": q_caption_ppl,
-        "image_filter_pipeline": q_image_filter,
-        "image_search_topk": q_image_search,
         "ann_pq_topk": q_ann_pq,
-        "frontier_siterank_priority": q_frontier_siterank_priority,
-        "search_querylang_trigram": q_querylang_trigram,
         "minhash_signatures": q_minhash_signatures,
         "simhash_neardup": q_simhash_neardup,
         "token_counts_unicode": q_token_counts_unicode,
@@ -6820,47 +6834,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
-        "pii_redact": q_pii_redact,
-        "repetition_stats": q_repetition,
         "search_and_topk": q_search_and,
         "search_or_not_topk": q_search_or_not,
         "search_ranked_topk": q_search_ranked,
         "search_wordspam_topk": q_search_wordspam,
-        "sitemap_extract": q_sitemap_extract,
         "postings_tf": q_postings_tf,
         "spell_correct": q_spell_correct,
         "spell_symspell": q_spell_symspell,
         "search_langweight_topk": q_search_langweight,
-        "ccnet_ppl_perlang": q_ccnet_perlang,
-        "dsir_select": q_dsir_select,
         "search_site_topk": q_search_site,
         "suggest_prefix": q_suggest_prefix,
         "search_facets": q_search_facets,
         "shard_balance": q_shard_balance,
         "search_synonyms_topk": q_search_synonyms,
-        "pack_shuffle": q_pack_shuffle,
-        "sample_weighted_repeat": q_sample_weighted_repeat,
         "search_numeric_range": q_search_numeric_range,
-        "termlist_stats": q_termlist_stats,
-        "related_docs": q_related_docs,
-        "spider_queue_report": q_spider_queue_report,
-        "mixture_plan": q_mixture_plan,
-        "latency_percentiles": q_latency_percentiles,
         "facet_ranges": q_facet_ranges,
-        "frontier_skew_stats": q_frontier_skew_stats,
         "f1_sitelist": q_f1_sitelist,
         "siterank_inlinks": q_siterank_inlinks,
         "snippet_extract": q_snippet_extract,
-        "multimodal_features": q_multimodal_features,
-        "image_neardup": q_image_neardup,
-        "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
-        "video_scene_cuts": q_video_scene_cuts,
-        "image_caption_align": q_image_align,
         "image_aspect_batches": q_image_aspect_batches,
-        "image_exif_orientation": q_image_exif,
-        "image_quality_metrics": q_image_quality,
-        "image_curation_e2e": q_image_curation_e2e,
     }
 
 

@@ -163,7 +163,18 @@ def canonicalize_series(s: pd.Series) -> pd.Series:
     :func:`canonicalize_url`, bulk regex/str ops on the whole Arrow batch;
     scalar fallbacks only on masked rare rows (dot-segments, %-escapes).
     """
-    s = s.astype("object").fillna("").astype(str)
+    # null rows short-circuit to null (the canonicalize_url(None) → None
+    # spec).  This is also the fast-path exit: with_url_columns null-masks
+    # already-canonical rows out of the UDF input, so a typical crawl
+    # batch is mostly nulls here and must not pay the regex machinery.
+    namask = s.isna()
+    if namask.any():
+        out = pd.Series([None] * len(s), dtype="object", index=s.index)
+        live = ~namask
+        if live.any():
+            out[live] = canonicalize_series(s[live]).astype("object")
+        return out
+    s = s.astype("object").astype(str)
     s = pd.Series(s, dtype="object").str.strip()
     noscheme = ~s.str.contains("://", regex=False)
     if noscheme.any():
@@ -303,13 +314,39 @@ def firstip_col(host: Column) -> Column:
     return F.xxhash64(host).bitwiseAND(F.lit(FIRSTIP_MASK)).cast("int")
 
 
+# already-canonical fast path: URLs whose canonical form IS the input,
+# decidable by one JVM regex — lowercase http(s) scheme, lowercase
+# ascii host with no userinfo/port/trailing-dot, a mandatory "/" then
+# a path with no empty segment ("//"), no '%', and no query/fragment;
+# a second find-regex excludes "." / ".." segments.  For such URLs
+# canonicalize_url() is the identity (property-pinned by
+# tests/test_urls.py::test_fastpath_is_identity), so they can skip the
+# Python round-trip entirely.  At crawl scale the overwhelming
+# majority of discovered URLs are in this class, so the Arrow transfer
+# only pays for the rare messy rows — the null-masked input column
+# ships as a validity bitmap (~1 bit/row) instead of string bytes.
+_CANONICAL_FAST_RE = (r"^https?://[a-z0-9-]+(\.[a-z0-9-]+)*/"
+                      r"((?!\.\.?/)[^/?#%\s]+/)*(?!\.\.?$)[^/?#%\s]*$")
+
+
+def canonical_fastpath_col(url: Column) -> Column:
+    return url.rlike(_CANONICAL_FAST_RE)
+
+
 def with_url_columns(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Canonicalize + derive (url, host, path, firstip, urlhash48).
 
-    One Arrow-batched pandas UDF for canonicalization; everything else is
-    JVM built-ins so Catalyst keeps the stage in whole-stage codegen.
+    One Arrow-batched pandas UDF for canonicalization — but only the
+    NON-fast-path rows actually cross the Python boundary: fast-path
+    rows are null-masked out of the UDF input (their string bytes never
+    serialize) and kept verbatim via coalesce.  Everything else is JVM
+    built-ins so Catalyst keeps the stage in whole-stage codegen.
     """
-    df = df.withColumn(url_col, canonicalize_udf(F.col(url_col)))
+    c = F.col(url_col)
+    fast = canonical_fastpath_col(c)
+    df = df.withColumn(
+        url_col,
+        F.coalesce(F.when(fast, c), canonicalize_udf(F.when(~fast, c))))
     df = df.withColumn("host", host_col(F.col(url_col)))
     return (
         df.withColumn("path", path_col(F.col(url_col)))

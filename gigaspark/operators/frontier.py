@@ -94,6 +94,11 @@ class CrawlConfig:
     unchanged_backoff: bool = False  # step 13 — EDOCUNCHANGED interval doubling
     backoff_cap: int = 32            # max interval multiplier (power-of-2 ladder)
     keep_snapshots: "int | None" = 2  # StateStore GC horizon (None = keep all)
+    state_format: str = "parquet"    # "parquet" (emulated manifests) or
+    #                                   "iceberg" (real catalog; state_dir is
+    #                                   then the catalog name — needs the
+    #                                   iceberg-spark-runtime jar, see
+    #                                   io/tableio_iceberg.py + test_iceberg)
     ckpt_serialized: "bool | None" = None
     # checkpoint storage: None = size-adaptive (serialized+lz4 once
     # tracked state rows cross session.CKPT_SERIALIZED_MIN_ROWS);
@@ -157,8 +162,14 @@ class CrawlScheduler:
         self.page_image = fixtures.get("page_image")
         self.images = fixtures.get("images")
         self.images_golden = fixtures.get("images_golden")
-        self.store = (StateStore(state_dir, keep_last=self.cfg.keep_snapshots)
-                      if state_dir else None)
+        if state_dir and self.cfg.state_format == "iceberg":
+            from gigaspark.io.tableio_iceberg import IcebergStateStore
+            self.store = IcebergStateStore(
+                spark, state_dir, keep_last=self.cfg.keep_snapshots)
+        else:
+            self.store = (StateStore(state_dir,
+                                     keep_last=self.cfg.keep_snapshots)
+                          if state_dir else None)
 
         # LSM-style state (the Rdb memtable+tombstone model [U][H] mapped
         # to Spark): appends and removals are small materialized PARTS;

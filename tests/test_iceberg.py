@@ -1,0 +1,78 @@
+"""Real-Iceberg StateStore integration (round-3 verdict item 6).
+
+SKIPPED — visibly, never silently absent — when no
+``iceberg-spark-runtime`` jar is on the classpath (none ships in this
+sandbox).  When the jars appear (set $GIGASPARK_ICEBERG_JAR or put the
+jar on spark.jars), the same commit → tag → time-travel → expire cycle
+the parquet-emulating StateStore passes in tests/test_resume.py runs
+against actual Iceberg tables via IcebergStateStore.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from gigaspark.io.tableio_iceberg import (IcebergStateStore,
+                                          iceberg_runtime_available)
+
+
+@pytest.fixture(scope="module")
+def iceberg_spark(tmp_path_factory):
+    """A session with Iceberg extensions + a local hadoop catalog —
+    or a visible skip when the runtime jar is absent."""
+    from pyspark.sql import SparkSession
+
+    warehouse = str(tmp_path_factory.mktemp("iceberg_wh"))
+    builder = (
+        SparkSession.builder.master("local[2]")
+        .appName("iceberg-it")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions"
+                ".IcebergSparkSessionExtensions")
+        .config("spark.sql.catalog.it",
+                "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.it.type", "hadoop")
+        .config("spark.sql.catalog.it.warehouse", warehouse))
+    jar = os.environ.get("GIGASPARK_ICEBERG_JAR")
+    if jar:
+        builder = builder.config("spark.jars", jar)
+    spark = builder.getOrCreate()
+    if not iceberg_runtime_available(spark):
+        spark.stop()
+        pytest.skip("iceberg-spark-runtime jar not on classpath "
+                    "(set $GIGASPARK_ICEBERG_JAR to enable)")
+    yield spark
+    spark.stop()
+
+
+def test_iceberg_commit_timetravel_expire(iceberg_spark):
+    spark = iceberg_spark
+    store = IcebergStateStore(spark, "it", "crawl_state", keep_last=2)
+
+    def frontier(round_no, n):
+        return spark.createDataFrame(
+            [(i, i * 10 + round_no) for i in range(n)],
+            "urlhash48 long, due_ms long")
+
+    for rnd, n in ((1, 5), (2, 7), (3, 9)):
+        m = store.commit(rnd, {"frontier": frontier(rnd, n)},
+                         {"round": rnd, "clock_ms": rnd * 1000})
+        assert m["snapshot_id"] == rnd
+        assert m["lineage"]["frontier"], "per-file lineage missing"
+
+    cur = store.latest()
+    assert cur["meta"]["round"] == 3
+    tables = store.load_tables(spark, cur)
+    assert tables["frontier"].count() == 9
+
+    # GC kept the last 2 tags; round-1 state is expired
+    assert store.snapshots() == [2, 3]
+    old = store.at(2)
+    assert old["meta"]["round"] == 2
+    t2 = store.load_tables(spark, old)
+    assert t2["frontier"].count() == 7
+    with pytest.raises(FileNotFoundError):
+        store.at(1)

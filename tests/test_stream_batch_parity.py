@@ -196,3 +196,85 @@ def test_streaming_respider_matches_batch(spark, tmp_path):
     # the tail emissions are genuine re-spiders (gen > 0)
     assert gens[:N_R] == [0] * N_R
     assert all(g >= 1 for g in gens[N_R:])
+
+
+# ---------------------------------------------------------------- #
+# politeness-gap property on the streaming drain (VERDICT r3 item   #
+# 8): per-host consecutive-emission gap >= fetch + max(wait, delay) #
+# at a SKEWED fixture, at two parallelism levels                    #
+# ---------------------------------------------------------------- #
+
+def _skewed_prep_rows():
+    """Megahost universe: host 0 owns 40 URLs (k=2, crawl_delay 250 >
+    wait 150); six small hosts own 4 each with delays straddling the
+    wait (0 and 500) — so the max(wait, delay) branch is exercised
+    BOTH ways."""
+    rows = []
+    for i in range(40):
+        rows.append((100, 0, f"http://mega.example/p/{i}", 50, 0, i,
+                     150, 2, 250))
+    for hn in range(6):
+        delay = 0 if hn % 2 else 500
+        for i in range(4):
+            rows.append((200 + hn, 0, f"http://s{hn}.example/p/{i}",
+                         50, 0, i, 150, 1, delay))
+    return rows
+
+
+def _drain_all(spark, tmp_path, shuffle_partitions: int):
+    src = str(tmp_path / f"src{shuffle_partitions}")
+    os.makedirs(src, exist_ok=True)
+    prep = (spark.createDataFrame(_skewed_prep_rows(), PREP_SCHEMA)
+            .withColumn("urlhash48",
+                        F.xxhash64("url").bitwiseAND(F.lit((1 << 48) - 1))))
+    total = prep.count()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        prep.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(PREP_SCHEMA).parquet(src)
+        out = streaming_schedule(stream, fetch_ms=100)
+        qname = f"gap_sched_{shuffle_partitions}"
+        q = (out.writeStream.format("memory").queryName(qname)
+             .option("checkpointLocation",
+                     str(tmp_path / f"chk{shuffle_partitions}"))
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            # tick EVERY host's group: stateful groups only progress when
+            # they receive input (no timeouts configured), so the tick
+            # resends the whole already-seen batch — the drain's
+            # urlhash48 dedup makes it a pure trigger
+            for _ in range(40):
+                n = spark.sql(f"select count(*) c from {qname}").first().c
+                if n >= total:
+                    break
+                prep.coalesce(1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql(
+            f"select firstip, url, scheduled_time_ms from {qname}").collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert len(rows) == total, "drain did not empty the frontier"
+    return sorted((r.firstip, r.scheduled_time_ms, r.url) for r in rows)
+
+
+def test_streaming_politeness_gap_skewed_two_parallelisms(spark, tmp_path):
+    delays = {100: 250, 200: 500, 201: 0, 202: 500, 203: 0, 204: 500, 205: 0}
+    wait = 150
+    sched1 = _drain_all(spark, tmp_path, 1)
+    sched8 = _drain_all(spark, tmp_path, 8)
+    # parallelism-independence: identical schedule at both levels
+    assert sched1 == sched8
+    # per-host politeness: consecutive emissions gap >= fetch + max(wait, delay)
+    by_host: dict = {}
+    for ip, t, _u in sched1:
+        by_host.setdefault(ip, []).append(t)
+    assert set(by_host) == set(delays)
+    for ip, times in by_host.items():
+        need = 100 + max(wait, delays[ip])
+        times.sort()
+        gaps = [b - a for a, b in zip(times, times[1:])]
+        assert all(g >= need for g in gaps), (ip, need, gaps[:5])

@@ -184,3 +184,69 @@ def test_surt_prefix_groups_site(spark):
     # sorted keys cluster: first 5 all a, last 5 all b
     assert all(k.startswith("com,example,a)") for k in keys[:5])
     assert all(k.startswith("com,example,b)") for k in keys[5:])
+
+
+# -- already-canonical fast path (skips the Python round-trip) ---------------
+
+_FAST_HOST = st.from_regex(r"[a-z0-9-]{1,8}(\.[a-z0-9-]{1,6}){0,3}",
+                           fullmatch=True)
+_FAST_SEG = st.from_regex(r"[a-zA-Z0-9_\-~.!$&'()*+,;=:@]{1,8}",
+                          fullmatch=True)
+
+
+@given(host=_FAST_HOST,
+       segs=st.lists(_FAST_SEG, min_size=0, max_size=4),
+       trail=st.booleans(),
+       scheme=st.sampled_from(["http", "https"]))
+@settings(max_examples=300, deadline=None)
+def test_fastpath_is_identity(host, segs, trail, scheme):
+    """Every URL the JVM fast-path regex accepts must be a fixed point
+    of the pinned canonicalizer — the invariant that lets
+    with_url_columns null-mask those rows out of the pandas UDF."""
+    import re
+
+    from gigaspark.functions.urls import _CANONICAL_FAST_RE
+
+    url = f"{scheme}://{host}/" + "/".join(segs) + ("/" if segs and trail else "")
+    if re.fullmatch(_CANONICAL_FAST_RE, url):
+        assert canonicalize_url(url) == url, url
+
+
+def test_fastpath_rejects_noncanonical():
+    """URLs the canonicalizer would REWRITE must be rejected by the
+    fast-path regex (they need the Python pass)."""
+    import re
+
+    from gigaspark.functions.urls import _CANONICAL_FAST_RE
+
+    def fast(u):
+        return re.fullmatch(_CANONICAL_FAST_RE, u) is not None
+
+    for raw, want in CASES.items():
+        if raw != want:
+            assert not fast(raw), raw
+    for u in ["http://H.example/x", "HTTP://h.example/x",
+              "http://h.example", "http://h.example./x",
+              "http://h.example:80/x", "http://u@h.example/x",
+              "http://h.example//x", "http://h.example/a/./b",
+              "http://h.example/a/../b", "http://h.example/%41",
+              "http://h.example/x?q=1", "http://h.example/x#f",
+              "http://héte.example/x", "ftp://h.example/x",
+              " http://h.example/x", "http://h.example/a b"]:
+        assert not fast(u), u
+    for u in ["http://h.example/", "http://h.example/x",
+              "https://a-b.c0.example/p/1/", "http://h.example/a:b@c"]:
+        assert fast(u), u
+
+
+def test_with_url_columns_fastpath_parity(spark):
+    """The masked-UDF plan must produce byte-identical canonical URLs
+    to the pure canonicalizer for a mixed fast/slow batch (including a
+    NULL url, whose behavior must not change)."""
+    raws = list(CASES) + list(CASES.values()) + [None]
+    df = spark.createDataFrame([(u,) for u in raws], "url string")
+    got = [r["url"] for r in with_url_columns(df).select("url").collect()]
+    want = [canonicalize_url(u) if u is not None else
+            canonicalize_series(pd.Series([None], dtype="object")).iloc[0]
+            for u in raws]
+    assert got == want
