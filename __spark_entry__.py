@@ -5460,6 +5460,65 @@ WHERE strpos(_p, ' ' || term || ' ') > 0
 """
 
 
+def q_search_summary_dedup(spark, sf_dir):
+    """Msg40 percentSimilarSummary result dedup [U][M] (round-3 verdict
+    "query-tier long tail"): AND results for the df-rank-2..3 terms,
+    integer Σtf scoring, 60-char Msg20 summaries, then collapse results
+    whose summary-token Jaccard (×1000, DIV) reaches 800 against any
+    higher-ranked result.  All pairwise work happens on the top-20 —
+    a broadcast self-join, never a corpus cross join."""
+    from gigaspark.operators.search import search_summary_dedup
+
+    postings, terms = _query_terms(spark, sf_dir, 2, 3)
+    _, snip = _query_terms(spark, sf_dir, 2, 2)
+    return search_summary_dedup(
+        postings, _t(spark, sf_dir, "documents"), terms, snip)
+
+
+SQL_SUMMARY_DEDUP = f"""
+WITH {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r BETWEEN 2 AND 3),
+snip AS (SELECT term FROM ranked WHERE r = 2),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM p JOIN q USING (term) GROUP BY 1, 2),
+res AS (SELECT doc_id, sum(tf)::BIGINT AS score FROM tf GROUP BY doc_id
+        HAVING count(*) = (SELECT count(*) FROM q)
+        ORDER BY score DESC, doc_id ASC LIMIT 20),
+dtext AS (SELECT doc_id,
+          ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' '
+          AS _p FROM documents),
+summ AS (
+  SELECT r.doc_id, r.score,
+         CASE WHEN strpos(_p, ' ' || s.term || ' ') > 0
+              THEN substr(_p, greatest(1,
+                          strpos(_p, ' ' || s.term || ' ') - 30), 60)
+              ELSE '' END AS summary
+  FROM res r JOIN dtext USING (doc_id) CROSS JOIN snip s),
+stok AS (SELECT doc_id, score, summary,
+                list_distinct(list_filter(string_split(summary, ' '),
+                                          x -> x <> '')) AS toks
+         FROM summ),
+pairs AS (
+  SELECT a.doc_id, b.doc_id AS b_id, b.score AS b_score,
+         1000 * len(list_intersect(a.toks, b.toks)) //
+         greatest(len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks)), 1) AS sim
+  FROM stok a JOIN stok b
+    ON b.score > a.score OR (b.score = a.score AND b.doc_id < a.doc_id)),
+agg AS (SELECT doc_id, max(sim) AS best_sim FROM pairs GROUP BY doc_id),
+dupp AS (
+  SELECT doc_id, b_id AS dup_of,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY b_score DESC, b_id ASC) AS rn
+  FROM pairs WHERE sim >= 800)
+SELECT s.doc_id, s.score, s.summary,
+       coalesce(a.best_sim, 0)::BIGINT AS best_sim,
+       (d.dup_of IS NOT NULL) AS is_dup, d.dup_of
+FROM stok s LEFT JOIN agg a USING (doc_id)
+LEFT JOIN (SELECT doc_id, dup_of FROM dupp WHERE rn = 1) d USING (doc_id)
+"""
+
+
 # =========================================================================== #
 # multimodal plumbing (no SQL oracle — binary decode is not SQL-expressible)  #
 # =========================================================================== #
@@ -6752,6 +6811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_percentiles": q_latency_percentiles,
         "frontier_skew_stats": q_frontier_skew_stats,
         # ---- slot 51+: previously recorded r1-r3 or deferred to the r5 window
+        "search_summary_dedup": q_search_summary_dedup,
         "a1_best_per_group": q_a1_best_per_group,
         "a2_host_next_ok": q_a2_host_next_ok,
         "urlseen_cuckoo": q_urlseen_cuckoo,
@@ -7002,6 +7062,7 @@ def oracle_sql() -> dict[str, str]:
         "respider_due": SQL_RESPIDER,
         "crawl_round": SQL_CRAWL_ROUND,
         "crawl_dedup_round": SQL_CRAWL_DEDUP,
+        "search_summary_dedup": SQL_SUMMARY_DEDUP,
         # Multimodal decode queries: DuckDB cannot recompute pixel/PCM
         # math, but each query synthesizes its fixtures from seeded
         # RNG + repo codecs and IGNORES sf_dir — so a golden parquet

@@ -409,3 +409,29 @@ def test_hybrid_rrf_law(spark):
     assert got[1]["v_rank"] == 0                   # missing side = 0
     ordered = sorted(got.values(), key=lambda r: (-r["rrf"], r["doc_id"]))
     assert [r["doc_id"] for r in ordered][0] == 2  # both lists wins
+
+
+def test_search_summary_dedup_planted(spark):
+    """Planted near-identical summaries: docs 1/2 share a summary
+    window (dup collapses to the higher-ranked), doc 3's differs."""
+    from gigaspark.operators.search import (build_postings,
+                                            search_summary_dedup)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta shared window of common words here beta"),
+         (2, "alpha beta shared window of common words here extra"),
+         (3, "alpha beta totally different tail content nothing alike"),
+         (4, "no match here at all")],
+        "doc_id long, text string")
+    postings = build_postings(docs)
+    terms = spark.createDataFrame([("alpha",), ("beta",)], "term string")
+    snip = spark.createDataFrame([("alpha",)], "term string")
+    out = {r["doc_id"]: r for r in search_summary_dedup(
+        postings, docs, terms, snip, k=10, sim_threshold=800).collect()}
+    assert set(out) == {1, 2, 3}          # doc 4 fails the AND match
+    # doc 1 ranks above doc 2 (score tie -> min doc_id); 2 dups onto 1
+    assert not out[1]["is_dup"] and out[1]["dup_of"] is None
+    assert out[2]["is_dup"] and out[2]["dup_of"] == 1
+    assert out[2]["best_sim"] >= 800
+    assert not out[3]["is_dup"]
+    assert out[3]["best_sim"] < 800
