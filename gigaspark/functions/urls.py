@@ -337,16 +337,20 @@ def with_url_columns(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Canonicalize + derive (url, host, path, firstip, urlhash48).
 
     One Arrow-batched pandas UDF for canonicalization — but only the
-    NON-fast-path rows actually cross the Python boundary: fast-path
-    rows are null-masked out of the UDF input (their string bytes never
-    serialize) and kept verbatim via coalesce.  Everything else is JVM
-    built-ins so Catalyst keeps the stage in whole-stage codegen.
+    NON-fast-path rows ever reach the Python node: the plan SPLITS into
+    a fast branch (pure JVM, stays in whole-stage codegen, no Arrow
+    round-trip at all) and a slow branch (the rare messy rows through
+    the UDF), unioned back.  A null-masked single-pass variant was
+    tried first and still paid the full per-row Python pipe framing;
+    the split avoids the ArrowEvalPython node for the dominant branch
+    entirely.  Downstream consumers aggregate or key-dedup, so union
+    order is immaterial.  Everything else is JVM built-ins.
     """
     c = F.col(url_col)
-    fast = canonical_fastpath_col(c)
-    df = df.withColumn(
-        url_col,
-        F.coalesce(F.when(fast, c), canonicalize_udf(F.when(~fast, c))))
+    fast = F.coalesce(canonical_fastpath_col(c), F.lit(False))
+    fast_df = df.where(fast)
+    slow_df = df.where(~fast).withColumn(url_col, canonicalize_udf(c))
+    df = fast_df.unionByName(slow_df)
     df = df.withColumn("host", host_col(F.col(url_col)))
     return (
         df.withColumn("path", path_col(F.col(url_col)))

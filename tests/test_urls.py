@@ -244,9 +244,10 @@ def test_with_url_columns_fastpath_parity(spark):
     to the pure canonicalizer for a mixed fast/slow batch (including a
     NULL url, whose behavior must not change)."""
     raws = list(CASES) + list(CASES.values()) + [None]
-    df = spark.createDataFrame([(u,) for u in raws], "url string")
-    got = [r["url"] for r in with_url_columns(df).select("url").collect()]
-    want = [canonicalize_url(u) if u is not None else
-            canonicalize_series(pd.Series([None], dtype="object")).iloc[0]
-            for u in raws]
+    df = spark.createDataFrame(list(enumerate(raws)), "i long, url string")
+    got = {r["i"]: r["url"]
+           for r in with_url_columns(df).select("i", "url").collect()}
+    want = {i: (canonicalize_url(u) if u is not None else
+                canonicalize_series(pd.Series([None], dtype="object")).iloc[0])
+            for i, u in enumerate(raws)}
     assert got == want
