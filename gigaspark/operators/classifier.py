@@ -111,7 +111,16 @@ def train_quality_logreg(feats: DataFrame, labels: DataFrame,
     # — the DIV update still runs Spark-side, so truncation semantics
     # are the engine's, not Python's)
     n_train = labels.count()
-    tf = stable_checkpoint(feats.join(labels, "doc_id"))  # (doc_id,bucket,x,y)
+    # the labeled TRAINING set is bounded by design (a quality
+    # classifier trains on a sample, not the corpus — fastText paper
+    # uses ~10^5-10^6 docs), so pin it to a few doc_id-hashed
+    # partitions: the GD rounds then run 8-task stages instead of
+    # shuffle_partitions-width ones (at 64 partitions the per-round
+    # wall was pure task-scheduling latency), while the doc_id hash
+    # partitioning keeps the margin/gradient chain shuffle-free
+    tf = stable_checkpoint(
+        feats.join(labels, "doc_id")
+        .repartition(8, "doc_id"))  # (doc_id,bucket,x,y)
     w_rows = sorted((r["bucket"], 0) for r in
                     feats.select("bucket").distinct().collect())
     for _ in range(n_iter):
