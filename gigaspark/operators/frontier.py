@@ -60,6 +60,12 @@ def _tlog(label: str, t0: float) -> float:
 FETCH_MS = 100
 MS_PER_DAY = 86_400_000
 
+# pending-frontier row count above which winner selection switches to
+# the narrow-key window + key-join-back plan (below it, the saved
+# shuffle bytes don't pay for the extra join — measured crossover
+# between the 150k-URL headline bench and the 9.6M-URL scaling job)
+NARROW_WINDOW_MIN_ROWS = 2_000_000
+
 ENQUEUE_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("added_ms", T.LongType()),
@@ -457,35 +463,51 @@ class CrawlScheduler:
         elig = f.where((F.col("next_ok_ms") <= F.lit(T_ms))
                        & (F.col("due_ms") <= F.lit(T_ms)))
 
-        # NARROW winner selection (round 4): only the window's key +
-        # ORDER columns cross the per-host shuffle (~3× fewer bytes
-        # than full frontier rows — the url strings stay put in the
-        # cached checkpoint partitions), then the k-per-host winner
-        # KEYS join back onto elig.  The frontier checkpoint is
-        # hash-partitioned by (firstip, urlhash48) from the enqueue
-        # dedup agg, a subset of the join keys, so the wide side needs
-        # NO exchange for the join-back; only the tiny key set moves
-        # (AQE picks broadcast when it fits).  State bytes are the
-        # scaling currency at 10^10 URLs — this keeps the per-round
-        # shuffle proportional to key width, not row width.
-        narrow = elig.select("firstip", "urlhash48", "gen", "priority",
-                             "added_ms", "hopcount", "max_spiders_per_ip")
-        if self.cfg.tournament_salts > 1:
-            # megahost-skew guard: identical winners, bounded task size
-            from gigaspark.operators.skew import tournament_prune
-            narrow = tournament_prune(narrow, ["firstip"], _win_order(),
-                                      self.k_max, "urlhash48",
-                                      self.cfg.tournament_salts)
-
+        # Size-adaptive winner selection (round 4).  NARROW path for big
+        # frontiers: only the window's key + ORDER columns cross the
+        # per-host shuffle (~3× fewer bytes than full frontier rows —
+        # the url strings stay put in the cached checkpoint
+        # partitions), then the k-per-host winner KEYS join back onto
+        # elig.  The frontier checkpoint is hash-partitioned by
+        # (firstip, urlhash48) from the enqueue dedup agg, a subset of
+        # the join keys, so the wide side needs NO exchange for the
+        # join-back; only the tiny key set moves (AQE picks broadcast
+        # when it fits).  State bytes are the scaling currency at 10^10
+        # URLs — this keeps the per-round shuffle proportional to key
+        # width, not row width.  For SMALL frontiers the saved bytes
+        # don't pay for the extra join, so the classic full-width
+        # window runs instead — the winner set (and therefore the
+        # schedule) is IDENTICAL either way; pending_count is an exact
+        # driver scalar, so the choice is deterministic.
+        use_narrow = (self.pending_count >= NARROW_WINDOW_MIN_ROWS
+                      or self.cfg.tournament_salts > 1)
         w = Window.partitionBy("firstip").orderBy(*_win_order())
-        ranked = (
-            narrow.withColumn("rn", F.row_number().over(w))
-            .withColumn("k_host", F.first("max_spiders_per_ip").over(w))
-        )
-        winkeys = (ranked
-                   .where(F.col("rn") <= F.greatest(F.col("k_host"), F.lit(1)))
-                   .select("firstip", "urlhash48", "gen"))
-        winners = elig.join(winkeys, ["firstip", "urlhash48", "gen"])
+        if use_narrow:
+            narrow = elig.select("firstip", "urlhash48", "gen", "priority",
+                                 "added_ms", "hopcount", "max_spiders_per_ip")
+            if self.cfg.tournament_salts > 1:
+                # megahost-skew guard: identical winners, bounded task size
+                from gigaspark.operators.skew import tournament_prune
+                narrow = tournament_prune(narrow, ["firstip"], _win_order(),
+                                          self.k_max, "urlhash48",
+                                          self.cfg.tournament_salts)
+            ranked = (
+                narrow.withColumn("rn", F.row_number().over(w))
+                .withColumn("k_host", F.first("max_spiders_per_ip").over(w))
+            )
+            winkeys = (ranked
+                       .where(F.col("rn")
+                              <= F.greatest(F.col("k_host"), F.lit(1)))
+                       .select("firstip", "urlhash48", "gen"))
+            winners = elig.join(winkeys, ["firstip", "urlhash48", "gen"])
+        else:
+            ranked = (
+                elig.withColumn("rn", F.row_number().over(w))
+                .withColumn("k_host", F.first("max_spiders_per_ip").over(w))
+            )
+            winners = ranked.where(
+                F.col("rn") <= F.greatest(F.col("k_host"), F.lit(1))
+            ).drop("rn", "k_host")
         # politeness gap per fetched URL: fetch + max(rule wait, host crawl_delay)
         # (host re-derived from url — winners is k-per-host tiny, and the
         # frontier deliberately doesn't store host/path strings)
