@@ -21,10 +21,37 @@ from gigaspark.io.tableio_iceberg import (IcebergStateStore,
 @pytest.fixture(scope="module")
 def iceberg_spark(tmp_path_factory):
     """A session with Iceberg extensions + a local hadoop catalog —
-    or a visible skip when the runtime jar is absent."""
+    or a visible skip when the runtime jar is absent.
+
+    NEVER stops a pre-existing session: ``getOrCreate`` would return
+    the suite's shared session, and stopping it would kill every test
+    after this module (that exact failure shipped briefly in round 4).
+    When another session is already active, the test only proceeds if
+    that session can load the Iceberg classes AND was built with the
+    Iceberg SQL extensions; otherwise it skips with the reason — run
+    this module standalone (with $GIGASPARK_ICEBERG_JAR) for the full
+    integration cycle."""
     from pyspark.sql import SparkSession
 
     warehouse = str(tmp_path_factory.mktemp("iceberg_wh"))
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        if not iceberg_runtime_available(active):
+            pytest.skip("iceberg-spark-runtime jar not on classpath of the "
+                        "active session (run tests/test_iceberg.py "
+                        "standalone with $GIGASPARK_ICEBERG_JAR to enable)")
+        if "IcebergSparkSessionExtensions" not in (
+                active.conf.get("spark.sql.extensions", "") or ""):
+            pytest.skip("active session lacks the Iceberg SQL extensions — "
+                        "run tests/test_iceberg.py standalone")
+        for k, v in {
+            "spark.sql.catalog.it": "org.apache.iceberg.spark.SparkCatalog",
+            "spark.sql.catalog.it.type": "hadoop",
+            "spark.sql.catalog.it.warehouse": warehouse,
+        }.items():
+            active.conf.set(k, v)
+        yield active           # shared session: do NOT stop it
+        return
     builder = (
         SparkSession.builder.master("local[2]")
         .appName("iceberg-it")
