@@ -102,14 +102,18 @@ def _cache_slot(key: str, df: DataFrame) -> DataFrame:
     old = _CACHE_SLOTS.get(key)
     if old is not None:
         try:
-            if old[0] == df.semanticHash():
-                return old[1]
-            old[1].unpersist()
+            # sameSemantics = exact canonicalized-plan comparison; the
+            # earlier semanticHash() equality was a 32-bit check where a
+            # collision would silently serve the wrong cached data
+            # (ADVICE r4).
+            if old.sameSemantics(df):
+                return old
+            old.unpersist()
         except Exception:
             pass
         _CACHE_SLOTS.pop(key, None)
-    _CACHE_SLOTS[key] = (df.semanticHash(), df.persist())
-    return _CACHE_SLOTS[key][1]
+    _CACHE_SLOTS[key] = df.persist()
+    return _CACHE_SLOTS[key]
 
 _F1_CASE_SQL = """
     CASE WHEN o_totalprice < 0 THEN -3

@@ -325,15 +325,27 @@ def firstip_col(host: Column) -> Column:
 # majority of discovered URLs are in this class, so the Arrow transfer
 # only pays for the rare messy rows — the null-masked input column
 # ships as a validity bitmap (~1 bit/row) instead of string bytes.
-_CANONICAL_FAST_RE = (r"^https?://[a-z0-9-]+(\.[a-z0-9-]+)*/"
-                      r"((?!\.\.?/)[^/?#%\s]+/)*(?!\.\.?$)[^/?#%\s]*$")
+#
+# Both engine forms derive from ONE template so they cannot drift.
+# The JVM form MUST anchor with \A and \z: Java's rlike runs find()
+# semantics where ^/$ would match before a trailing line terminator,
+# accepting "http://h/x\n" as canonical and skipping the UDF (wrong
+# url/urlhash48, missed dedup).  Python's re has no \z before 3.14,
+# so the spec form keeps ^/$ — harmless there because the tests use
+# re.fullmatch, which requires the entire string to be consumed.
+_CANONICAL_FAST_TEMPLATE = (
+    r"https?://[a-z0-9-]+(\.[a-z0-9-]+)*/"
+    r"((?!\.\.?/)[^/?#%\s]+/)*(?!\.\.?{end})[^/?#%\s]*{end}")
+_CANONICAL_FAST_RE = "^" + _CANONICAL_FAST_TEMPLATE.format(end="$")
+_CANONICAL_FAST_RE_JVM = r"\A" + _CANONICAL_FAST_TEMPLATE.format(end=r"\z")
 
 
 def canonical_fastpath_col(url: Column) -> Column:
-    return url.rlike(_CANONICAL_FAST_RE)
+    return url.rlike(_CANONICAL_FAST_RE_JVM)
 
 
-def with_url_columns(df: DataFrame, url_col: str = "url") -> DataFrame:
+def with_url_columns(df: DataFrame, url_col: str = "url",
+                     single_pass: bool = False) -> DataFrame:
     """Canonicalize + derive (url, host, path, firstip, urlhash48).
 
     One Arrow-batched pandas UDF for canonicalization — but only the
@@ -345,7 +357,28 @@ def with_url_columns(df: DataFrame, url_col: str = "url") -> DataFrame:
     the split avoids the ArrowEvalPython node for the dominant branch
     entirely.  Downstream consumers aggregate or key-dedup, so union
     order is immaterial.  Everything else is JVM built-ins.
+
+    REQUIREMENT: ``df`` must be re-evaluation-stable — the two branches
+    each re-evaluate the source, so a nondeterministic upstream (e.g. a
+    ``rand()``-derived url column, or a source mutating between stage
+    launches) could classify a row differently per branch, duplicating
+    or dropping it in the union.  Every in-repo caller feeds parquet /
+    checkpointed-state scans (deterministic by construction).  For a
+    nondeterministic input, cache or checkpoint it first, or pass
+    ``single_pass=True`` to stay on the one-evaluation null-mask plan.
     """
+    if single_pass:
+        c = F.col(url_col)
+        fast = F.coalesce(canonical_fastpath_col(c), F.lit(False))
+        canon = F.coalesce(
+            canonicalize_udf(F.when(~fast, c)), c)
+        df = df.withColumn(url_col, canon)
+        df = df.withColumn("host", host_col(F.col(url_col)))
+        return (
+            df.withColumn("path", path_col(F.col(url_col)))
+            .withColumn("firstip", firstip_col(F.col("host")))
+            .withColumn("urlhash48", urlhash48_col(F.col(url_col)))
+        )
     c = F.col(url_col)
     fast = F.coalesce(canonical_fastpath_col(c), F.lit(False))
     fast_df = df.where(fast)

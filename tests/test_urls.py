@@ -251,3 +251,43 @@ def test_with_url_columns_fastpath_parity(spark):
                 canonicalize_series(pd.Series([None], dtype="object")).iloc[0])
             for i, u in enumerate(raws)}
     assert got == want
+
+
+def test_fastpath_rlike_rejects_line_terminators(spark):
+    """The JVM-side predicate itself (not a Python re mirror) must
+    reject URLs with trailing/embedded line terminators: Java find()
+    semantics let ^/$ match around a final newline, so the pattern is
+    anchored with \\A/\\z — this pins that anchoring (ADVICE r4)."""
+    from gigaspark.functions.urls import canonical_fastpath_col
+
+    bad = ["http://h.example/x\n", "http://h.example/x\r\n",
+           "http://h.example/x\r", "http://h.example/x\njunk",
+           "\nhttp://h.example/x", "http://h.example/a\nb"]
+    good = ["http://h.example/x", "https://a-b.c0.example/p/1/"]
+    df = spark.createDataFrame([(u,) for u in bad + good], "url string")
+    rows = df.select(
+        "url", canonical_fastpath_col(F.col("url")).alias("fast")).collect()
+    got = {r["url"]: r["fast"] for r in rows}
+    for u in bad:
+        assert not got[u], repr(u)
+    for u in good:
+        assert got[u], repr(u)
+    # and the rewrite is correct end-to-end: the newline row must take
+    # the slow path and come out canonicalized, not pass through
+    out = {r["url"] for r in with_url_columns(
+        spark.createDataFrame([("http://h.example/x\n",)], "url string")
+    ).collect()}
+    assert out == {"http://h.example/x"}
+
+
+def test_with_url_columns_single_pass_parity(spark):
+    """single_pass=True (one-evaluation null-mask plan, for
+    re-evaluation-unstable inputs) must agree with the default split
+    plan on every row."""
+    raws = list(CASES) + list(CASES.values()) + [None]
+    df = spark.createDataFrame(list(enumerate(raws)), "i long, url string")
+    cols = ["i", "url", "host", "path", "firstip", "urlhash48"]
+    split = {tuple(r) for r in with_url_columns(df).select(*cols).collect()}
+    one = {tuple(r) for r in
+           with_url_columns(df, single_pass=True).select(*cols).collect()}
+    assert split == one
