@@ -66,6 +66,18 @@ MS_PER_DAY = 86_400_000
 # between the 150k-URL headline bench and the 9.6M-URL scaling job)
 NARROW_WINDOW_MIN_ROWS = 2_000_000
 
+# row-count ceilings for the explicit small-side broadcasts in the
+# round loop (round 5).  The checkpointed state leaves carry no size
+# stats by design (session.stable_checkpoint drops origin stats), so
+# the planner can never auto-broadcast them — the scheduler instead
+# tracks exact/estimated row counts driver-side (Observation scalars,
+# no extra jobs) and hints F.broadcast itself while the side is small.
+# Past the ceiling the join falls back to the co-partitioned
+# zero-big-side-exchange plan (state is hash-partitioned by firstip, a
+# subset of every state-join's keys), which is the 10^10-URL path.
+BROADCAST_HOSTS_MAX = 2_000_000      # host_state rows (~24 B/row)
+BROADCAST_KEYS_MAX = 2_000_000       # winner-key / tombstone rows
+
 ENQUEUE_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("added_ms", T.LongType()),
@@ -186,6 +198,9 @@ class CrawlScheduler:
         self.seen_parts: list[DataFrame] = []
         self.hp_parts: list[DataFrame] = []        # per-host pending deltas
         self.pending_count = 0                     # exact driver arithmetic
+        self.n_removed = 0       # rows across removed_parts (exact)
+        self.n_hosts = 0         # host_state rows (exact, via Observation)
+        self.n_hosts_est = 0     # distinct firstips ever enqueued (approx)
         self.host_state = spark.createDataFrame(
             [], "firstip int, next_ok_ms long, n_emitted long")
         self.segments = None  # bloom segments DF (lazy-init on first enqueue)
@@ -204,11 +219,17 @@ class CrawlScheduler:
         """Size-adaptive stable checkpoint: serialized+lz4 once tracked
         state (pending frontier + seen set) is past the DRAM-bound
         crossover, plain deserialized while it is cache-resident (30%
-        faster there — see session.stable_checkpoint)."""
+        faster there — see session.stable_checkpoint).  Partitioning is
+        PRESERVED through every state checkpoint (round 5): the enqueue
+        hash-partitions by firstip once, and the preserved layout makes
+        the per-round winner window / seen anti-join / tombstone join
+        exchange-free afterwards."""
         if self.cfg.ckpt_serialized is not None:
-            return stable_checkpoint(df, serialized=self.cfg.ckpt_serialized)
+            return stable_checkpoint(df, serialized=self.cfg.ckpt_serialized,
+                                     preserve_partitioning=True)
         big = (self.pending_count + self.n_seen) >= CKPT_SERIALIZED_MIN_ROWS
-        return stable_checkpoint(df, serialized=big)
+        return stable_checkpoint(df, serialized=big,
+                                 preserve_partitioning=True)
 
     # ------------------------------------------------------------------ #
     # LSM views                                                           #
@@ -225,6 +246,13 @@ class CrawlScheduler:
             rm = self.removed_parts[0]
             for p in self.removed_parts[1:]:
                 rm = rm.unionByName(p)
+            # tombstones are k-per-host winner keys — broadcast while
+            # small so the (huge, firstip-partitioned) live side never
+            # re-shuffles; past the ceiling both sides are partitioned
+            # by firstip (subset of the anti-join keys) → co-partitioned
+            # SMJ with no big-side exchange
+            if self.n_removed <= BROADCAST_KEYS_MAX:
+                rm = F.broadcast(rm)
             acc = acc.join(rm, ["firstip", "urlhash48", "gen"], "left_anti")
         return acc
 
@@ -253,10 +281,17 @@ class CrawlScheduler:
         """Bound view depth: fold parts⊖tombstones into one materialized
         part (the RdbMerge compaction analogue)."""
         if len(self.removed_parts) >= 4 or len(self.frontier_parts) >= 6:
-            self.frontier_parts = [self.frontier.transform(self._ckpt)]
+            # re-establish the firstip hash layout on the folded part —
+            # the union view reports UnknownPartitioning, so without
+            # this one (per-compaction, not per-round) shuffle every
+            # later round would pay exchanges again
+            self.frontier_parts = [
+                self.frontier.repartition("firstip").transform(self._ckpt)]
             self.removed_parts = []
+            self.n_removed = 0
         if len(self.seen_parts) >= 8:
-            self.seen_parts = [self.seen.transform(self._ckpt)]
+            self.seen_parts = [
+                self.seen.repartition("firstip").transform(self._ckpt)]
         if len(self.indexed_ch_parts) >= 8:
             # at cluster scale this fold would also repartition by
             # content_hash so the per-round winners⋈indexed_ch probe
@@ -326,6 +361,23 @@ class CrawlScheduler:
         from gigaspark.functions.urls import firstip_col, host_col, path_col, urlhash48_col
 
         df = with_url_columns(raw, "url")
+        # ONE explicit hash-partitioning by firstip for the whole state
+        # lifecycle (round 5): the dedup agg right below needs a
+        # clustering by (firstip, urlhash48) anyway — HashPartitioning
+        # on the SUBSET firstip satisfies it, so this is the same
+        # single wide shuffle the agg always paid, just keyed so that
+        # every later per-round consumer (winner window partitionBy
+        # firstip, seen anti-join, tombstone anti-join, host_state
+        # join) finds its distribution already in place and runs
+        # exchange-free (the checkpoint preserves the layout).  Cost
+        # shift: map-side partial aggregation now runs post-shuffle, so
+        # duplicate outlinks cross the wire once — bytes proportional
+        # to the BATCH, while the savings are proportional to the
+        # accumulated FRONTIER every round; at 10^10 URLs that trade is
+        # ~1:rounds in our favor.  Megahost skew lands one host per
+        # partition, which is the same exposure the winner window
+        # always had — operators/skew.py tournament_prune is the guard.
+        df = df.repartition("firstip")
         # batch dedup on key: min hop / min added / min url / any is_seed
         df = (
             df.groupBy("firstip", "urlhash48")
@@ -373,11 +425,18 @@ class CrawlScheduler:
             F.sum((F.col("_disposition") == "tombstoned").cast("long")).alias("tombstoned"),
             F.sum((F.col("_disposition") == "robots_denied").cast("long")).alias("robots_denied"),
             F.sum((F.col("_disposition") == "pass").cast("long")).alias("n_pass"),
+            F.approx_count_distinct("firstip").alias("n_hosts_est"),
         )
         t = time.time()
         annotated = df.transform(self._ckpt)
         c = obs.get
         n_pass = int(c["n_pass"] or 0)
+        # conservative winner-key bound input: summing per-batch
+        # approx-distincts OVER-estimates the true union (safe
+        # direction for a broadcast ceiling — too big an estimate only
+        # falls back to the co-partitioned plan, never broadcasts too
+        # much)
+        self.n_hosts_est += int(c["n_hosts_est"] or 0)
         t = _tlog("enq:annotated", t)
         passing = annotated.where(F.col("_disposition") == "pass")
         if self.n_seen == 0:
@@ -454,11 +513,19 @@ class CrawlScheduler:
             n_quota = int(obs_q.get["n"] or 0)
             if n_quota:
                 self.removed_parts.append(doomed)
+                self.n_removed += n_quota
                 self.hp_parts.append(
                     doomed.groupBy("firstip").agg((-F.count("*")).alias("d")))
                 self.pending_count -= n_quota
             t = _tlog("quota", t)
-        f = self.frontier.join(self.host_state, "firstip", "left").withColumn(
+        # host_state is one row per host ever emitted — broadcast while
+        # small (exact count rides the previous round's checkpoint job);
+        # past the ceiling the co-partitioned fallback still never
+        # exchanges the wide frontier side
+        hs = self.host_state
+        if self.n_hosts <= BROADCAST_HOSTS_MAX:
+            hs = F.broadcast(hs)
+        f = self.frontier.join(hs, "firstip", "left").withColumn(
             "next_ok_ms", F.coalesce(F.col("next_ok_ms"), F.lit(0)))
         elig = f.where((F.col("next_ok_ms") <= F.lit(T_ms))
                        & (F.col("due_ms") <= F.lit(T_ms)))
@@ -499,6 +566,14 @@ class CrawlScheduler:
                        .where(F.col("rn")
                               <= F.greatest(F.col("k_host"), F.lit(1)))
                        .select("firstip", "urlhash48", "gen"))
+            # winner keys are ≤ k_max per pending host — broadcast the
+            # join-back while that bound is small (keeps the wide elig
+            # side exchange-free AND partitioned for the politeness
+            # window below); fallback = co-partitioned key join
+            win_bound = min(self.pending_count,
+                            self.k_max * max(self.n_hosts_est, 1))
+            if win_bound <= BROADCAST_KEYS_MAX:
+                winkeys = F.broadcast(winkeys)
             winners = elig.join(winkeys, ["firstip", "urlhash48", "gen"])
         else:
             ranked = (
@@ -605,11 +680,14 @@ class CrawlScheduler:
             # quota off → the count is never read; skip the extra join
             upd = upd.select("firstip", "next_ok_ms",
                              F.lit(0).cast("long").alias("n_emitted"))
+        obs_h = Observation()
         self.host_state = (
             self.host_state.join(upd.select("firstip"), "firstip", "left_anti")
             .unionByName(upd)
+            .observe(obs_h, F.count(F.lit(1)).alias("n"))
             .transform(self._ckpt)
         )
+        self.n_hosts = int(obs_h.get["n"] or 0)
         t = _tlog("host_state", t)
         # tombstone the emitted keys (winners is checkpointed → this part
         # is a cheap lazy projection, no frontier re-copy)
@@ -619,6 +697,7 @@ class CrawlScheduler:
 
         n_emitted = int(wc["n"] or 0)
         self.pending_count -= n_emitted
+        self.n_removed += n_emitted
         m = {"round": self.round, "clock_ms": T_ms, "emitted": n_emitted}
         if self.cfg.site_quota:
             m["quota_dropped"] = n_quota
@@ -922,10 +1001,18 @@ class CrawlScheduler:
         sched.metrics = list(manifest["meta"]["metrics"])
         sched.n_seen = manifest["meta"].get("n_seen", tbl["seen"].count())
         sched.pending_count = tbl["frontier"].count()
-        sched.frontier_parts = [tbl["frontier"].transform(sched._ckpt)]
+        # re-establish the firstip hash layout on the reloaded state
+        # (parquet scans report no useful partitioning) and restore the
+        # broadcast-guard counters from real sizes
+        sched.frontier_parts = [
+            tbl["frontier"].repartition("firstip").transform(sched._ckpt)]
         sched.removed_parts = []
-        sched.seen_parts = [tbl["seen"].transform(sched._ckpt)]
+        sched.n_removed = 0
+        sched.seen_parts = [
+            tbl["seen"].repartition("firstip").transform(sched._ckpt)]
         sched.host_state = tbl["host_state"].transform(sched._ckpt)
+        sched.n_hosts = sched.host_state.count()
+        sched.n_hosts_est = max(sched.n_hosts, 1)
         if "bloom_segments" in tbl:
             sched.segments = tbl["bloom_segments"].transform(sched._ckpt)
         if "indexed_ch" in tbl:

@@ -19,7 +19,28 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from gigaspark.session import stable_checkpoint
+
 SMALL_THRESHOLD = 100_000
+
+
+def _pinned_sorted(df: DataFrame, order: list[Column]) -> DataFrame:
+    """Range-sort and MATERIALIZE once (localCheckpoint).
+
+    The two-level seq/cumsum shape reads its sorted input twice — once
+    for per-partition counts, once for the offset join.  Without
+    pinning, those are two separate evaluations of a SAMPLED range
+    exchange: whenever exchange reuse doesn't kick in (a re-executed
+    plan, a second action like a parquet write, a layout change
+    upstream), the two sides see DIFFERENT partition boundaries and the
+    `_pid` join silently drops/duplicates rows (observed: a re-executed
+    write lost 43% of rows).  Checkpointing the sorted result freezes
+    one layout for both consumers — correct at any execution count, and
+    the cost is one materialization of the FINAL output rows, which the
+    caller is about to hand off anyway."""
+    return stable_checkpoint(
+        df.repartitionByRange(*order).sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id()))
 
 
 def with_global_seq(df: DataFrame, order: list[Column], seq_col: str = "seq",
@@ -34,11 +55,7 @@ def with_global_seq(df: DataFrame, order: list[Column], seq_col: str = "seq",
             seq_col,
             (F.row_number().over(Window.orderBy(*order)) - 1).cast("long"))
 
-    part = (
-        df.repartitionByRange(*order)
-        .sortWithinPartitions(*order)
-        .withColumn("_pid", F.spark_partition_id())
-    )
+    part = _pinned_sorted(df, order)
     # deterministic within-partition position (data already sorted)
     w = Window.partitionBy("_pid").orderBy(*order)
     part = part.withColumn("_pos", F.row_number().over(w) - 1)
@@ -73,11 +90,7 @@ def with_global_cumsum(df: DataFrame, order: list[Column], weight: str,
         return df.withColumn(
             cum_col, F.coalesce(F.sum(weight).over(w), F.lit(0)).cast("long"))
 
-    part = (
-        df.repartitionByRange(*order)
-        .sortWithinPartitions(*order)
-        .withColumn("_pid", F.spark_partition_id())
-    )
+    part = _pinned_sorted(df, order)
     w = Window.partitionBy("_pid").orderBy(*order) \
         .rowsBetween(Window.unboundedPreceding, -1)
     part = part.withColumn(

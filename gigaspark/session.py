@@ -13,7 +13,8 @@ import os
 from pyspark.sql import SparkSession
 
 
-def stable_checkpoint(df, serialized: bool | None = None):
+def stable_checkpoint(df, serialized: bool | None = None,
+                      preserve_partitioning: bool = False):
     """``localCheckpoint(eager=True)`` + rewrap as a stats-clean leaf.
 
     ``Dataset.localCheckpoint`` preserves the origin plan's estimated
@@ -26,6 +27,22 @@ def stable_checkpoint(df, serialized: bool | None = None):
     (observed: 100 s/round on 20-row inputs).  Re-wrapping the already
     materialized checkpoint RDD drops the origin stats, so every round
     starts from constant-size leaf estimates.
+
+    ``preserve_partitioning=True`` (round 5) additionally carries the
+    materialized plan's output partitioning into the rewrapped leaf, so
+    an iterative loop that hash-partitions its state ONCE (the crawl
+    frontier by ``firstip``) gets exchange-free windows / aggs / joins
+    on that key in every later round — per-round shuffle bytes drop to
+    ~zero, the property that makes the loop scale N→4N (state bytes
+    stop crossing the wire).  Correct partitioning capture requires the
+    materializing query to run WITHOUT AQE (AQE's coalesced shuffle
+    reads merge hash buckets, which is no longer expressible — or safe
+    to claim — as ``HashPartitioning``; Spark then reports
+    ``UnknownPartitioning``), so AQE is toggled off around the
+    checkpoint action and restored after.  The loop's heavy lifting is
+    exactly these checkpoint materializations, whose plans are already
+    explicitly partition-sized (2×cores) and explicitly skew-guarded
+    (operators/skew.py tournament), so losing AQE there costs nothing.
 
     Falls back to the plain checkpoint if the JVM-internal constructor
     is unavailable.
@@ -50,10 +67,36 @@ def stable_checkpoint(df, serialized: bool | None = None):
     level = os.environ.get("GIGASPARK_CKPT_LEVEL")
     if level is None:
         level = "MEMORY_AND_DISK" if serialized else "MEMORY_AND_DISK_DESER"
-    ck = df.localCheckpoint(eager=True,
-                            storageLevel=getattr(StorageLevel, level))
+    slevel = getattr(StorageLevel, level)
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_prev = None
+    if preserve_partitioning:
+        aqe_prev = spark.conf.get(aqe_key, "true")
+        spark.conf.set(aqe_key, "false")
+    try:
+        ck = df.localCheckpoint(eager=True, storageLevel=slevel)
+    finally:
+        if aqe_prev is not None:
+            spark.conf.set(aqe_key, aqe_prev)
     try:
         jdf = ck._jdf
+        if preserve_partitioning:
+            # rewrap keeping output/rdd/partitioning/ordering but with
+            # EMPTY originStats + originConstraints (the compounding-
+            # stats fix) — the case-class ctor is (output, rdd,
+            # partitioning, ordering, isStreaming, stream)(session,
+            # originStats, originConstraints)
+            jvm = spark._jvm
+            lp = jdf.queryExecution().optimizedPlan()
+            if lp.getClass().getName().endswith("LogicalRDD"):
+                none = jvm.scala.Option.empty()
+                new_lp = jvm.org.apache.spark.sql.execution.LogicalRDD(
+                    lp.output(), lp.rdd(), lp.outputPartitioning(),
+                    lp.outputOrdering(), lp.isStreaming(), lp.stream(),
+                    spark._jsparkSession, none, none)
+                ds = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                    spark._jsparkSession, new_lp)
+                return _DF(ds, spark)
         njdf = spark._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False)
         return _DF(njdf, spark)
@@ -112,6 +155,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
+        # allow a subset of the join keys to count as co-partitioning
+        # (frontier state is hash-partitioned by firstip ONLY — a
+        # subset of every state-join's key set; with the default
+        # true, EnsureRequirements would re-shuffle both sides by the
+        # full key list and the round-5 exchange-free state plan
+        # could never kick in)
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.rdd.compress", os.environ.get("GIGASPARK_RDD_COMPRESS", "true"))
     )

@@ -28,3 +28,28 @@ def test_global_seq_small_path(spark):
     got = with_global_seq(df, [F.col("v").desc()], "seq", small_count=500)
     rows = {r["v"]: r["seq"] for r in got.collect()}
     assert rows[499] == 0 and rows[0] == 499
+
+
+def test_global_seq_reexecution_stable(spark):
+    """The big path must give IDENTICAL seqs on every evaluation of the
+    same plan (round 5): the counts subtree and the offset-join subtree
+    both read the sampled range exchange, so without the pinned
+    materialization a re-executed action (e.g. a parquet write after a
+    count) could see different partition boundaries per subtree and
+    silently drop or duplicate rows — observed as a 43% row loss
+    before the fix."""
+    df = spark.range(0, 150_000).select(
+        (F.xxhash64(F.col("id")) % 1000003).alias("k"),
+        F.col("id").alias("v"))
+    order = [F.col("k").asc(), F.col("v").asc()]
+    got = with_global_seq(df, order, "seq")
+    h1 = got.selectExpr("bit_xor(xxhash64(seq, k, v)) AS h").collect()[0][0]
+    h2 = got.selectExpr("bit_xor(xxhash64(seq, k, v)) AS h").collect()[0][0]
+    assert h1 == h2
+    # a second independent build of the same plan agrees too
+    again = with_global_seq(df, order, "seq")
+    h3 = again.selectExpr("bit_xor(xxhash64(seq, k, v)) AS h").collect()[0][0]
+    assert h1 == h3
+    # and every row survives with a unique seq each time
+    agg = got.agg(F.count("*"), F.countDistinct("seq")).collect()[0]
+    assert agg[0] == 150_000 and agg[1] == 150_000
