@@ -6768,14 +6768,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sweeps close the visibility gap).  Slots 51+ remain tri-scale
     # verified by tools/check_oracle.py (CORRECTNESS_FULL_r04.json).
     return {
-        # ---- flagship crawl loop (slots 1-6)
+        # ---- flagship crawl loop (slots 1-6, pinned; tools/rotate_window.py)
         "crawl_round": q_crawl_round,
         "crawl_dedup_round": q_crawl_dedup_round,
         "respider_due": q_respider_due,
         "urlseen_filter": q_urlseen_filter,
         "fetch_validate": q_fetch_validate,
         "w1_emit_order": q_w1_emit_order,
-        # ---- golden-parquet multimodal oracles (slots 7-13)
+        # ---- golden-parquet multimodal oracles (slots 7-13, pinned)
         "multimodal_features": q_multimodal_features,
         "image_neardup": q_image_neardup,
         "audio_features": q_audio_features,
@@ -6783,7 +6783,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_scene_cuts": q_video_scene_cuts,
         "image_exif_orientation": q_image_exif,
         "image_quality_metrics": q_image_quality,
-        # ---- never-driver-recorded rotation (slots 14-50)
+        # ---- rotated window (slots 14-50: never-recorded first, then stalest)
+        "search_summary_dedup": q_search_summary_dedup,
+        "opic_scores": q_opic_scores,
+        "hits_scores": q_hits_scores,
+        "hll_url_cardinality": q_hll_cardinality,
+        "cm_term_frequency": q_cm_term_freq,
+        "host_shard_rendezvous": q_host_shard_rendezvous,
+        "token_counts_unicode": q_token_counts_unicode,
+        "pq_train_codebooks": q_pq_train,
+        "search_ranked_topk": q_search_ranked,
+        "search_wordspam_topk": q_search_wordspam,
+        "spell_correct": q_spell_correct,
+        "spell_symspell": q_spell_symspell,
+        "search_langweight_topk": q_search_langweight,
+        "search_site_topk": q_search_site,
+        "suggest_prefix": q_suggest_prefix,
+        "search_facets": q_search_facets,
+        "shard_balance": q_shard_balance,
+        "search_synonyms_topk": q_search_synonyms,
+        "search_numeric_range": q_search_numeric_range,
+        "facet_ranges": q_facet_ranges,
+        "f1_sitelist": q_f1_sitelist,
+        "image_aspect_batches": q_image_aspect_batches,
+        "search_phrase_topk": q_search_phrase,
+        "search_and_topk": q_search_and,
+        "search_or_not_topk": q_search_or_not,
+        "postings_tf": q_postings_tf,
+        "siterank_inlinks": q_siterank_inlinks,
+        "snippet_extract": q_snippet_extract,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ann_ivfpq_topk": q_ann_ivfpq,
+        "ann_pq_topk": q_ann_pq,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_neardup": q_simhash_neardup,
+        "contamination_ngram": q_contamination,
+        "dedup_keep_list": q_dedup_keep,
+        "simhash32": q_simhash,
+        "a4_min_hopcount": q_a4_min_hopcount,
+        # ---- slot 51+: outside the driver window; tri-scale verified by tools/full_sweep.py
         "related_docs": q_related_docs,
         "surt_cdx_index": q_surt_cdx,
         "robots_txt_parse": q_robots_txt_parse,
@@ -6821,8 +6859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "latency_percentiles": q_latency_percentiles,
         "frontier_skew_stats": q_frontier_skew_stats,
-        # ---- slot 51+: previously recorded r1-r3 or deferred to the r5 window
-        "search_summary_dedup": q_search_summary_dedup,
         "a1_best_per_group": q_a1_best_per_group,
         "a2_host_next_ok": q_a2_host_next_ok,
         "urlseen_cuckoo": q_urlseen_cuckoo,
@@ -6867,23 +6903,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "bpe_tokens": q_bpe_tokens,
         "pagerank": q_pagerank,
-        "opic_scores": q_opic_scores,
-        "hits_scores": q_hits_scores,
-        "hll_url_cardinality": q_hll_cardinality,
-        "cm_term_frequency": q_cm_term_freq,
-        "host_shard_rendezvous": q_host_shard_rendezvous,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "ann_ivfpq_topk": q_ann_ivfpq,
-        "ann_pq_topk": q_ann_pq,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash_neardup": q_simhash_neardup,
-        "token_counts_unicode": q_token_counts_unicode,
-        "search_phrase_topk": q_search_phrase,
-        "contamination_ngram": q_contamination,
-        "pq_train_codebooks": q_pq_train,
-        "dedup_keep_list": q_dedup_keep,
-        "simhash32": q_simhash,
-        "a4_min_hopcount": q_a4_min_hopcount,
         "a5_facet_counts": q_a5_facet_counts,
         "a7_two_level_topk": q_a7_two_level_topk,
         "j2_dim_broadcast": q_j2_dim_broadcast,
@@ -6905,25 +6924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
-        "search_and_topk": q_search_and,
-        "search_or_not_topk": q_search_or_not,
-        "search_ranked_topk": q_search_ranked,
-        "search_wordspam_topk": q_search_wordspam,
-        "postings_tf": q_postings_tf,
-        "spell_correct": q_spell_correct,
-        "spell_symspell": q_spell_symspell,
-        "search_langweight_topk": q_search_langweight,
-        "search_site_topk": q_search_site,
-        "suggest_prefix": q_suggest_prefix,
-        "search_facets": q_search_facets,
-        "shard_balance": q_shard_balance,
-        "search_synonyms_topk": q_search_synonyms,
-        "search_numeric_range": q_search_numeric_range,
-        "facet_ranges": q_facet_ranges,
-        "f1_sitelist": q_f1_sitelist,
-        "siterank_inlinks": q_siterank_inlinks,
-        "snippet_extract": q_snippet_extract,
-        "image_aspect_batches": q_image_aspect_batches,
     }
 
 
