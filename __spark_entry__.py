@@ -5530,6 +5530,70 @@ LEFT JOIN (SELECT doc_id, dup_of FROM dupp WHERE rn = 1) d USING (doc_id)
 """
 
 
+def q_search_summary_dedup_chain(spark, sf_dir):
+    """EXACT Msg40 percentSimilarSummary semantics (VERDICT r4 item 5):
+    the recursive KEPT-chain — each result dedups against already-KEPT
+    higher-ranked results only, so a dup never shadows later results.
+    One JVM `aggregate` fold over the collected top-20 struct array;
+    oracle = recursive CTE over the same pairwise-sim table."""
+    from gigaspark.operators.search import search_summary_dedup_chain
+
+    postings, terms = _query_terms(spark, sf_dir, 2, 3)
+    _, snip = _query_terms(spark, sf_dir, 2, 2)
+    return search_summary_dedup_chain(
+        postings, _t(spark, sf_dir, "documents"), terms, snip)
+
+
+SQL_SUMMARY_DEDUP_CHAIN = f"""
+WITH RECURSIVE {_POSTINGS_CTE},
+q AS (SELECT term FROM ranked WHERE r BETWEEN 2 AND 3),
+snip AS (SELECT term FROM ranked WHERE r = 2),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM p JOIN q USING (term) GROUP BY 1, 2),
+res AS (SELECT doc_id, sum(tf)::BIGINT AS score FROM tf GROUP BY doc_id
+        HAVING count(*) = (SELECT count(*) FROM q)
+        ORDER BY score DESC, doc_id ASC LIMIT 20),
+dtext AS (SELECT doc_id,
+          ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' '
+          AS _p FROM documents),
+summ AS (
+  SELECT r.doc_id, r.score,
+         CASE WHEN strpos(_p, ' ' || s.term || ' ') > 0
+              THEN substr(_p, greatest(1,
+                          strpos(_p, ' ' || s.term || ' ') - 30), 60)
+              ELSE '' END AS summary
+  FROM res r JOIN dtext USING (doc_id) CROSS JOIN snip s),
+stok AS (SELECT doc_id, score, summary,
+                list_distinct(list_filter(string_split(summary, ' '),
+                                          x -> x <> '')) AS toks,
+                row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+         FROM summ),
+pairs AS (
+  SELECT a.rn AS a_rn, b.rn AS b_rn,
+         1000 * len(list_intersect(a.toks, b.toks))
+         // greatest(len(a.toks) + len(b.toks)
+                     - len(list_intersect(a.toks, b.toks)), 1) AS sim
+  FROM stok a JOIN stok b ON b.rn < a.rn),
+chain(rn, kept, best_sim, dup_rn) AS (
+  SELECT 0, []::BIGINT[], NULL::BIGINT, NULL::BIGINT
+  UNION ALL
+  SELECT c.rn + 1,
+         CASE WHEN x.dup_rn IS NOT NULL THEN c.kept
+              ELSE list_append(c.kept, (c.rn + 1)::BIGINT) END,
+         x.best_sim, x.dup_rn
+  FROM chain c, LATERAL (
+     SELECT coalesce(max(p.sim), 0)::BIGINT AS best_sim,
+            min(CASE WHEN p.sim >= 800 THEN p.b_rn END)::BIGINT AS dup_rn
+     FROM pairs p
+     WHERE p.a_rn = c.rn + 1 AND list_contains(c.kept, p.b_rn::BIGINT)) x
+  WHERE c.rn < (SELECT count(*) FROM stok))
+SELECT s.doc_id, s.score, s.summary, c.best_sim,
+       (c.dup_rn IS NOT NULL) AS is_dup,
+       (SELECT s2.doc_id FROM stok s2 WHERE s2.rn = c.dup_rn) AS dup_of
+FROM chain c JOIN stok s USING (rn)
+"""
+
+
 # =========================================================================== #
 # multimodal plumbing (no SQL oracle — binary decode is not SQL-expressible)  #
 # =========================================================================== #
@@ -6785,6 +6849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality_metrics": q_image_quality,
         # ---- rotated window (slots 14-50: never-recorded first, then stalest)
         "search_summary_dedup": q_search_summary_dedup,
+        "search_summary_dedup_chain": q_search_summary_dedup_chain,
         "opic_scores": q_opic_scores,
         "hits_scores": q_hits_scores,
         "hll_url_cardinality": q_hll_cardinality,
@@ -6820,8 +6885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_ngram": q_contamination,
         "dedup_keep_list": q_dedup_keep,
         "simhash32": q_simhash,
-        "a4_min_hopcount": q_a4_min_hopcount,
         # ---- slot 51+: outside the driver window; tri-scale verified by tools/full_sweep.py
+        "a4_min_hopcount": q_a4_min_hopcount,
         "related_docs": q_related_docs,
         "surt_cdx_index": q_surt_cdx,
         "robots_txt_parse": q_robots_txt_parse,
@@ -7074,6 +7139,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_round": SQL_CRAWL_ROUND,
         "crawl_dedup_round": SQL_CRAWL_DEDUP,
         "search_summary_dedup": SQL_SUMMARY_DEDUP,
+        "search_summary_dedup_chain": SQL_SUMMARY_DEDUP_CHAIN,
         # Multimodal decode queries: DuckDB cannot recompute pixel/PCM
         # math, but each query synthesizes its fixtures from seeded
         # RNG + repo codecs and IGNORES sf_dir — so a golden parquet

