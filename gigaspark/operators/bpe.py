@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from gigaspark.functions.text import norm_text
+from gigaspark.session import bounded_collect
 
 EOW = "▁"   # end-of-word marker (sentencepiece-style block char)
 
@@ -54,9 +55,10 @@ def train_bpe(docs: DataFrame, n_merges: int = 200,
     the cluster; the merge loop is driver-side pure python over that
     bounded table.
     """
-    rows = (word_counts(docs, text_col)
-            .orderBy(F.col("n").desc(), F.col("word").asc())
-            .limit(max_words).collect())
+    rows = bounded_collect(
+        word_counts(docs, text_col)
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(max_words), max_words, "bpe vocab")
     return merges_from_histogram({r["word"]: int(r["n"]) for r in rows},
                                  n_merges)
 

@@ -122,7 +122,8 @@ def train_quality_logreg(feats: DataFrame, labels: DataFrame,
         feats.join(labels, "doc_id")
         .repartition(8, "doc_id"))  # (doc_id,bucket,x,y)
     w_rows = sorted((r["bucket"], 0) for r in
-                    feats.select("bucket").distinct().collect())
+                    bounded_collect(feats.select("bucket").distinct(),
+                                    2 * self.n_buckets, "model buckets"))
     for _ in range(n_iter):
         w = spark.createDataFrame(w_rows, "bucket long, w long")
         # margin agg keyed by doc_id ALONE (y is constant per doc and
@@ -143,7 +144,8 @@ def train_quality_logreg(feats: DataFrame, labels: DataFrame,
                .select("bucket", F.expr(
                    f"w - coalesce(g, CAST(0 AS BIGINT))"
                    f" DIV ({eta_den} * {n_train})").alias("w")))
-        w_rows = sorted((r["bucket"], r["w"]) for r in upd.collect())
+        w_rows = sorted((r["bucket"], r["w"]) for r in bounded_collect(
+            upd, 2 * self.n_buckets, "model weight update"))
     return spark.createDataFrame(w_rows, "bucket long, w long")
 
 

@@ -42,7 +42,8 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions 
 from pyspark.sql import types as T
 
 from gigaspark.io.tableio import StateStore
-from gigaspark.session import CKPT_SERIALIZED_MIN_ROWS, stable_checkpoint
+from gigaspark.session import (CKPT_SERIALIZED_MIN_ROWS, bounded_collect,
+                               stable_checkpoint)
 from gigaspark.operators import robots as robots_op
 from gigaspark.operators import urlseen
 from gigaspark.operators.url_filters import ASSIGN_FIELDS, Rule, apply_url_filters, rules_from_rows
@@ -141,7 +142,8 @@ class CrawlScheduler:
         else:
             self.seen_mod = urlseen
             self.seen_params = self.cfg.bloom
-        self.rules: list[Rule] = rules_from_rows(fixtures["url_filters"].collect())
+        self.rules: list[Rule] = rules_from_rows(bounded_collect(
+            fixtures["url_filters"], 10_000, "url_filters config"))
         self.k_max = max(1, *(r.max_spiders_per_ip for r in self.rules))
         self.robots_rules = robots_op.prep_rules(fixtures["robots"]).cache()
         self.robots_grouped = robots_op.group_rules(self.robots_rules).cache()

@@ -169,3 +169,25 @@ def get_spark(
         for k, v in extra.items():
             b = b.config(k, v)
     return b.getOrCreate()
+
+
+class UnboundedCollectError(RuntimeError):
+    """A driver-side collect exceeded its declared row bound."""
+
+
+def bounded_collect(df, max_rows: int, what: str = "driver collect"):
+    """``collect()`` with an enforced row ceiling (VERDICT r4 item 9).
+
+    Every driver-side materialization in this repo is a bounded scalar
+    or a bounded config/model table; wrapping them here turns "the
+    bounded collect silently became a driver-side bottleneck" into a
+    loud typed error at the exact site.  Fetches ``max_rows + 1`` so
+    the overflow check costs one extra row, not a count job.
+    """
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise UnboundedCollectError(
+            f"{what}: more than {max_rows} rows reached the driver — "
+            "this site is declared bounded; repartition the logic or "
+            "raise the bound deliberately")
+    return rows

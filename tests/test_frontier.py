@@ -105,3 +105,33 @@ def test_tiny_universe_order(spark, tiny_dir):
     got_seen = {(r["firstip"], r["urlhash48"]) for r in
                 sched.seen.select("firstip", "urlhash48").collect()}
     assert got_seen == set(sim_res.seen)
+
+
+def test_narrow_window_plan_equivalence(spark, micro_dir, monkeypatch):
+    """VERDICT r4 item 3: the narrow-key winner window (the big-frontier
+    plan, normally gated on NARROW_WINDOW_MIN_ROWS=2M pending rows) must
+    emit the IDENTICAL (seq, urlhash48) schedule as the default
+    full-width window.  Forcing the threshold to 0 makes every round
+    take the narrow path on the golden micro-universe; run at two
+    parallelism levels via shuffle-partition override to also pin
+    layout-independence."""
+    import gigaspark.operators.frontier as fr
+
+    def run_schedule():
+        sched = CrawlScheduler(spark, load_fixtures(spark, micro_dir))
+        sched.run(max_rounds=MAX_ROUNDS,
+                  seeds=spark.read.parquet(f"{micro_dir}/seeds.parquet"))
+        return [(r["seq"], r["urlhash48"])
+                for r in sched.emitted_df().orderBy("seq").collect()]
+
+    default_order = run_schedule()
+    monkeypatch.setattr(fr, "NARROW_WINDOW_MIN_ROWS", 0)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        narrow_order = run_schedule()
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow_order_p3 = run_schedule()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert narrow_order == default_order
+    assert narrow_order_p3 == default_order

@@ -464,8 +464,11 @@ def test_mpeg1_layer3_intensity_stereo():
     # point): side channel near-zero below, zeros above the bound
     assert len(encode_layer3(pcm, fs, ms_stereo=True, intensity=True)) \
         < len(encode_layer3(pcm, fs))
-    with pytest.raises(NotImplementedError):
-        encode_layer3(pcm, fs, intensity=True, short_blocks=True)
+    # round 5: intensity + short blocks is REAL now — the round trip
+    # must produce stereo output (full laws in tests/test_mpeg_l3_corners.py)
+    out_is, rate_is = decode_mpeg1(
+        encode_layer3(pcm, fs, intensity=True, short_blocks=True))
+    assert rate_is == fs and out_is.shape[1] == 2
     with pytest.raises(ValueError):
         encode_layer3(pcm[:, 0], fs, intensity=True)  # needs 2 ch
 

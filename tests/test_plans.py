@@ -91,3 +91,38 @@ def test_plan_never_cartesian(spark, name):
     # brute-force ANN baseline, which is not in this list
     if name not in BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_driver_collect_discipline():
+    """Every ``.collect()`` in non-test source must be either a 1-row
+    scalar aggregate (``.collect()[0]``) or routed through
+    ``session.bounded_collect`` with an explicit row ceiling (VERDICT
+    r4 item 9) — so a bounded config/model collect can never silently
+    grow into a driver-side bottleneck."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "gigaspark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        for lineno, line in enumerate(p.read_text().splitlines(), 1):
+            if p.name == "session.py" and "max_rows + 1" in line:
+                continue   # bounded_collect's own implementation
+            if ".collect()" in line and ".collect()[0]" not in line:
+                offenders.append(f"{p.relative_to(root.parent)}:{lineno}: "
+                                 f"{line.strip()}")
+    assert not offenders, (
+        "raw .collect() outside bounded_collect/scalar-agg:\n"
+        + "\n".join(offenders))
+
+
+def test_bounded_collect_raises():
+    from gigaspark.session import UnboundedCollectError, bounded_collect
+    from gigaspark.session import get_spark
+
+    spark = get_spark("plans-bc", cores=2, shuffle_partitions=2)
+    df = spark.range(100)
+    assert len(bounded_collect(df, 100, "ok")) == 100
+    import pytest
+    with pytest.raises(UnboundedCollectError):
+        bounded_collect(df, 99, "too many")

@@ -100,3 +100,86 @@ def test_file_walk_malformed_content_length(spark):
     assert rows["bad-1"]["content_length"] == -1
     assert bytes(rows["ok-1"]["payload"]) == b"alpha"
     assert bytes(rows["ok-2"]["payload"]) == b"beta"
+
+
+# -- resync-walk fuzz (VERDICT r4 item 8) -----------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+CRLF2 = b"\r\n\r\n"
+
+
+def _mk_valid(i: int, payload: bytes) -> bytes:
+    return (b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Record-ID: <urn:test:{i}>\r\n".encode()
+            + b"WARC-Date: 2026-08-21T00:00:00Z\r\n"
+            + f"WARC-Target-URI: http://h.example/{i}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload + CRLF2)
+
+
+def _mk_bad_clen(i: int, kind: str) -> bytes:
+    clen = {"neg": b"-7", "nan": b"banana", "empty": b""}[kind]
+    return (b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Record-ID: <urn:bad:{i}>\r\n".encode()
+            + b"Content-Length: " + clen + CRLF2
+            + b"shortbody" + CRLF2)
+
+
+_ITEM = hst.one_of(
+    hst.tuples(hst.just("valid"),
+               hst.binary(min_size=0, max_size=40).filter(
+                   lambda b: b"WARC/" not in b and CRLF2 not in b)),
+    hst.tuples(hst.just("bad"), hst.sampled_from(["neg", "nan", "empty"])),
+    hst.tuples(hst.just("trunc"), hst.just(b"WARC/1.0\r\nWARC-Type: resp")),
+    hst.tuples(hst.just("huge"), hst.just(None)),
+)
+
+
+@given(hst.lists(_ITEM, min_size=1, max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_walk_warc_fuzz_resync(items):
+    """The file walker must never die and must lose only the records a
+    malformed predecessor makes unrecoverable: after a parseable-but-
+    invalid Content-Length (negative / non-numeric) the resync at the
+    next WARC/ magic recovers everything; a truncated header swallows
+    AT MOST the immediately following record; a huge Content-Length
+    swallows the rest of the blob (bounded by construction — one blob).
+    """
+    from gigaspark.io.warc import _walk_warc
+
+    blob = bytearray()
+    recoverable: list[tuple[str, bytes]] = []
+    invalid_expected = 0
+    saw_huge = False
+    prev_kind = None
+    for idx, (kind, arg) in enumerate(items):
+        if kind == "valid":
+            blob += _mk_valid(idx, arg)
+            if not saw_huge and prev_kind != "trunc":
+                recoverable.append((f"http://h.example/{idx}", bytes(arg)))
+        elif kind == "bad":
+            blob += _mk_bad_clen(idx, arg)
+            if not saw_huge and prev_kind != "trunc":
+                invalid_expected += 1
+        elif kind == "trunc":
+            blob += arg
+        else:  # huge Content-Length: swallows the remainder
+            blob += (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                     b"Content-Length: 99999999999" + CRLF2)
+            saw_huge = True
+        prev_kind = kind if not saw_huge else "huge"
+
+    rows = _walk_warc(bytes(blob))          # property 1: never raises
+    got = {(r[3], r[6]) for r in rows if r[0] == "response"}
+    for uri_payload in recoverable:         # property 2: bounded loss
+        assert uri_payload in got, f"lost recoverable record {uri_payload}"
+    n_invalid = sum(1 for r in rows if r[0] == "invalid")
+    # property 3: every reachable bad record is flagged, none invented
+    assert n_invalid >= invalid_expected
+    assert n_invalid <= sum(1 for k, _ in items if k != "valid")
+    # property 4: bounded output
+    assert len(rows) <= len(items) + 2
