@@ -206,6 +206,7 @@ class CrawlScheduler:
         self.host_state = spark.createDataFrame(
             [], "firstip int, next_ok_ms long, n_emitted long")
         self.segments = None  # bloom segments DF (lazy-init on first enqueue)
+        self._seg_pending = 0  # un-checkpointed merges on self.segments
         self.n_seen = 0       # driver-side seen-count (fast-path guard)
         self.emitted_parts: list[DataFrame] = []
         self.fetched_parts: list[DataFrame] = []
@@ -451,7 +452,8 @@ class CrawlScheduler:
             obs_new = Observation()
             new = self.seen_mod.filter_new(
                 passing, self.seen.select("firstip", "urlhash48"),
-                self.segments if self.cfg.use_bloom else None, self.seen_params,
+                self._segments_for_probe() if self.cfg.use_bloom else None,
+                self.seen_params,
             ).observe(obs_new, F.count(F.lit(1)).alias("n")
                       ).transform(self._ckpt)
             n_new = int(obs_new.get["n"] or 0)
@@ -475,14 +477,33 @@ class CrawlScheduler:
                               F.lit(self.round).alias("round_enqueued"))
         self.seen_parts.append(new_keys)
         if self.cfg.use_bloom:
+            # LAZY bloom maintenance (round 5): the merged-segments plan
+            # accumulates un-materialized (the same LSM accumulate-then-
+            # fold pattern as the frontier parts) and is checkpointed
+            # only when PROBED (next filter_new) or when 4 merges have
+            # stacked up — a drain-only workload that never probes never
+            # pays the build job at all, and a harvesting crawl pays one
+            # fold per probe instead of one per enqueue
             add = self.seen_mod.build_segments(new_keys, self.seen_params)
             self.segments = (
                 add if self.segments is None
                 else self.seen_mod.merge_segments(self.segments, add,
-                                                  self.seen_params)
-            ).transform(self._ckpt)
+                                                  self.seen_params))
+            self._seg_pending += 1
+            if self._seg_pending >= 4:
+                self.segments = self.segments.transform(self._ckpt)
+                self._seg_pending = 0
         t = _tlog("enq:segments", t)
         return m
+
+    def _segments_for_probe(self) -> DataFrame | None:
+        """Materialize any pending bloom merges before a probe (the
+        cogrouped probe would otherwise recompute the whole merge chain
+        per batch)."""
+        if self.segments is not None and self._seg_pending:
+            self.segments = self.segments.transform(self._ckpt)
+            self._seg_pending = 0
+        return self.segments
 
     def seed(self, seeds: DataFrame) -> dict:
         return self.enqueue(
@@ -975,7 +996,7 @@ class CrawlScheduler:
             "emitted": self.emitted_df(),
         }
         if self.segments is not None:
-            tables["bloom_segments"] = self.segments
+            tables["bloom_segments"] = self._segments_for_probe()
         if self.content_map is not None:
             tables["indexed_ch"] = self.indexed_ch
         meta = {"round": self.round, "clock_ms": self.clock_ms,

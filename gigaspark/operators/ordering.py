@@ -21,7 +21,14 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from gigaspark.session import stable_checkpoint
 
-SMALL_THRESHOLD = 100_000
+# single-window cutoff: below this a known row count takes one
+# TakeOrdered-style window task (a ~30 MB in-memory sort) instead of
+# the two-level range-sort + offset join — the two-level path costs 3
+# extra jobs + a pinned materialization, pure overhead at bench sizes
+# while remaining the only shape that survives 10^10 rows (the window
+# collapses to one task, so the cutoff must stay far under executor
+# memory; 1M rows × ~60 B ≈ 60 MB)
+SMALL_THRESHOLD = 1_000_000
 
 
 def _pinned_sorted(df: DataFrame, order: list[Column]) -> DataFrame:
