@@ -43,6 +43,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from gigaspark.session import bounded_collect
+
 SCALE = 1_000_000
 N_BUCKETS = 4096
 ETA_DEN = 64
@@ -123,7 +125,7 @@ def train_quality_logreg(feats: DataFrame, labels: DataFrame,
         .repartition(8, "doc_id"))  # (doc_id,bucket,x,y)
     w_rows = sorted((r["bucket"], 0) for r in
                     bounded_collect(feats.select("bucket").distinct(),
-                                    2 * self.n_buckets, "model buckets"))
+                                    2 * N_BUCKETS, "model buckets"))
     for _ in range(n_iter):
         w = spark.createDataFrame(w_rows, "bucket long, w long")
         # margin agg keyed by doc_id ALONE (y is constant per doc and
@@ -145,7 +147,7 @@ def train_quality_logreg(feats: DataFrame, labels: DataFrame,
                    f"w - coalesce(g, CAST(0 AS BIGINT))"
                    f" DIV ({eta_den} * {n_train})").alias("w")))
         w_rows = sorted((r["bucket"], r["w"]) for r in bounded_collect(
-            upd, 2 * self.n_buckets, "model weight update"))
+            upd, 2 * N_BUCKETS, "model weight update"))
     return spark.createDataFrame(w_rows, "bucket long, w long")
 
 
