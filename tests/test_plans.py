@@ -126,3 +126,43 @@ def test_bounded_collect_raises():
     import pytest
     with pytest.raises(UnboundedCollectError):
         bounded_collect(df, 99, "too many")
+
+
+def test_round_plan_exchange_free(spark, micro_dir):
+    """Round-5 scale property: once the frontier is checkpointed with
+    its firstip hash-partitioning preserved, the ENTIRE per-round
+    winner selection — host_state join, winner window, politeness
+    window — plans with ZERO Exchange operators (the wide state never
+    re-shuffles; per-round shuffle bytes ~0 at any frontier size)."""
+    from pyspark.sql import Window, functions as F
+    from tests.conftest import load_fixtures
+
+    from gigaspark.operators.frontier import (CrawlConfig, CrawlScheduler,
+                                              _win_order)
+
+    sched = CrawlScheduler(spark, load_fixtures(spark, micro_dir),
+                           CrawlConfig())
+    sched.seed(spark.read.parquet(f"{micro_dir}/seeds.parquet"))
+
+    hs = F.broadcast(sched.host_state)
+    f = sched.frontier.join(hs, "firstip", "left").withColumn(
+        "next_ok_ms", F.coalesce(F.col("next_ok_ms"), F.lit(0)))
+    elig = f.where((F.col("next_ok_ms") <= F.lit(0))
+                   & (F.col("due_ms") <= F.lit(0)))
+    w = Window.partitionBy("firstip").orderBy(*_win_order())
+    winners = (elig.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") <= 2).drop("rn"))
+    cum = Window.partitionBy("firstip").orderBy(*_win_order()) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    sched_plan = winners.withColumn(
+        "t", F.coalesce(F.sum(F.lit(100)).over(cum), F.lit(0)))
+    plan = sched_plan._jdf.queryExecution().executedPlan().toString()
+    n_shuffle = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffle == 0, \
+        f"per-round plan has {n_shuffle} shuffle Exchange(s):\n{plan[:2000]}"
+    # the tiny host_state broadcast is the ONLY data movement
+    assert plan.count("BroadcastExchange") <= 1
+    # and the rank-limit pushdown engaged (bounded sort input per host)
+    assert "WindowGroupLimit" in plan
+    # the plan is real: it still produces the winner rows
+    assert sched_plan.count() > 0
